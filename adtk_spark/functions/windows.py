@@ -1,0 +1,344 @@
+"""Sliding-window aggregation kernel.
+
+Re-expresses the reference's rolling-window semantics
+(``/root/reference/src/adtk/transformer/_transformer_1d.py:130-628``,
+RollingAggregate / DoubleRollingAggregate) as Spark window aggregates
+over the long schema ``(source, ts, value)``. One logical series per
+``source``; ``Window.partitionBy(source).orderBy(ts)`` replaces the
+pandas DatetimeIndex. All aggregates are JVM-side built-ins gated by a
+``min_periods`` guard; NaN maps to SQL NULL throughout.
+
+Frame semantics replicated point-for-point (verified against the
+reference pytest goldens, ``tests/test_transformer1d.py``):
+
+- int window w, center=False  -> ROWS [i-w+1, i]
+- int window w, center=True   -> ROWS [i-(w-1)+o, i+o], o=(w-1)//2
+- time window D, closed=right -> RANGE (t-D, t]   (pandas offset default)
+- time window D, closed=left  -> RANGE [t-D, t)
+- min_periods default: w for int windows, 1 for time windows
+- DoubleRolling center=True:  left ROWS [i-wl, i-1] / RANGE [t-Dl, t),
+                              right ROWS [i, i+wr-1] / RANGE [t, t+Dr)
+- DoubleRolling center=False: right ROWS [i-wr+1, i] / RANGE (t-Dr, t],
+                              left  ROWS [i-wr-wl+1, i-wr]
+                                    / RANGE (t-Dr-Dl, t-Dr]
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+MICROS = 1_000_000  # Spark timestamps are microsecond-resolution
+
+ROWS = "rows"
+RANGE = "range"
+
+SCALAR_AGGS = frozenset(
+    [
+        "mean", "median", "sum", "min", "max", "std", "var", "skew",
+        "kurt", "count", "nnz", "nunique", "iqr", "idr",
+    ]
+)
+
+
+def parse_window(window: int | str) -> tuple[str, int]:
+    """Return (kind, size): ('rows', n) for int, ('range', micros) for str."""
+    if isinstance(window, int):
+        if window <= 0:
+            raise ValueError("int window must be positive")
+        return ROWS, window
+    micros = int(pd.Timedelta(window).value // 1000)
+    if micros <= 0:
+        raise ValueError("time window must be positive")
+    return RANGE, micros
+
+
+def _bounds(kind: str, size: int, center: bool, closed: str | None) -> tuple[int, int]:
+    """Frame bounds for a single rolling window ending at (or centered on) i."""
+    if kind == ROWS:
+        if center:
+            offset = (size - 1) // 2
+            return -(size - 1) + offset, offset
+        return -(size - 1), 0
+    # time-based: pandas default closed='right' -> (t-D, t]
+    if center:
+        raise ValueError("center=True is undefined for time windows in the reference")
+    if closed == "left":
+        return -size, -1
+    return -size + 1, 0
+
+
+def _win(source_col: str, ts_col: str, kind: str, lo: int, hi: int) -> WindowSpec:
+    # Both frame kinds order by unix_micros(ts) so that every window in a
+    # plan shares one (partition, sort) pair -> Catalyst reuses a single
+    # exchange + sort across all window nodes. The cast handles
+    # TIMESTAMP_NTZ inputs (session TZ pinned to UTC, lossless).
+    order = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(source_col).orderBy(order)
+    return w.rowsBetween(lo, hi) if kind == ROWS else w.rangeBetween(lo, hi)
+
+
+def _quantile_name(q: float) -> str:
+    # reference names multi-quantile outputs "q{}".format(q)
+    return "q{}".format(q)
+
+
+def _hist_names(bins: list) -> list[str]:
+    # reference: "[{b_i}, {b_i+1})" with ']' on the last bin
+    return [
+        "[{}, {}{}".format(bins[i], bins[i + 1], ")" if i < len(bins) - 2 else "]")
+        for i in range(len(bins) - 1)
+    ]
+
+
+def agg_exprs(
+    value_col: str,
+    win: WindowSpec,
+    agg: str,
+    agg_params: dict | None,
+    min_periods: int | None,
+    default_min_periods: int,
+) -> "dict[str | None, Column]":
+    """Columns for one (frame, agg) pair, min_periods-gated.
+
+    Returns {suffix: column}; suffix None means scalar output (single
+    column), otherwise one column per suffix (multi-output aggs).
+    """
+    v = F.col(value_col)
+    params = agg_params or {}
+    cnt = F.count(v).over(win)
+    mp = min_periods if min_periods is not None else default_min_periods
+    gate = cnt >= F.lit(mp)
+
+    def g(c: Column) -> Column:
+        return F.when(gate, c).otherwise(F.lit(None)).cast("double")
+
+    def q(p: float) -> Column:
+        return F.percentile(v, F.lit(p)).over(win)
+
+    if agg == "mean":
+        return {None: g(F.avg(v).over(win))}
+    if agg == "sum":
+        return {None: g(F.sum(v).over(win))}
+    if agg == "min":
+        return {None: g(F.min(v).over(win))}
+    if agg == "max":
+        return {None: g(F.max(v).over(win))}
+    if agg == "median":
+        return {None: g(q(0.5))}
+    if agg == "std":
+        return {None: g(F.stddev_samp(v).over(win))}
+    if agg == "var":
+        return {None: g(F.var_samp(v).over(win))}
+    if agg == "count":
+        return {None: g(cnt)}
+    if agg == "skew":
+        # pandas rolling.skew is the sample-adjusted G1 statistic;
+        # Spark `skewness` is population g1 = m3/m2^1.5.
+        # G1 = g1 * sqrt(n*(n-1))/(n-2); 0 when variance is 0; NULL n<3.
+        n = cnt.cast("double")
+        g1 = F.skewness(v).over(win)
+        var0 = F.var_samp(v).over(win) == 0
+        corrected = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+        expr = (
+            F.when(cnt < 3, F.lit(None))
+            .when(var0, F.lit(0.0))
+            .otherwise(corrected)
+        )
+        return {None: g(expr)}
+    if agg == "kurt":
+        # pandas rolling.kurt is sample excess kurtosis G2;
+        # Spark `kurtosis` is population excess g2 = m4/m2^2 - 3.
+        # G2 = ((n+1)*g2 + 6) * (n-1)/((n-2)*(n-3)); NULL n<4.
+        n = cnt.cast("double")
+        g2 = F.kurtosis(v).over(win)
+        var0 = F.var_samp(v).over(win) == 0
+        corrected = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+        expr = (
+            F.when(cnt < 4, F.lit(None))
+            .when(var0, F.lit(0.0))
+            .otherwise(corrected)
+        )
+        return {None: g(expr)}
+    if agg == "nnz":
+        # reference uses np.count_nonzero, which counts NaN as nonzero
+        # (_transformer_1d.py:289; golden tests/test_transformer1d.py:115-126)
+        nrows = F.count(F.lit(1)).over(win)
+        zeros = F.count(F.when(v == 0, 1)).over(win)
+        return {None: g(nrows - zeros)}
+    if agg == "nunique":
+        # len(np.unique(x.dropna())): collect_list drops NULLs
+        return {None: g(F.size(F.array_distinct(F.collect_list(v).over(win))))}
+    if agg == "iqr":
+        return {None: g(q(0.75) - q(0.25))}
+    if agg == "idr":
+        return {None: g(q(0.9) - q(0.1))}
+    if agg == "quantile":
+        qs = params["q"]
+        if hasattr(qs, "__iter__"):
+            return {_quantile_name(p): g(q(p)) for p in qs}
+        return {None: g(q(qs))}
+    if agg == "hist":
+        bins = params["bins"]
+        if isinstance(bins, int):
+            raise ValueError(
+                "hist with integer bins needs the whole-series range; "
+                "use operators.transformers.hist_bins(df, n) to derive "
+                "explicit edges first (reference computes them from the "
+                "full series, _transformer_1d.py:306-309)"
+            )
+        out = {}
+        for i, name in enumerate(_hist_names(list(bins))):
+            lo, hi = bins[i], bins[i + 1]
+            pred = (v >= lo) & (v < hi) if i < len(bins) - 2 else (v >= lo) & (v <= hi)
+            out[name] = g(F.count(F.when(pred, 1)).over(win))
+        return out
+    raise ValueError(f"unsupported agg: {agg!r}")
+
+
+def rolling_agg(
+    df: DataFrame,
+    window: int | str,
+    agg: str | Callable = "mean",
+    agg_params: dict | None = None,
+    center: bool = False,
+    min_periods: int | None = None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str | None = None,
+    closed: str | None = None,
+) -> DataFrame:
+    """RollingAggregate: one sliding window, one aggregate, min_periods gate.
+
+    Parity target: ``RollingAggregate._predict_core``
+    (/root/reference/src/adtk/transformer/_transformer_1d.py:215-344).
+    Multi-output aggs (quantile list, hist) emit ``{out_col}_{suffix}``
+    columns; scalar aggs emit ``out_col`` (default ``{value_col}_roll``).
+    """
+    if callable(agg):
+        from .rolling_udf import rolling_agg_callable
+
+        return rolling_agg_callable(
+            df, window, agg, agg_params, center, min_periods,
+            source_col=source_col, ts_col=ts_col, value_col=value_col,
+            out_col=out_col or f"{value_col}_roll",
+        )
+    kind, size = parse_window(window)
+    lo, hi = _bounds(kind, size, center, closed)
+    win = _win(source_col, ts_col, kind, lo, hi)
+    default_mp = size if kind == ROWS else 1
+    exprs = agg_exprs(value_col, win, agg, agg_params, min_periods, default_mp)
+    base = out_col or f"{value_col}_roll"
+    cols = [c.alias(base if sfx is None else f"{base}_{sfx}") for sfx, c in exprs.items()]
+    return df.select("*", *cols)
+
+
+def _double_frames(
+    window, center: bool
+) -> tuple[tuple[str, int, int, int, int], tuple[str, int, int, int, int]]:
+    """(kind, lo, hi, size, default_mp) for left and right windows.
+
+    Mirrors the shift / reversed-series tricks of
+    DoubleRollingAggregate._predict_core (_transformer_1d.py:503-598)
+    as native window frames.
+    """
+    wl, wr = window if isinstance(window, tuple) else (window, window)
+    kl, sl = parse_window(wl)
+    kr, sr = parse_window(wr)
+    if center:
+        left = (kl, -sl, -1, sl, sl if kl == ROWS else 1)
+        if kr == ROWS:
+            right = (kr, 0, sr - 1, sr, sr)
+        else:
+            right = (kr, 0, sr - 1, sr, 1)
+    else:
+        if kr == ROWS:
+            right = (kr, -(sr - 1), 0, sr, sr)
+            if kl != ROWS:
+                raise NotImplementedError(
+                    "center=False with time left window and int right window"
+                )
+            left = (kl, -(sr + sl - 1), -sr, sl, sl)
+        else:
+            right = (kr, -sr + 1, 0, sr, 1)
+            if kl == ROWS:
+                raise NotImplementedError(
+                    "center=False with int left window and time right window"
+                )
+            left = (kl, -(sr + sl) + 1, -sr, sl, 1)
+    return left, right
+
+
+def double_rolling_agg(
+    df: DataFrame,
+    window,
+    agg="mean",
+    agg_params=None,
+    center: bool = True,
+    min_periods=None,
+    diff: str | Callable = "l1",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """DoubleRollingAggregate: two adjacent windows, per-window agg, diff.
+
+    Parity target: _transformer_1d.py:347-628. ``window``/``agg``/
+    ``agg_params``/``min_periods`` accept 2-tuples (left, right).
+    """
+    aggs = agg if isinstance(agg, tuple) else (agg, agg)
+    aps = agg_params if isinstance(agg_params, tuple) else (agg_params, agg_params)
+    mps = min_periods if isinstance(min_periods, tuple) else (min_periods, min_periods)
+    (lk, llo, lhi, _lsz, lmp), (rk, rlo, rhi, _rsz, rmp) = _double_frames(window, center)
+
+    lwin = _win(source_col, ts_col, lk, llo, lhi)
+    rwin = _win(source_col, ts_col, rk, rlo, rhi)
+    lexprs = agg_exprs(value_col, lwin, aggs[0], aps[0], mps[0], lmp)
+    rexprs = agg_exprs(value_col, rwin, aggs[1], aps[1], mps[1], rmp)
+    if set(lexprs) != set(rexprs):
+        raise ValueError("left/right aggs must produce matching outputs")
+
+    out = out_col or f"{value_col}_droll"
+    if callable(diff):
+        raise NotImplementedError(
+            "callable diff: compose rolling_agg outputs and apply a pandas_udf"
+        )
+    keys = list(lexprs)
+    if len(keys) == 1 and keys[0] is None:
+        l, r = lexprs[None], rexprs[None]
+        if diff == "diff":
+            c = r - l
+        elif diff == "rel_diff":
+            c = (r - l) / l
+        elif diff == "abs_rel_diff":
+            c = F.abs(r - l) / l
+        elif diff == "l1":
+            c = F.abs(r - l)
+        elif diff == "l2":
+            c = F.sqrt((r - l) * (r - l))
+        else:
+            raise ValueError(f"unsupported diff: {diff!r}")
+        return df.select("*", c.alias(out))
+    # vector output: elementwise combine, NULL-propagating (skipna=False)
+    if diff == "l1":
+        c = None
+        for k in keys:
+            term = F.abs(rexprs[k] - lexprs[k])
+            c = term if c is None else c + term
+    elif diff == "l2":
+        c = None
+        for k in keys:
+            term = (rexprs[k] - lexprs[k]) * (rexprs[k] - lexprs[k])
+            c = term if c is None else c + term
+        c = F.sqrt(c)
+    else:
+        raise ValueError(f"diff {diff!r} not applicable to vector aggregates")
+    return df.select("*", c.alias(out))

@@ -1,0 +1,151 @@
+"""RollingAggregate / DoubleRollingAggregate parity vs reference goldens.
+
+Every case is transcribed verbatim from
+/root/reference/tests/test_transformer1d.py:14-461 (the reference's own
+pytest oracle — golden input/output tables, no scipy required).
+"""
+
+import pytest
+
+from adtk_spark.functions.windows import double_rolling_agg, rolling_agg
+from tests.conftest import NAN, assert_series, series_df
+
+ROLL10 = [0, 1, 2, 3, NAN, 5, 6, 7, 8, 9]
+MONO10 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9]
+
+ROLLING_CASES = [
+    # (id, values, kwargs, expected) — test_transformer1d.py:30-201
+    ("mean_w3_center", ROLL10, dict(window=3, agg="mean", center=True),
+     [NAN, 1, 2, NAN, NAN, NAN, 6, 7, 8, NAN]),
+    ("mean_w3", ROLL10, dict(window=3, agg="mean", center=False),
+     [NAN, NAN, 1, 2, NAN, NAN, NAN, 6, 7, 8]),
+    ("mean_w3_center_mp2", ROLL10, dict(window=3, agg="mean", center=True, min_periods=2),
+     [0.5, 1, 2, 2.5, 4, 5.5, 6, 7, 8, 8.5]),
+    ("mean_3D_mp3", ROLL10, dict(window="3D", agg="mean", center=False, min_periods=3),
+     [NAN, NAN, 1, 2, NAN, NAN, NAN, 6, 7, 8]),
+    ("iqr_w3_center_mp1", ROLL10, dict(window=3, agg="iqr", center=True, min_periods=1),
+     [0.5, 1, 1, 0.5, 1, 0.5, 1, 1, 1, 0.5]),
+    ("iqr_3D_mp1", ROLL10, dict(window="3D", agg="iqr", center=False, min_periods=1),
+     [0, 0.5, 1, 1, 0.5, 1, 0.5, 1, 1, 1]),
+    ("idr_w3_center_mp1", ROLL10, dict(window=3, agg="idr", center=True, min_periods=1),
+     [0.8, 1.6, 1.6, 0.8, 1.6, 0.8, 1.6, 1.6, 1.6, 0.8]),
+    ("nunique_w3_mp2", [1, 2, 2, NAN, 3, 3, 4, 4, 4, 4],
+     dict(window=3, agg="nunique", center=False, min_periods=2),
+     [NAN, 2, 2, 1, 2, 1, 2, 2, 1, 1]),
+    ("nnz_w3_center_mp3", [1, 0, 2, NAN, 3, 0, 0, 4, 0, 4],
+     dict(window=3, agg="nnz", center=True, min_periods=3),
+     [NAN, 2, NAN, NAN, NAN, 1, 1, 1, 2, NAN]),
+    ("quantile_scalar", ROLL10,
+     dict(window=3, agg="quantile", agg_params={"q": 0.5}, center=True, min_periods=2),
+     [0.5, 1, 2, 2.5, 4, 5.5, 6, 7, 8, 8.5]),
+]
+
+
+@pytest.mark.parametrize("case", ROLLING_CASES, ids=[c[0] for c in ROLLING_CASES])
+def test_rolling_agg(spark, case):
+    _, values, kwargs, expected = case
+    df = series_df(spark, values)
+    out = rolling_agg(df, out_col="r", **kwargs)
+    assert_series(out, "r", expected)
+
+
+def test_rolling_quantile_list(spark):
+    df = series_df(spark, ROLL10)
+    out = rolling_agg(
+        df, window=3, agg="quantile", agg_params={"q": [0.25, 0.5]},
+        center=True, min_periods=2, out_col="r",
+    )
+    assert_series(out, "r_q0.25", [0.25, 0.5, 1.5, 2.25, 3.5, 5.25, 5.5, 6.5, 7.5, 8.25])
+    assert_series(out, "r_q0.5", [0.5, 1, 2, 2.5, 4, 5.5, 6, 7, 8, 8.5])
+
+
+def test_rolling_hist(spark):
+    df = series_df(spark, ROLL10)
+    out = rolling_agg(
+        df, window=3, agg="hist", agg_params={"bins": [0, 3, 7, 9]},
+        center=False, min_periods=2, out_col="h",
+    )
+    assert_series(out, "h_[0, 3)", [NAN, 2, 3, 2, 1, 0, 0, 0, 0, 0])
+    assert_series(out, "h_[3, 7)", [NAN, 0, 0, 1, 1, 2, 2, 2, 1, 0])
+    assert_series(out, "h_[7, 9]", [NAN, 0, 0, 0, 0, 0, 0, 1, 2, 3])
+
+
+def test_rolling_callable_scalar(spark):
+    df = series_df(spark, MONO10)
+    out = rolling_agg(
+        df, window=3, agg=lambda x: x.max() - x.min(), center=False,
+        min_periods=3, out_col="r",
+    )
+    assert_series(out, "r", [NAN, NAN, 2, 2, 2, 2, 2, 2, 2, 2])
+
+
+def test_rolling_callable_vector(spark):
+    df = series_df(spark, MONO10)
+    out = rolling_agg(
+        df, window=3, agg=lambda x: [x.min(), x.max()],
+        agg_params={"names": ["min", "max"]}, center=False, min_periods=3,
+        out_col="r",
+    )
+    assert_series(out, "r_min", [NAN, NAN, 0, 1, 2, 3, 4, 5, 6, 7])
+    assert_series(out, "r_max", [NAN, NAN, 2, 3, 4, 5, 6, 7, 8, 9])
+
+
+DOUBLE_CASES = [
+    # test_transformer1d.py:232-432
+    ("l1_w2_center_mp1", MONO10,
+     dict(window=2, agg="mean", center=True, diff="l1", min_periods=1),
+     [NAN, 1.5, 2, 2, 2, 2, 2, 2, 2, 1.5]),
+    ("l1_w2_center_mp2", MONO10,
+     dict(window=2, agg="mean", center=True, diff="l1", min_periods=2),
+     [NAN, NAN, 2, 2, 2, 2, 2, 2, 2, NAN]),
+    ("l1_w2_mp2", MONO10,
+     dict(window=2, agg="mean", center=False, diff="l1", min_periods=2),
+     [NAN, NAN, NAN, 2, 2, 2, 2, 2, 2, 2]),
+    ("rel_diff_w2_mp2", [0, 1, 2, 3, 4, 5, 6, 7],
+     dict(window=2, agg="mean", center=False, diff="rel_diff", min_periods=2),
+     [NAN, NAN, NAN, 2 / 0.5, 2 / 1.5, 2 / 2.5, 2 / 3.5, 2 / 4.5]),
+    ("l1_2d_mp2", MONO10,
+     dict(window="2d", agg="mean", center=False, diff="l1", min_periods=2),
+     [NAN, NAN, NAN, 2, 2, 2, 2, 2, 2, 2]),
+    ("l1_w21_center", MONO10,
+     dict(window=(2, 1), agg="mean", center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("l1_2d1_center", MONO10,
+     dict(window=("2d", 1), agg="mean", center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("l1_2_1d_center", MONO10,
+     dict(window=(2, "1d"), agg="mean", center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("mixed_agg_tuple", MONO10,
+     dict(window=(2, 1), agg=("quantile", "median"), agg_params=({"q": 0.5}, None),
+          center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("shared_agg_params", MONO10,
+     dict(window=(2, 1), agg=("quantile", "quantile"), agg_params={"q": 0.5},
+          center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("tuple_agg_params", MONO10,
+     dict(window=(2, 1), agg="quantile", agg_params=({"q": 0.5}, {"q": 0.5}),
+          center=True, diff="l1", min_periods=(2, 1)),
+     [NAN, NAN, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5, 1.5]),
+    ("vector_l1", MONO10,
+     dict(window=2, agg="quantile", agg_params={"q": [0, 1]}, center=True,
+          diff="l1", min_periods=2),
+     [NAN, NAN, 4, 4, 4, 4, 4, 4, 4, NAN]),
+    ("vector_l2", MONO10,
+     dict(window=2, agg="quantile", agg_params={"q": [0, 1]}, center=True,
+          diff="l2", min_periods=2),
+     [NAN, NAN] + [8 ** 0.5] * 7 + [NAN]),
+    ("vector_l2_2d", MONO10,
+     dict(window="2d", agg="quantile", agg_params={"q": [0, 1]}, center=False,
+          diff="l2", min_periods=2),
+     [NAN, NAN, NAN] + [8 ** 0.5] * 7),
+]
+
+
+@pytest.mark.parametrize("case", DOUBLE_CASES, ids=[c[0] for c in DOUBLE_CASES])
+def test_double_rolling_agg(spark, case):
+    _, values, kwargs, expected = case
+    df = series_df(spark, values)
+    out = double_rolling_agg(df, out_col="d", **kwargs)
+    assert_series(out, "d", expected)
