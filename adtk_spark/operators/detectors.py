@@ -1,0 +1,445 @@
+"""Rule-based detectors: fit = aggregation action, detect = lazy projection.
+
+Parity targets live in /root/reference/src/adtk/detector/_detector_1d.py
+(cited per function). Binary anomaly labels follow the reference's
+{0, 1, NaN} convention as nullable doubles: NULL marks "undecidable"
+(NULL input or an unfilled min_periods window).
+
+The reference's per-model Python state (``abs_low_`` / ``abs_high_``)
+becomes a small per-source *bounds table* broadcast-joined back onto the
+series — that is the whole fit/predict split at cluster scale: fit runs
+one shuffle-light groupBy over training data, predict stays a pure
+column expression.
+
+adtk's tri-state AND/OR label algebra (aggregator/_aggregator.py:124-126,
+209-212) is exactly SQL three-valued logic, so compound detectors use
+plain boolean ``&``/``|`` on nullable booleans.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.windows import double_rolling_agg, rolling_agg
+
+INF = float("inf")
+
+
+# ---------------------------------------------------------------------------
+# threshold rule kernel
+# ---------------------------------------------------------------------------
+
+def threshold_label(value: Column, low: Column | float | None, high: Column | float | None) -> Column:
+    """(v > high) | (v < low), NULL-in -> NULL-out.
+
+    Parity: ThresholdAD._predict_core (_detector_1d.py:137-142). None
+    bounds become +/-inf exactly as the reference does, which makes the
+    degenerate side='both' sign check (high=-inf) flag every non-NULL row.
+    """
+    lo = F.lit(-INF) if low is None else (F.lit(float(low)) if isinstance(low, (int, float)) else low)
+    hi = F.lit(INF) if high is None else (F.lit(float(high)) if isinstance(high, (int, float)) else high)
+    flag = (value > hi) | (value < lo)
+    return F.when(value.isNull(), F.lit(None)).otherwise(flag)
+
+
+def _as_double(label: Column) -> Column:
+    return label.cast("double")
+
+
+def threshold_ad(
+    df: DataFrame,
+    low: float | None = None,
+    high: float | None = None,
+    *,
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """ThresholdAD (_detector_1d.py:108-142): stateless projection."""
+    return df.select(
+        "*", _as_double(threshold_label(F.col(value_col), low, high)).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# trainable bounds rules (QuantileAD / InterQuartileRangeAD)
+# ---------------------------------------------------------------------------
+
+def quantile_ad_fit(
+    train: DataFrame,
+    low: float | None = None,
+    high: float | None = None,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """QuantileAD._fit_core (_detector_1d.py:183-193): per-source exact
+    quantile bounds. Uses `percentile` (pandas-compatible linear
+    interpolation), NOT approx_percentile — point-parity requires exact.
+    Result is a tiny (n_sources x 3) model table.
+    """
+    v = F.col(value_col)
+    return train.groupBy(source_col).agg(
+        (F.percentile(v, F.lit(float(low))) if low is not None else F.lit(-INF)).alias("abs_low"),
+        (F.percentile(v, F.lit(float(high))) if high is not None else F.lit(INF)).alias("abs_high"),
+        F.count(v).alias("_n_valid"),
+    )
+
+
+def iqr_ad_fit(
+    train: DataFrame,
+    c=3.0,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """InterQuartileRangeAD._fit_core (_detector_1d.py:240-266).
+
+    ``c`` may be a scalar or a (c_low, c_high) tuple; None factors mean
+    an unbounded side.
+    """
+    c_lo, c_hi = c if isinstance(c, tuple) else (c, c)
+    v = F.col(value_col)
+    q1, q3 = F.percentile(v, F.lit(0.25)), F.percentile(v, F.lit(0.75))
+    iqr = q3 - q1
+    lo = (q1 - iqr * F.lit(float(c_lo))) if c_lo is not None else F.lit(-INF)
+    hi = (q3 + iqr * F.lit(float(c_hi))) if c_hi is not None else F.lit(INF)
+    return train.groupBy(source_col).agg(
+        lo.alias("abs_low"), hi.alias("abs_high"), F.count(v).alias("_n_valid")
+    )
+
+
+def apply_bounds(
+    df: DataFrame,
+    bounds: DataFrame,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+    out_col: str = "label",
+    keep_bounds: bool = False,
+) -> DataFrame:
+    """Broadcast the per-source bounds table and apply the threshold rule.
+
+    The bounds side is O(n_sources) rows — always broadcastable, so the
+    predict pass never shuffles the big series table.
+    """
+    joined = df.join(F.broadcast(bounds), on=source_col, how="left")
+    label = threshold_label(F.col(value_col), F.col("abs_low"), F.col("abs_high"))
+    out = joined.withColumn(out_col, _as_double(label))
+    if not keep_bounds:
+        out = out.drop("abs_low", "abs_high", "_n_valid")
+    return out
+
+
+def quantile_ad(df, low=None, high=None, **kw):
+    """fit_detect convenience: fit and detect on the same series."""
+    return apply_bounds(df, quantile_ad_fit(df, low, high, **_fit_kw(kw)), **kw)
+
+
+def iqr_ad(df, c=3.0, **kw):
+    return apply_bounds(df, iqr_ad_fit(df, c, **_fit_kw(kw)), **kw)
+
+
+def _fit_kw(kw):
+    return {k: v for k, v in kw.items() if k in ("source_col", "value_col")}
+
+
+# ---------------------------------------------------------------------------
+# compound window detectors (Pipenet-derived trio)
+# ---------------------------------------------------------------------------
+
+def _side_sign_label(diff: Column, side: str) -> Column:
+    """The reference's sign_check ThresholdAD (e.g. _detector_1d.py:450-470):
+    side='both'     -> high=-inf, low=+inf  (true for any non-NULL diff)
+    side='positive' -> high=0               (diff > 0)
+    side='negative' -> low=0                (diff < 0)
+    """
+    if side == "both":
+        return threshold_label(diff, INF, -INF)
+    if side == "positive":
+        return threshold_label(diff, None, 0.0)
+    if side == "negative":
+        return threshold_label(diff, 0.0, None)
+    raise ValueError("side must be 'both', 'positive' or 'negative'")
+
+
+def _compound_detect(
+    df: DataFrame,
+    bounds: DataFrame,
+    side: str,
+    *,
+    source_col: str,
+    diff_col: str,
+    mag_col: str,
+    out_col: str,
+    drop_internal: bool = True,
+) -> DataFrame:
+    """IQR rule on magnitude AND sign rule on signed diff.
+
+    SQL three-valued AND replicates AndAggregator's NaN semantics
+    (_aggregator.py:209-212) natively: FALSE & NULL = FALSE,
+    TRUE & NULL = NULL.
+    """
+    joined = df.join(F.broadcast(bounds), on=source_col, how="left")
+    iqr_label = threshold_label(F.col(mag_col), F.col("abs_low"), F.col("abs_high"))
+    sign_label = _side_sign_label(F.col(diff_col), side)
+    out = joined.withColumn(out_col, _as_double(iqr_label & sign_label))
+    out = out.drop("abs_low", "abs_high", "_n_valid")
+    if drop_internal:
+        out = out.drop(diff_col, mag_col)
+    return out
+
+
+def _persist_diffs(df, window, min_periods, agg, *, source_col, ts_col, value_col):
+    # PersistAD pipenet (_detector_1d.py:424-478): DoubleRollingAggregate
+    # with window=(w, 1), center=True, min_periods=(mp, 1). The reference
+    # evaluates the l1 and diff branches separately; for scalar aggs
+    # l1 == abs(diff), so we compute the signed diff once and share it.
+    out = double_rolling_agg(
+        df,
+        window=(window, 1),
+        agg=agg,
+        center=True,
+        min_periods=(min_periods, 1),
+        diff="diff",
+        source_col=source_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        out_col="_diff",
+    )
+    return out.withColumn("_mag", F.abs(F.col("_diff")))
+
+
+def persist_ad_fit(
+    train: DataFrame,
+    window=1,
+    c: float = 3.0,
+    min_periods: int | None = None,
+    agg: str = "median",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """PersistAD fit (_detector_1d.py:369-534): IQR bounds of |diff|."""
+    d = _persist_diffs(train, window, min_periods, agg,
+                       source_col=source_col, ts_col=ts_col, value_col=value_col)
+    return iqr_ad_fit(d, c=(None, c), source_col=source_col, value_col="_mag")
+
+
+def persist_ad_detect(
+    df: DataFrame,
+    bounds: DataFrame,
+    window=1,
+    side: str = "both",
+    min_periods: int | None = None,
+    agg: str = "median",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    d = _persist_diffs(df, window, min_periods, agg,
+                       source_col=source_col, ts_col=ts_col, value_col=value_col)
+    return _compound_detect(d, bounds, side, source_col=source_col,
+                            diff_col="_diff", mag_col="_mag", out_col=out_col)
+
+
+def persist_ad(df, window=1, c=3.0, side="both", min_periods=None, agg="median", **kw):
+    """PersistAD fit_detect on one series table."""
+    bounds = persist_ad_fit(df, window, c, min_periods, agg, **kw)
+    return persist_ad_detect(df, bounds, window, side, min_periods, agg, **kw)
+
+
+def _shift_diffs(df, window, min_periods, agg, diff_mag, *, source_col, ts_col, value_col):
+    # LevelShiftAD / VolatilityShiftAD share the two-adjacent-windows
+    # shape (center=True); magnitude branch uses l1 or abs_rel_diff.
+    # Compute the left/right aggregates once (one Window node, zero
+    # joins) and derive both the signed diff and the magnitude.
+    from ..functions.windows import _double_frames, _win, agg_exprs
+
+    mps = min_periods if isinstance(min_periods, tuple) else (min_periods, min_periods)
+    (lk, llo, lhi, _ls, lmp), (rk, rlo, rhi, _rs, rmp) = _double_frames(window, True)
+    lwin = _win(source_col, ts_col, lk, llo, lhi)
+    rwin = _win(source_col, ts_col, rk, rlo, rhi)
+    left = agg_exprs(value_col, lwin, agg, None, mps[0], lmp)[None]
+    right = agg_exprs(value_col, rwin, agg, None, mps[1], rmp)[None]
+    diff = right - left
+    mag = F.abs(diff) if diff_mag == "l1" else F.abs(diff) / left
+    return df.select("*", diff.alias("_diff"), mag.alias("_mag"))
+
+
+def level_shift_ad_fit(train, window, c=6.0, min_periods=None, **kw):
+    """LevelShiftAD (_detector_1d.py:537-692): |median_R - median_L| IQR rule."""
+    d = _shift_diffs(train, window, min_periods, "median", "l1", **_series_kw(kw))
+    return iqr_ad_fit(d, c=(None, c), source_col=kw.get("source_col", "source"), value_col="_mag")
+
+
+def level_shift_ad_detect(df, bounds, window, side="both", min_periods=None, *, out_col="label", **kw):
+    d = _shift_diffs(df, window, min_periods, "median", "l1", **_series_kw(kw))
+    return _compound_detect(d, bounds, side, source_col=kw.get("source_col", "source"),
+                            diff_col="_diff", mag_col="_mag", out_col=out_col)
+
+
+def level_shift_ad(df, window, c=6.0, side="both", min_periods=None, **kw):
+    bounds = level_shift_ad_fit(df, window, c, min_periods, **kw)
+    return level_shift_ad_detect(df, bounds, window, side, min_periods, **kw)
+
+
+def volatility_shift_ad_fit(train, window, c=6.0, min_periods=None, agg="std", **kw):
+    """VolatilityShiftAD (_detector_1d.py:695-860): abs_rel_diff of a
+    volatility agg (std/iqr/idr), IQR rule."""
+    if agg not in ("std", "iqr", "idr"):
+        raise ValueError("agg must be 'std', 'iqr' or 'idr'")
+    d = _shift_diffs(train, window, min_periods, agg, "abs_rel_diff", **_series_kw(kw))
+    return iqr_ad_fit(d, c=(None, c), source_col=kw.get("source_col", "source"), value_col="_mag")
+
+
+def volatility_shift_ad_detect(df, bounds, window, side="both", min_periods=None, agg="std", *, out_col="label", **kw):
+    d = _shift_diffs(df, window, min_periods, agg, "abs_rel_diff", **_series_kw(kw))
+    return _compound_detect(d, bounds, side, source_col=kw.get("source_col", "source"),
+                            diff_col="_diff", mag_col="_mag", out_col=out_col)
+
+
+def volatility_shift_ad(df, window, c=6.0, side="both", min_periods=None, agg="std", **kw):
+    bounds = volatility_shift_ad_fit(df, window, c, min_periods, agg, **kw)
+    return volatility_shift_ad_detect(df, bounds, window, side, min_periods, agg, **kw)
+
+
+def _series_kw(kw):
+    return {k: kw.get(k, d) for k, d in
+            (("source_col", "source"), ("ts_col", "ts"), ("value_col", "value"))}
+
+
+# ---------------------------------------------------------------------------
+# AutoregressionAD — lag features + closed-form OLS residual
+# ---------------------------------------------------------------------------
+
+def _lag_cols(df, n_steps, step_size, *, source_col, ts_col, value_col):
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    out = df
+    for i in range(1, n_steps + 1):
+        out = out.withColumn(f"_lag{i}", F.lag(value_col, i * step_size).over(w))
+    return out
+
+
+def autoregression_ad_fit(
+    train: DataFrame,
+    n_steps: int = 1,
+    step_size: int = 1,
+    c: float = 3.0,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """AutoregressionAD fit (_detector_1d.py:863-1020).
+
+    Per-source OLS over the lag matrix (Retrospect -> RegressionResidual
+    with LinearRegression), solved in closed form with numpy inside one
+    grouped-map Arrow UDF — the per-source series a detector sees is
+    tier-granular (bounded), so a per-group solve is the right scale
+    trade-off vs a cross-products aggregation.
+
+    Returns (source, intercept, coefs array<double>, abs_low, abs_high).
+    """
+    import numpy as np
+    import pandas as pd
+
+    lagged = _lag_cols(train, n_steps, step_size,
+                       source_col=source_col, ts_col=ts_col, value_col=value_col)
+    feat = [f"_lag{i}" for i in range(1, n_steps + 1)]
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        sub = pdf[[value_col] + feat].dropna()
+        if sub.empty:
+            return pd.DataFrame(
+                {source_col: [pdf[source_col].iloc[0]], "intercept": [np.nan],
+                 "coefs": [[np.nan] * n_steps],
+                 "abs_low": [np.nan], "abs_high": [np.nan]}
+            )
+        X = np.column_stack([sub[feat].values, np.ones(len(sub))])
+        y = sub[value_col].values
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        coefs, intercept = beta[:-1], beta[-1]
+        resid = y - X @ beta
+        # IQR bounds of |residual| with c=(None, c)  (iqr_ad on abs_residual)
+        a = np.abs(resid)
+        q1, q3 = np.percentile(a, 25), np.percentile(a, 75)
+        return pd.DataFrame(
+            {source_col: [pdf[source_col].iloc[0]], "intercept": [intercept],
+             "coefs": [list(coefs)],
+             "abs_low": [-INF], "abs_high": [q3 + c * (q3 - q1)]}
+        )
+
+    schema = (
+        f"{source_col} string, intercept double, coefs array<double>, "
+        "abs_low double, abs_high double"
+    )
+    return lagged.groupBy(source_col).applyInPandas(fit, schema=schema)
+
+
+def autoregression_ad_detect(
+    df: DataFrame,
+    model: DataFrame,
+    n_steps: int = 1,
+    step_size: int = 1,
+    side: str = "both",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    lagged = _lag_cols(df, n_steps, step_size,
+                       source_col=source_col, ts_col=ts_col, value_col=value_col)
+    joined = lagged.join(F.broadcast(model), on=source_col, how="left")
+    pred = F.col("intercept")
+    for i in range(1, n_steps + 1):
+        pred = pred + F.element_at(F.col("coefs"), i) * F.col(f"_lag{i}")
+    resid = F.col(value_col) - pred  # NULL if any lag/value is NULL (dropna parity)
+    d = joined.withColumn("_diff", resid).withColumn("_mag", F.abs(resid))
+    # model already carries the IQR bounds from the single broadcast join
+    iqr_label = threshold_label(F.col("_mag"), F.col("abs_low"), F.col("abs_high"))
+    sign_label = _side_sign_label(F.col("_diff"), side)
+    out = d.withColumn(out_col, _as_double(iqr_label & sign_label))
+    return out.drop("intercept", "coefs", "abs_low", "abs_high", "_diff", "_mag",
+                    *[f"_lag{i}" for i in range(1, n_steps + 1)])
+
+
+def autoregression_ad(df, n_steps=1, step_size=1, c=3.0, side="both", **kw):
+    model = autoregression_ad_fit(df, n_steps, step_size, c, **kw)
+    return autoregression_ad_detect(df, model, n_steps, step_size, side, **kw)
+
+
+# ---------------------------------------------------------------------------
+# SeasonalAD — seasonal decomposition residual + IQR rule
+# ---------------------------------------------------------------------------
+
+def seasonal_ad(
+    df: DataFrame,
+    freq: int | None = None,
+    side: str = "both",
+    c: float = 3.0,
+    trend: bool = False,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """SeasonalAD fit_detect (_detector_1d.py:1023-1164)."""
+    from .transformers import seasonal_fit, seasonal_transform
+
+    model = seasonal_fit(df, freq=freq, trend=trend, source_col=source_col,
+                         ts_col=ts_col, value_col=value_col)
+    resid = seasonal_transform(df, model, trend=trend, source_col=source_col,
+                               ts_col=ts_col, value_col=value_col, out_col="_diff")
+    resid = resid.withColumn("_mag", F.abs(F.col("_diff")))
+    bounds = iqr_ad_fit(resid, c=(None, c), source_col=source_col, value_col="_mag")
+    return _compound_detect(resid, bounds, side, source_col=source_col,
+                            diff_col="_diff", mag_col="_mag", out_col=out_col)

@@ -1,0 +1,251 @@
+"""Series->series transformers.
+
+Parity targets in /root/reference/src/adtk/transformer/_transformer_1d.py
+and _transformer_hd.py (cited per function). Everything except per-source
+seasonal *fit* is a lazy column expression; fits are aggregation actions
+producing small broadcastable model tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def standard_scale(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+    out_col: str = "scaled",
+) -> DataFrame:
+    """StandardScale (_transformer_1d.py:107-127): (s - mean)/std per
+    source, std->1 when 0. groupBy + broadcast join (not a window) so the
+    big table is never sorted and the model side stays tiny.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(source_col).agg(
+        F.avg(v).alias("_mean"),
+        F.coalesce(
+            F.when(F.stddev_samp(v) != 0, F.stddev_samp(v)), F.lit(1.0)
+        ).alias("_std"),
+    )
+    out = df.join(F.broadcast(stats), on=source_col, how="left")
+    return out.withColumn(out_col, (v - F.col("_mean")) / F.col("_std")).drop("_mean", "_std")
+
+
+def retrospect(
+    df: DataFrame,
+    n_steps: int = 1,
+    step_size: int = 1,
+    till: int = 0,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    prefix: str = "t-",
+) -> DataFrame:
+    """Retrospect (_transformer_1d.py:880-965): lag matrix columns
+    ``t-k`` for k in till, till+step, ... (n_steps lags)."""
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    cols = [
+        F.lag(value_col, k).over(w).alias(f"{prefix}{k}")
+        for k in range(till, till + n_steps * step_size, step_size)
+    ]
+    return df.select("*", *cols)
+
+
+def sum_all(df: DataFrame, cols: list[str], out_col: str = "sum_all") -> DataFrame:
+    """SumAll (_transformer_hd.py:106-117): row-wise sum, skipna=False —
+    native NULL-propagating ``+``."""
+    expr = None
+    for c in cols:
+        expr = F.col(c) if expr is None else expr + F.col(c)
+    return df.withColumn(out_col, expr)
+
+
+def hist_bins(
+    df: DataFrame, n: int, *, value_col: str = "value"
+) -> list[float]:
+    """Equal-width bin edges over the whole series range, matching
+    np.histogram(s.dropna(), bins=n) (_transformer_1d.py:306-309).
+    This is an action (min/max aggregation)."""
+    row = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).collect()[0]
+    edges = np.histogram(np.array([row["lo"], row["hi"]]), bins=n)[1]
+    return [float(e) for e in edges]
+
+
+# ---------------------------------------------------------------------------
+# ClassicSeasonalDecomposition
+# ---------------------------------------------------------------------------
+
+def _acf(x: np.ndarray, nlags: int) -> np.ndarray:
+    """Autocorrelation, statsmodels acf(fft=False) convention: demean by
+    the overall mean, normalize by c0 (_transformer_1d.py:860)."""
+    n = len(x)
+    nlags = min(nlags, n - 1)
+    xd = x - x.mean()
+    c0 = float(np.dot(xd, xd)) / n
+    out = np.empty(nlags + 1)
+    out[0] = 1.0
+    for k in range(1, nlags + 1):
+        out[k] = (float(np.dot(xd[:-k], xd[k:])) / n) / c0
+    return out
+
+
+def identify_seasonal_period(
+    x: np.ndarray, low_autocorr: float = 0.1, high_autocorr: float = 0.3
+) -> int | None:
+    """_identify_seasonal_period (_transformer_1d.py:827-877): first ACF
+    peak above high_autocorr after the initial decay, pick the highest."""
+    autocorr = _acf(x, len(x))
+    ge = np.argwhere(autocorr >= low_autocorr)
+    if len(ge) == 0:
+        return None
+    cut = int(ge[0][0])
+    d = np.diff(autocorr[cut:])
+    peaks = (
+        cut + 1
+        + np.argwhere((d[:-1] > 0) & (d[1:] < 0) & (autocorr[cut + 1:-1] > high_autocorr)).flatten()
+    )
+    if len(peaks) == 0:
+        return None
+    return int(peaks[np.argmax(autocorr[peaks])])
+
+
+def _classic_trend(s: pd.Series, freq: int) -> pd.Series:
+    """statsmodels seasonal_decompose centered moving-average trend:
+    odd period -> plain centered MA of size f; even period -> f+1 points
+    with half weight at both ends. NaN where the window is incomplete."""
+    if freq % 2:
+        return s.rolling(freq, center=True, min_periods=freq).mean()
+    a = s.rolling(freq, center=True, min_periods=freq).mean()          # [-f/2, f/2-1]
+    b = s[::-1].rolling(freq, center=True, min_periods=freq).mean()[::-1]  # [-f/2+1, f/2]
+    return (a + b) / 2
+
+
+def seasonal_fit(
+    df: DataFrame,
+    freq: int | None = None,
+    trend: bool = False,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ClassicSeasonalDecomposition._fit_core (_transformer_1d.py:682-733).
+
+    Per-source grouped-map fit (series are tier-granular, bounded):
+    strips leading/trailing NULLs, derives datum/dT, detects freq from
+    ACF peaks when not given, and extracts the phase pattern — raw phase
+    means (trend=False) or detrended phase means recentered to zero mean
+    (trend=True, statsmodels convention).
+
+    Returns one row per (source, phase): (source, phase int, seasonal,
+    datum_micros long, dt_micros double, freq int).
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        src = pdf[source_col].iloc[0]
+        s = pd.Series(pdf[value_col].values, index=pd.DatetimeIndex(pdf[ts_col]))
+        s = s.loc[s.first_valid_index(): s[::-1].first_valid_index()]
+        if s.isna().any():
+            raise ValueError(
+                f"source {src!r}: NaN among valid values — gap-fill first "
+                "(reference raises too, _transformer_1d.py:689-694)"
+            )
+        datum = s.index[0]
+        dt = pd.Series(s.index).diff().mean()
+        f = freq if freq is not None else identify_seasonal_period(s.values)
+        if f is None:
+            raise ValueError(f"source {src!r}: no significant seasonality found")
+        if trend:
+            detrended = s - _classic_trend(s, f)
+            pattern = np.array([detrended.iloc[i::f].mean() for i in range(f)])
+            pattern -= np.nanmean(pattern)
+        else:
+            pattern = np.array([s.iloc[i::f].mean() for i in range(f)])
+        return pd.DataFrame(
+            {
+                source_col: [src] * f,
+                "phase": list(range(f)),
+                "seasonal": pattern,
+                "datum_micros": [datum.value // 1000] * f,
+                "dt_micros": [dt.value / 1000.0] * f,
+                "freq": [f] * f,
+            }
+        )
+
+    schema = (
+        f"{source_col} string, phase int, seasonal double, "
+        "datum_micros long, dt_micros double, freq int"
+    )
+    return df.groupBy(source_col).applyInPandas(fit, schema=schema)
+
+
+def seasonal_transform(
+    df: DataFrame,
+    model: DataFrame,
+    trend: bool = False,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "residual",
+) -> DataFrame:
+    """ClassicSeasonalDecomposition._predict_core (_transformer_1d.py:735-824).
+
+    Phase alignment: the reference walks a helper date_range from the
+    train datum (:749-800); arithmetically that is
+    ``phase = round((ts - datum)/dT) mod freq``, which works for test
+    windows offset in either direction. Residual = value - seasonal
+    (- centered-MA trend of the *test* series when trend=True).
+    """
+    meta = model.groupBy(source_col).agg(
+        F.first("datum_micros").alias("datum_micros"),
+        F.first("dt_micros").alias("dt_micros"),
+        F.first("freq").alias("freq"),
+    )
+    out = df.join(F.broadcast(meta), on=source_col, how="left")
+    step = F.round(
+        (F.unix_micros(F.col(ts_col).cast("timestamp")) - F.col("datum_micros"))
+        / F.col("dt_micros")
+    ).cast("long")
+    out = out.withColumn("phase", F.pmod(step, F.col("freq")).cast("int"))
+    out = out.join(
+        F.broadcast(model.select(source_col, "phase", "seasonal")),
+        on=[source_col, "phase"],
+        how="left",
+    )
+    resid = F.col(value_col) - F.col("seasonal")
+    if trend:
+        # centered MA of the test series, same frame logic as _classic_trend
+        from ..functions.windows import _win
+
+        fcol = F.col("freq")
+        # freq is constant per source; build frames for the common case of
+        # a single global freq (collected from the model — small action)
+        freqs = [r["freq"] for r in meta.select("freq").distinct().collect()]
+        if len(freqs) != 1:
+            raise NotImplementedError("trend=True with per-source differing freq")
+        f = freqs[0]
+        if f % 2:
+            half = f // 2
+            w = _win(source_col, ts_col, "rows", -half, half)
+            t = F.when(F.count(F.col(value_col)).over(w) >= f, F.avg(F.col(value_col)).over(w))
+        else:
+            wa = _win(source_col, ts_col, "rows", -(f // 2), f // 2 - 1)
+            wb = _win(source_col, ts_col, "rows", -(f // 2) + 1, f // 2)
+            ta = F.when(F.count(F.col(value_col)).over(wa) >= f, F.avg(F.col(value_col)).over(wa))
+            tb = F.when(F.count(F.col(value_col)).over(wb) >= f, F.avg(F.col(value_col)).over(wb))
+            t = (ta + tb) / 2
+        resid = F.col(value_col) - t - F.col("seasonal")
+    return (
+        out.withColumn(out_col, resid)
+        .drop("phase", "seasonal", "datum_micros", "dt_micros", "freq")
+    )

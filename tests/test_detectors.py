@@ -1,0 +1,114 @@
+"""Detector parity vs reference goldens.
+
+Transcribed verbatim from /root/reference/tests/test_detector1d.py:20-322
+(the reference's own pytest oracle). GeneralizedESDTestAD and the
+SVR-regressor AutoregressionAD variants are covered separately/later.
+"""
+
+import pytest
+
+from adtk_spark.operators import detectors as D
+from tests.conftest import NAN, assert_series, series_df
+
+THRESH6 = [0, -10, 0, NAN, 0, 10]
+IQR8 = [0, -10, 0, 0, 0, NAN, 0, 10]
+PERSIST14 = [0, 1, 0, 1, 0, -10, -9, -10, -9, -10, 1, NAN, 1, 0]
+PERSIST30 = PERSIST14 + [1, 0] * 8
+STEP20 = [0] * 10 + [1] * 10
+VOL40 = [0, 1] * 10 + [100, -100] * 10
+FIB18 = [13, -8, 5, -3, 2, -1, 1, 0, 1, 1, 1, 2, 3, 5, NAN, 13, 21, 34]
+
+LS_EXPECT = [NAN] * 3 + [0] * 6 + [1] * 3 + [0] * 6 + [NAN] * 2
+
+CASES = [
+    ("thresh_none", THRESH6, lambda df: D.threshold_ad(df),
+     [0, 0, 0, NAN, 0, 0]),
+    ("thresh_low", THRESH6, lambda df: D.threshold_ad(df, low=-5),
+     [0, 1, 0, NAN, 0, 0]),
+    ("thresh_both", THRESH6, lambda df: D.threshold_ad(df, low=-5, high=5),
+     [0, 1, 0, NAN, 0, 1]),
+    ("quantile_none", THRESH6, lambda df: D.quantile_ad(df),
+     [0, 0, 0, NAN, 0, 0]),
+    ("quantile_low", THRESH6, lambda df: D.quantile_ad(df, low=0.1),
+     [0, 1, 0, NAN, 0, 0]),
+    ("quantile_both", THRESH6, lambda df: D.quantile_ad(df, low=0.1, high=0.9),
+     [0, 1, 0, NAN, 0, 1]),
+    ("iqr_default", IQR8, lambda df: D.iqr_ad(df),
+     [0, 1, 0, 0, 0, NAN, 0, 1]),
+    ("iqr_high_only", IQR8, lambda df: D.iqr_ad(df, c=(None, 3)),
+     [0, 0, 0, 0, 0, NAN, 0, 1]),
+    ("iqr_low_only", IQR8, lambda df: D.iqr_ad(df, c=(3, None)),
+     [0, 1, 0, 0, 0, NAN, 0, 0]),
+    ("persist_default", PERSIST14, lambda df: D.persist_ad(df),
+     [NAN, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, NAN, NAN, 0]),
+    ("persist_pos", PERSIST14, lambda df: D.persist_ad(df, side="positive"),
+     [NAN, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, NAN, NAN, 0]),
+    ("persist_neg", PERSIST14, lambda df: D.persist_ad(df, side="negative"),
+     [NAN, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, NAN, NAN, 0]),
+    ("persist_w2", PERSIST30, lambda df: D.persist_ad(df, window=2),
+     [NAN, NAN, 0, 0, 0, 1, 1, 0, 0, 0, 1, NAN, NAN, NAN] + [0, 0] * 8),
+    ("persist_50H_mp2", PERSIST30,
+     lambda df: D.persist_ad(df, window="50H", min_periods=2),
+     [NAN, NAN, 0, 0, 0, 1, 1, 0, 0, 0, 1, NAN, NAN, NAN] + [0, 0] * 8),
+    ("persist_w2_mp1", PERSIST30,
+     lambda df: D.persist_ad(df, window=2, min_periods=1),
+     [NAN, 1, 0, 0, 0, 1, 1, 0, 0, 0, 1, NAN, 0, 1] + [0, 0] * 8),
+    ("persist_50H_mp1", PERSIST30,
+     lambda df: D.persist_ad(df, window="50H", min_periods=1),
+     [NAN, 1, 0, 0, 0, 1, 1, 0, 0, 0, 1, NAN, 0, 1] + [0, 0] * 8),
+    ("persist_drift", [0, 1, 2.1, 3.3, 4.5, 5.8, 7.3],
+     lambda df: D.persist_ad(df, c=1.5),
+     [NAN, 0, 0, 0, 0, 0, 1]),
+    ("levelshift_w3", STEP20, lambda df: D.level_shift_ad(df, window=3),
+     LS_EXPECT),
+    ("levelshift_72H", STEP20,
+     lambda df: D.level_shift_ad(df, window="72H", min_periods=3), LS_EXPECT),
+    ("levelshift_80H_72H", STEP20,
+     lambda df: D.level_shift_ad(df, window=("80H", "72H"), min_periods=3), LS_EXPECT),
+    ("levelshift_3_72H", STEP20,
+     lambda df: D.level_shift_ad(df, window=(3, "72H"), min_periods=3), LS_EXPECT),
+    ("levelshift_80H_3", STEP20,
+     lambda df: D.level_shift_ad(df, window=("80H", 3), min_periods=3), LS_EXPECT),
+    ("volshift_std", VOL40, lambda df: D.volatility_shift_ad(df, window=3),
+     [NAN] * 3 + [0] * 15 + [1] * 5 + [0] * 15 + [NAN] * 2),
+    ("volshift_iqr", VOL40,
+     lambda df: D.volatility_shift_ad(df, window=3, agg="iqr"),
+     [NAN] * 3 + [0] * 15 + [1] * 4 + [0] * 16 + [NAN] * 2),
+    ("ar_n2", FIB18, lambda df: D.autoregression_ad(df, n_steps=2),
+     [NAN, NAN, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, NAN, NAN, NAN, 0]),
+    ("ar_n2_pos", [13, -8, 5, -3, 2, -1, 1, 0, 1, 1, 1, 2, 3, 6, 9, 15, 24],
+     lambda df: D.autoregression_ad(df, n_steps=2, side="positive"),
+     [NAN, NAN, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0]),
+    ("ar_n2_s2_neg", [0, 13, 1, -8, 1, 5, 2, -3, 3, 2, 5.1, -1, 8, 1, 13, 0],
+     lambda df: D.autoregression_ad(df, n_steps=2, step_size=2, side="negative"),
+     [NAN, NAN, NAN, NAN, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0]),
+]
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c[0] for c in CASES])
+def test_detector(spark, case):
+    _, values, run, expected = case
+    out = run(series_df(spark, values))
+    assert_series(out, "label", expected)
+
+
+SEASONAL84 = [1, 2, 3, 4] * 10 + [1, 3, 2, 4] + [1, 2, 3, 4] * 10
+SEASONAL84_TREND = [v + i for i, v in enumerate(SEASONAL84)]
+
+SEASONAL_CASES = [
+    ("seasonal_auto", SEASONAL84, dict(),
+     [0] * 40 + [0, 1, 1, 0] + [0] * 40),
+    ("seasonal_f8", SEASONAL84, dict(freq=8),
+     [0] * 40 + [0, 1, 1, 0] + [0] * 40),
+    ("seasonal_f8_trend", SEASONAL84_TREND, dict(freq=8, trend=True),
+     [NAN] * 4 + [0] * 36 + [0, 1, 1, 0] + [0] * 36 + [NAN] * 4),
+    ("seasonal_f8_trend_pos", SEASONAL84_TREND, dict(freq=8, trend=True, side="positive"),
+     [NAN] * 4 + [0] * 36 + [0, 1, 0, 0] + [0] * 36 + [NAN] * 4),
+]
+
+
+@pytest.mark.parametrize("case", SEASONAL_CASES, ids=[c[0] for c in SEASONAL_CASES])
+def test_seasonal_ad(spark, case):
+    _, values, kwargs, expected = case
+    out = D.seasonal_ad(series_df(spark, values), **kwargs)
+    assert_series(out, "label", expected)
