@@ -1,0 +1,222 @@
+"""Event-interval algebra: label<->event conversion, merge, AND/OR, expand.
+
+Parity targets: /root/reference/src/adtk/data/_data.py:98-615 and
+aggregator/_aggregator.py:94-212. An event list becomes a DataFrame
+``(source, start_ts, end_ts)`` with closed intervals; instantaneous
+events have start_ts == end_ts. The reference works at nanosecond
+resolution; Spark timestamps are microseconds, so contiguity ("within
+1ns") becomes "within 1 microsecond" — identical on any real-world
+sampling grid.
+
+All algorithms are the classic gaps-and-islands / sweep-line window
+patterns — pure JVM window aggregates, one shuffle per partitionBy.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US = "1 microsecond"
+
+
+def _micros(c):
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def _ts(c):
+    return F.timestamp_micros(c.cast("long"))
+
+
+def validate_events(
+    events: DataFrame,
+    *,
+    source_col: str = "source",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Sort + merge overlapping/contiguous intervals per source.
+
+    Parity: validate_events (_data.py:98-185) — drops invalid windows
+    (start > end), merges overlaps and gaps of <= 1 time unit. Uses the
+    running-max-end gaps-and-islands pattern instead of the reference's
+    endpoint sweep; identical output.
+    """
+    e = events.where(F.col(start_col) <= F.col(end_col))
+    s, en = _micros(F.col(start_col)), _micros(F.col(end_col))
+    w = Window.partitionBy(source_col).orderBy(s, en)
+    prev_max = F.max(en).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(prev_max.isNull() | (s > prev_max + 1), 1).otherwise(0)
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.select(source_col, s.alias("_s"), en.alias("_e"), island.alias("_i"))
+        .groupBy(source_col, "_i")
+        .agg(_ts(F.min("_s")).alias(start_col), _ts(F.max("_e")).alias(end_col))
+        .drop("_i")
+    )
+
+
+def events_or(
+    event_dfs: list[DataFrame],
+    *,
+    source_col: str = "source",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """OrAggregator on event lists (_aggregator.py:107-118): union + merge."""
+    u = event_dfs[0]
+    for d in event_dfs[1:]:
+        u = u.unionByName(d)
+    return validate_events(u, source_col=source_col, start_col=start_col, end_col=end_col)
+
+
+def events_and(
+    event_dfs: list[DataFrame],
+    *,
+    source_col: str = "source",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """AndAggregator on event lists (_aggregator.py:154-204).
+
+    Sweep line: validate each input (per-list intervals then disjoint, so
+    each list contributes at most one active interval at any instant),
+    emit (+1 at start, -1 at end + 1us) deltas, running-sum per source;
+    covered where the sum equals the number of lists; sessionize.
+    """
+    n = len(event_dfs)
+    deltas = None
+    for d in event_dfs:
+        v = validate_events(d, source_col=source_col, start_col=start_col, end_col=end_col)
+        dd = v.select(
+            source_col, _micros(F.col(start_col)).alias("_t"), F.lit(1).alias("_d")
+        ).unionByName(
+            v.select(source_col, (_micros(F.col(end_col)) + 1).alias("_t"), F.lit(-1).alias("_d"))
+        )
+        deltas = dd if deltas is None else deltas.unionByName(dd)
+    g = deltas.groupBy(source_col, "_t").agg(F.sum("_d").alias("_d"))
+    w = Window.partitionBy(source_col).orderBy("_t")
+    cum = F.sum("_d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.lead("_t").over(w)
+    g = g.select(source_col, "_t", cum.alias("_c"), nxt.alias("_nxt"))
+    covered = F.col("_c") >= n
+    prev_cov = F.lag(covered.cast("int")).over(w)
+    island = F.sum(
+        F.when(covered & (prev_cov.isNull() | (prev_cov == 0)), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    segs = (
+        g.select(source_col, "_t", "_nxt", covered.alias("_cov"), island.alias("_i"))
+        .where("_cov")
+        .groupBy(source_col, "_i")
+        .agg(_ts(F.min("_t")).alias(start_col), _ts(F.max("_nxt") - 1).alias(end_col))
+        .drop("_i")
+    )
+    return segs
+
+
+def to_events(
+    labels: DataFrame,
+    freq: str | None = None,
+    merge_consecutive: bool | None = None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    label_col: str = "label",
+) -> DataFrame:
+    """Binary labels -> event intervals (to_events, _data.py:206-319).
+
+    ``freq`` plays the role of the index's freq attribute: when given,
+    each labeled point represents the period [ts, ts + freq - 1us]
+    (freq_as_period), and merge_consecutive defaults to True; when None,
+    points are instantaneous and merge_consecutive defaults to False.
+    Consecutive means adjacent *rows* of the series (run-length
+    semantics, np.diff in the reference), not time adjacency.
+    """
+    if merge_consecutive is None:
+        merge_consecutive = freq is not None
+    freq_us = int(pd.Timedelta(freq).value // 1000) if freq else 0
+    pos = (F.col(label_col) == 1).cast("int")
+    flagged = labels.where(F.col(label_col) == 1)
+    end_of_point = (
+        _ts(_micros(F.col(ts_col)) + freq_us - 1) if freq else F.col(ts_col).cast("timestamp")
+    )
+    if not merge_consecutive:
+        return flagged.select(
+            source_col,
+            F.col(ts_col).cast("timestamp").alias("start_ts"),
+            end_of_point.alias("end_ts"),
+        )
+    # gaps-and-islands over row positions
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    rn_all = labels.select(
+        source_col, ts_col, label_col, F.row_number().over(w).alias("_rn")
+    )
+    flagged = rn_all.where(F.col(label_col) == 1)
+    w2 = Window.partitionBy(source_col).orderBy("_rn")
+    grp = (F.col("_rn") - F.row_number().over(w2)).alias("_grp")
+    return (
+        flagged.select(source_col, ts_col, grp)
+        .groupBy(source_col, "_grp")
+        .agg(
+            F.min(ts_col).cast("timestamp").alias("start_ts"),
+            (_ts(_micros(F.max(ts_col)) + freq_us - 1) if freq
+             else F.max(ts_col).cast("timestamp")).alias("end_ts"),
+        )
+        .drop("_grp")
+    )
+
+
+def to_labels(
+    events: DataFrame,
+    spine: DataFrame,
+    freq: str | None = None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    out_col: str = "label",
+) -> DataFrame:
+    """Event intervals -> binary labels on a time spine (to_labels,
+    _data.py:342-441). With freq, a spine point covers the period
+    [ts, ts+freq-1us] and is positive when any event overlaps it.
+
+    Join strategy: events tables are tiny relative to the series
+    (detector outputs) — broadcast the validated events and evaluate the
+    overlap predicate; the big spine never shuffles.
+    """
+    ev = validate_events(events, source_col=source_col)
+    freq_us = int(pd.Timedelta(freq).value // 1000) if freq else 0
+    t = _micros(F.col(ts_col))
+    period_end = t + freq_us - 1 if freq else t
+    cond = (
+        (F.col(f"_ev.{source_col}") == F.col(f"_sp.{source_col}"))
+        & (t <= _micros(F.col("end_ts")))
+        & (period_end >= _micros(F.col("start_ts")))
+    )
+    sp = spine.alias("_sp")
+    joined = sp.join(F.broadcast(ev.alias("_ev")), on=cond, how="left")
+    return (
+        joined.groupBy(*[F.col(f"_sp.{c}") for c in spine.columns])
+        .agg(F.max(F.col("start_ts").isNotNull()).cast("double").alias(out_col))
+    )
+
+
+def expand_events(
+    events: DataFrame,
+    left_expand: str = "0s",
+    right_expand: str = "0s",
+    *,
+    source_col: str = "source",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """expand_events (_data.py:486-615): widen then re-merge."""
+    l_us = int(pd.Timedelta(left_expand).value // 1000)
+    r_us = int(pd.Timedelta(right_expand).value // 1000)
+    widened = events.select(
+        source_col,
+        _ts(_micros(F.col(start_col)) - l_us).alias(start_col),
+        _ts(_micros(F.col(end_col)) + r_us).alias(end_col),
+    )
+    return validate_events(widened, source_col=source_col,
+                           start_col=start_col, end_col=end_col)

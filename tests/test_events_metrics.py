@@ -1,0 +1,189 @@
+"""Event algebra + metrics parity vs reference goldens.
+
+Transcribed from /root/reference/tests/test_aggregators.py and
+tests/test_metric.py.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from adtk_spark.operators import aggregators as A
+from adtk_spark.operators import events as E
+from adtk_spark.operators import metrics as M
+from tests.conftest import NAN, assert_series, series_df
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def ev_df(spark, rows, source="A"):
+    """rows: list of (start, end) iso strings or single iso string (point)."""
+    data = []
+    for r in rows:
+        if isinstance(r, tuple):
+            data.append((source, ts(r[0]), ts(r[1])))
+        else:
+            data.append((source, ts(r), ts(r)))
+    schema = "source string, start_ts timestamp, end_ts timestamp"
+    if not data:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(data, schema)
+
+
+def ev_set(df):
+    return {
+        (r["start_ts"], r["end_ts"])
+        for r in df.select("start_ts", "end_ts").collect()
+    }
+
+
+LIST_A = [("2017-01-01", "2017-01-02"), ("2017-01-05", "2017-01-08"), "2017-01-10"]
+LIST_B = ["2017-01-02", ("2017-01-03", "2017-01-06"), "2017-01-08",
+          ("2017-01-07", "2017-01-09"), ("2017-01-11", "2017-01-11")]
+
+
+def test_events_or(spark):
+    # test_aggregators.py:7-45
+    out = E.events_or([ev_df(spark, LIST_A), ev_df(spark, LIST_B)])
+    assert ev_set(out) == {
+        (ts("2017-01-01"), ts("2017-01-02")),
+        (ts("2017-01-03"), ts("2017-01-09")),
+        (ts("2017-01-10"), ts("2017-01-10")),
+        (ts("2017-01-11"), ts("2017-01-11")),
+    }
+    out2 = E.events_or([ev_df(spark, LIST_A), ev_df(spark, [])])
+    assert ev_set(out2) == {
+        (ts("2017-01-01"), ts("2017-01-02")),
+        (ts("2017-01-05"), ts("2017-01-08")),
+        (ts("2017-01-10"), ts("2017-01-10")),
+    }
+
+
+def test_events_and(spark):
+    # test_aggregators.py:86-119
+    out = E.events_and([ev_df(spark, LIST_A), ev_df(spark, LIST_B)])
+    assert ev_set(out) == {
+        (ts("2017-01-02"), ts("2017-01-02")),
+        (ts("2017-01-05"), ts("2017-01-06")),
+        (ts("2017-01-07"), ts("2017-01-08")),
+    }
+    out2 = E.events_and([ev_df(spark, LIST_A), ev_df(spark, [])])
+    assert out2.count() == 0
+
+
+TRUTH_IN = [(1, 1), (1, 0), (0, 1), (0, 0), (NAN, 1), (0, NAN)]
+
+
+def truth_df(spark):
+    rows = []
+    t0 = dt.datetime(2017, 1, 1)
+    for src in ("A", "B"):
+        for i, (a, b) in enumerate(TRUTH_IN):
+            rows.append((
+                src, t0 + dt.timedelta(days=i),
+                None if a != a else float(a),
+                None if b != b else float(b),
+            ))
+    return spark.createDataFrame(rows, "source string, ts timestamp, la double, lb double")
+
+
+def test_or_and_labels(spark):
+    # test_aggregators.py:48-63, 122-137
+    df = truth_df(spark)
+    assert_series(A.or_labels(df, ["la", "lb"]), "label",
+                  [1, 1, 1, 0, 1, NAN])
+    assert_series(A.and_labels(df, ["la", "lb"]), "label",
+                  [1, 0, 0, 0, NAN, 0])
+
+
+# --- metrics goldens (test_metric.py) --------------------------------------
+
+S_TRUE = [0, 0, 1, 1, 0, 1, 0, NAN, 1, 1, 0, 1, 0, 1, 1, 1, 1, 1, NAN, 0, 0, 1, 0, 0]
+S_PRED = [0, 1, 1, 1, 1, 1, 1, 0, 1, 1, 0, 1, 0, 0, 1, NAN, 1, 1, NAN, 0, 1, 0, 1, 1]
+S_ZERO = [0, 0, 0, 0, 0, 0, 0, NAN, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, NAN, 0, 0, 0, 0, 0]
+
+
+def label_pair_df(spark, t, p):
+    t0 = dt.datetime(1970, 1, 1)
+    rows = [
+        ("A", t0 + dt.timedelta(days=i),
+         None if a != a else float(a), None if b != b else float(b))
+        for i, (a, b) in enumerate(zip(t, p))
+    ]
+    return spark.createDataFrame(rows, "source string, ts timestamp, y_true double, y_pred double")
+
+
+def one(df, col):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0][col]
+
+
+def test_label_metrics(spark):
+    df = label_pair_df(spark, S_TRUE, S_PRED)
+    assert one(M.recall_labels(df), "recall") == 9 / 12
+    assert one(M.precision_labels(df), "precision") == 9 / 15
+    assert abs(one(M.f1_labels(df), "f1") - 2 / 3) < 1e-12
+    assert one(M.iou_labels(df), "iou") == 9 / 17
+    z = label_pair_df(spark, S_ZERO, S_PRED)
+    assert one(M.recall_labels(z), "recall") is None
+    inv = label_pair_df(spark, [1 - v if v == v else v for v in S_PRED], S_PRED)
+    assert one(M.f1_labels(inv), "f1") is None
+    zz = label_pair_df(spark, S_ZERO, S_ZERO)
+    assert one(M.iou_labels(zz), "iou") is None
+
+
+L_TRUE = [("1970-01-03", "1970-01-04"), "1970-01-06", ("1970-01-08", "1970-01-10"),
+          "1970-01-12", ("1970-01-14", "1970-01-18"), "1970-01-22"]
+L_PRED = [("1970-01-02", "1970-01-07"), ("1970-01-09", "1970-01-10"), "1970-01-12",
+          "1970-01-15", ("1970-01-17", "1970-01-19"), "1970-01-21",
+          ("1970-01-23", "1970-01-24")]
+
+
+def test_event_metrics(spark):
+    t, p = ev_df(spark, L_TRUE), ev_df(spark, L_PRED)
+    assert one(M.recall_events(t, p), "recall") == 4 / 6
+    assert one(M.precision_events(t, p), "precision") == 4 / 7
+    assert one(M.recall_events(t, p, thresh=1), "recall") == 3 / 6
+    assert one(M.precision_events(t, p, thresh=1), "precision") == 3 / 7
+    assert one(M.iou_events(t, p), "iou") == 3 / 13
+
+
+def test_to_events_roundtrip(spark):
+    labels = series_df(spark, [0, 1, 1, 0, 1, NAN, 1, 1])
+    labels = labels.withColumnRenamed("value", "label")
+    ev = E.to_events(labels, freq="1d")
+    got = ev.where("source = 'A'")
+    s = ev_set(got)
+    # merged runs with period semantics: [d2,d3], [d5], [d7,d8] as periods
+    assert s == {
+        (ts("2017-01-02"), ts("2017-01-04") - dt.timedelta(microseconds=1)),
+        (ts("2017-01-05"), ts("2017-01-06") - dt.timedelta(microseconds=1)),
+        (ts("2017-01-07"), ts("2017-01-09") - dt.timedelta(microseconds=1)),
+    }
+    # back to labels on the same spine
+    spine = labels.select("source", "ts")
+    back = E.to_labels(ev, spine, freq="1d")
+    assert_series(back, "label", [0, 1, 1, 0, 1, 0, 1, 1])
+
+
+def test_expand_events(spark):
+    ev = ev_df(spark, [("2017-01-02", "2017-01-03"), "2017-01-06"])
+    out = E.expand_events(ev, left_expand="1d", right_expand="1d")
+    assert ev_set(out) == {
+        (ts("2017-01-01"), ts("2017-01-04")),
+        (ts("2017-01-05"), ts("2017-01-07")),
+    }
+
+
+def test_validate_events_merge(spark):
+    ev = ev_df(spark, [("2017-01-05", "2017-01-08"), ("2017-01-01", "2017-01-03"),
+                       ("2017-01-02", "2017-01-06"), "2017-01-10"])
+    out = E.validate_events(ev)
+    assert ev_set(out) == {
+        (ts("2017-01-01"), ts("2017-01-08")),
+        (ts("2017-01-10"), ts("2017-01-10")),
+    }
