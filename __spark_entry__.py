@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2
+run over the driver test tables; ``oracle_sql()`` carries the DuckDB
+equivalent with IDENTICAL column names and rounding so the driver's
+row-count + schema + value-hash comparison is deterministic.
+
+Float policy: any aggregated/derived float column is rounded to 6
+decimals on BOTH sides; raw passthrough columns are not rounded.
 """
 
 from __future__ import annotations
@@ -12,27 +14,492 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long series form of events: source := event_type, deduped on
+    (source, ts) keeping the lowest event_id (validate_series parity)."""
+    from adtk_spark.operators.data import validate_series
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value", "event_id"
+    )
+    return validate_series(ev, order_col="event_id").drop("event_id")
+
+
+_DEDUP_CTE = """
+  WITH d AS (
+    SELECT event_type AS source, ts, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+          FROM events)
+    WHERE _rn = 1
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_rollup_1m(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.round(F.min("value"), 6).alias("vmin"),
+            F.round(F.max("value"), 6).alias("vmax"),
+            F.round(F.sum("value"), 6).alias("vsum"),
+            F.round(F.avg("value"), 6).alias("vavg"),
+        )
+    )
+
+
+def q_rollup_1h_2level(spark, sf_dir):
+    """1h tier computed FROM the 1m tier (continuous-aggregate path);
+    oracle computes 1h directly from raw — results must agree."""
+    ev = _events(spark, sf_dir)
+    m1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+    ).agg(
+        F.count("value").alias("cnt"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum("value").alias("vsum"),
+    )
+    return (
+        m1.groupBy("source", F.date_trunc("hour", F.col("m")).alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.round(F.min("vmin"), 6).alias("vmin"),
+            F.round(F.max("vmax"), 6).alias("vmax"),
+            F.round(F.sum("vsum"), 6).alias("vsum"),
+            F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+        )
+    )
+
+
+def q_threshold_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import threshold_ad
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("source"), "ts", "value"
+    )
+    return threshold_ad(ev, low=1.0, high=150.0)
+
+
+def q_quantile_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import quantile_ad
+
+    return _quantile_like(spark, sf_dir, quantile_ad, dict(low=0.05, high=0.95))
+
+
+def _quantile_like(spark, sf_dir, fn, kw):
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("event_type").alias("source"), "ts", "value"
+    )
+    return fn(ev, **kw)
+
+
+def q_iqr_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import iqr_ad
+
+    return _quantile_like(spark, sf_dir, iqr_ad, dict(c=1.5))
+
+
+def q_rolling_mean_w5(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=5, agg="mean", min_periods=5, out_col="roll_mean")
+    return out.select("source", "ts", F.round("roll_mean", 6).alias("roll_mean"))
+
+
+def q_rolling_median_w7c(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=7, agg="median", center=True, out_col="roll_med")
+    return out.select("source", "ts", F.round("roll_med", 6).alias("roll_med"))
+
+
+def q_double_rolling_l1(spark, sf_dir):
+    from adtk_spark.functions.windows import double_rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = double_rolling_agg(s, window=5, agg="mean", center=True, diff="l1",
+                             out_col="lvl")
+    return out.select("source", "ts", F.round("lvl", 6).alias("lvl"))
+
+
+def q_persist_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import persist_ad
+
+    s = _series(spark, sf_dir)
+    out = persist_ad(s, window=10, c=3.0)
+    return out.select("source", "ts", "label")
+
+
+def q_to_events(spark, sf_dir):
+    from adtk_spark.operators.events import to_events
+
+    s = _series(spark, sf_dir)
+    labels = s.withColumn(
+        "label",
+        F.when(F.col("value").isNull(), F.lit(None)).otherwise(
+            (F.col("value") > 150).cast("double")
+        ),
+    )
+    return to_events(labels, merge_consecutive=True)
+
+
+def q_standard_scale(spark, sf_dir):
+    from adtk_spark.operators.transformers import standard_scale
+
+    s = _series(spark, sf_dir)
+    out = standard_scale(s)
+    return out.select("source", "ts", F.round("scaled", 6).alias("scaled"))
+
+
+def q_retrospect(spark, sf_dir):
+    from adtk_spark.operators.transformers import retrospect
+
+    s = _series(spark, sf_dir)
+    out = retrospect(s, n_steps=2, step_size=1, till=1, prefix="lag")
+    return out.select("source", "ts", "lag1", "lag2")
+
+
+def q_gapfill_ffill(spark, sf_dir):
+    from adtk_spark.plans.gapfill import forward_fill, time_spine
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    spine = time_spine(h1, "1 hour")
+    filled = forward_fill(spine, out_col="v_ff")
+    return filled.select("source", "ts", F.round("v_ff", 6).alias("v_ff"))
+
+
+def q_gapfill_lerp(spark, sf_dir):
+    from adtk_spark.plans.gapfill import interpolate_linear, time_spine
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    spine = time_spine(h1, "1 hour")
+    out = interpolate_linear(spine, out_col="v_lerp")
+    return out.select("source", "ts", F.round("v_lerp", 6).alias("v_lerp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_uniq_words"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+    return docs.select(
+        "doc_id",
+        F.round(n_stop / n_words, 6).alias("stopword_ratio"),
+        F.round(F.length("text") / n_words, 6).alias("avg_token_len"),
+    )
+
+
+def q_embed_cosine_top10(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    ))
+    qn = float(sum(float(x) * float(x) for x in qv) ** 0.5)
+    cos = dot / (nrm * F.lit(qn))
+    scored = emb.select("vec_id", F.round(cos, 4).alias("cos_sim"))
+    return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    from adtk_spark.operators.detectors import persist_ad
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.avg("value").alias("value"), F.count("value").alias("cnt"))
+    return persist_ad(h1, window=24, c=3.0, min_periods=12)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_2level": q_rollup_1h_2level,
+        "threshold_ad": q_threshold_ad,
+        "quantile_ad": q_quantile_ad,
+        "iqr_ad": q_iqr_ad,
+        "rolling_mean_w5": q_rolling_mean_w5,
+        "rolling_median_w7c": q_rolling_median_w7c,
+        "double_rolling_l1": q_double_rolling_l1,
+        "persist_ad": q_persist_ad,
+        "to_events": q_to_events,
+        "standard_scale": q_standard_scale,
+        "retrospect": q_retrospect,
+        "gapfill_ffill": q_gapfill_ffill,
+        "gapfill_lerp": q_gapfill_lerp,
+        "dedup_exact": q_dedup_exact,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "embed_cosine_top10": q_embed_cosine_top10,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": """
+            SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                   count(value) AS cnt, round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
+                   round(avg(value), 6) AS vavg
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1h_2level": """
+            SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt, round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
+                   round(sum(value) / count(value), 6) AS vavg
+            FROM events GROUP BY 1, 2
+        """,
+        "threshold_ad": """
+            SELECT event_id, event_type AS source, ts, value,
+                   CASE WHEN value IS NULL THEN NULL
+                        ELSE CAST(value > 150.0 OR value < 1.0 AS DOUBLE) END AS label
+            FROM events
+        """,
+        "quantile_ad": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type AS source, e.ts, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST(e.value > b.hi OR e.value < b.lo AS DOUBLE) END AS label
+            FROM events e JOIN b ON e.event_type = b.source
+        """,
+        "iqr_ad": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     quantile_cont(value, 0.25) AS q1,
+                     quantile_cont(value, 0.75) AS q3
+              FROM events GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type AS source, e.ts, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST(e.value > q3 + 1.5 * (q3 - q1)
+                               OR e.value < q1 - 1.5 * (q3 - q1) AS DOUBLE) END AS label
+            FROM events e JOIN b ON e.event_type = b.source
+        """,
+        "rolling_mean_w5": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN round(avg(value) OVER w, 6) END AS roll_mean
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_median_w7c": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 7
+                        THEN round(quantile_cont(value, 0.5) OVER w, 6) END AS roll_med
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        """,
+        "double_rolling_l1": _DEDUP_CTE + """
+            SELECT source, ts,
+                   round(abs(
+                     (CASE WHEN count(value) OVER wr >= 5 THEN avg(value) OVER wr END) -
+                     (CASE WHEN count(value) OVER wl >= 5 THEN avg(value) OVER wl END)
+                   ), 6) AS lvl
+            FROM d
+            WINDOW wl AS (PARTITION BY source ORDER BY ts
+                          ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                   wr AS (PARTITION BY source ORDER BY ts
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+        """,
+        "persist_ad": _DEDUP_CTE + """
+            , m AS (
+              SELECT source, ts, value,
+                     CASE WHEN count(value) OVER wl >= 10
+                          THEN quantile_cont(value, 0.5) OVER wl END AS med
+              FROM d
+              WINDOW wl AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+            ), x AS (
+              SELECT source, ts, abs(value - med) AS mag FROM m
+            ), b AS (
+              SELECT source,
+                     quantile_cont(mag, 0.75)
+                       + 3.0 * (quantile_cont(mag, 0.75) - quantile_cont(mag, 0.25)) AS hi
+              FROM x GROUP BY source
+            )
+            SELECT x.source, x.ts,
+                   CASE WHEN x.mag IS NULL THEN NULL
+                        ELSE CAST(x.mag > b.hi AS DOUBLE) END AS label
+            FROM x JOIN b USING (source)
+        """,
+        "to_events": _DEDUP_CTE + """
+            , l AS (
+              SELECT source, ts,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 150.0 AS DOUBLE) END AS label,
+                     row_number() OVER (PARTITION BY source ORDER BY ts) AS rn
+              FROM d
+            ), fl AS (
+              SELECT source, ts,
+                     rn - row_number() OVER (PARTITION BY source ORDER BY rn) AS grp
+              FROM l WHERE label = 1
+            )
+            SELECT source, min(ts) AS start_ts, max(ts) AS end_ts
+            FROM fl GROUP BY source, grp
+        """,
+        "standard_scale": _DEDUP_CTE + """
+            SELECT source, ts,
+                   round((value - avg(value) OVER w) /
+                         (CASE WHEN stddev_samp(value) OVER w = 0 THEN 1.0
+                               ELSE stddev_samp(value) OVER w END), 6) AS scaled
+            FROM d WINDOW w AS (PARTITION BY source)
+        """,
+        "retrospect": _DEDUP_CTE + """
+            SELECT source, ts,
+                   lag(value, 1) OVER w AS lag1,
+                   lag(value, 2) OVER w AS lag2
+            FROM d WINDOW w AS (PARTITION BY source ORDER BY ts)
+        """,
+        "gapfill_ffill": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
+            ), spine AS (
+              SELECT source, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM bounds
+            )
+            SELECT s.source, s.ts,
+                   round(last_value(r.v IGNORE NULLS) OVER (
+                     PARTITION BY s.source ORDER BY s.ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ff
+            FROM spine s LEFT JOIN r ON r.source = s.source AND r.h = s.ts
+        """,
+        "gapfill_lerp": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
+            ), spine AS (
+              SELECT source, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM bounds
+            ), j AS (
+              SELECT s.source, s.ts, r.v,
+                     epoch_us(s.ts) AS t
+              FROM spine s LEFT JOIN r ON r.source = s.source AND r.h = s.ts
+            ), f AS (
+              SELECT source, ts, v, t,
+                     last_value(v IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+                     first_value(v IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+              FROM j
+              WINDOW wp AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT source, ts,
+                   round(CASE
+                     WHEN v IS NOT NULL THEN v
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                       THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                     WHEN pv IS NOT NULL THEN pv
+                   END, 6) AS v_lerp
+            FROM f
+        """,
+        "dedup_exact": """
+            SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_token_stats": """
+            SELECT doc_id, length(text) AS n_chars_text,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_uniq_words
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   round(len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the','a','of','and','to','in','is')))
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                   round(length(text) / len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "embed_cosine_top10": """
+            WITH q AS (
+              SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.qe AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                                  CAST(q.qe AS DOUBLE[])))), 4) AS cos_sim
+              FROM embeddings e, q
+            )
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+    }

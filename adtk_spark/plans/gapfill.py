@@ -1,0 +1,116 @@
+"""Gap-fill: time spine construction, forward-fill, linear interpolation.
+
+The reference's only gap handling is ``asfreq`` inserting NaN rows
+(validate_series, /root/reference/src/adtk/data/_data.py:76-78); the
+north rule adds forward-fill and linear interpolation on top. All three
+are built-in window tricks — no UDFs:
+
+- spine: per-source ``sequence(min_ts, max_ts, interval)`` + explode +
+  left join (missing points become NULL rows, adtk's asfreq semantics)
+- ffill: ``last(value, ignorenulls=True)`` over an unbounded-preceding
+  frame
+- lerp: ffill'ed (value, ts) + backward ``first(..., ignorenulls=True)``
+  anchors, then the interpolation formula; trailing NULLs take the last
+  value and leading NULLs stay NULL (pandas Series.interpolate parity)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def time_spine(
+    df: DataFrame,
+    freq: str,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Regularize each source onto a fixed-interval spine.
+
+    Input timestamps must already be bucket-aligned (e.g. the output of a
+    tier rollup); the spine spans [min(ts), max(ts)] per source.
+    """
+    secs = int(pd.Timedelta(freq).value // 1_000_000_000)
+    bounds = df.groupBy(source_col).agg(
+        F.min(ts_col).cast("timestamp").alias("_mn"),
+        F.max(ts_col).cast("timestamp").alias("_mx"),
+    )
+    spine = bounds.select(
+        source_col,
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr(f"interval {secs} seconds"))
+        ).alias(ts_col),
+    )
+    # join back values; spine is same order of size as df -> sort-merge
+    # join on the grouping keys, no broadcast needed
+    return spine.join(
+        df.select(source_col, F.col(ts_col).cast("timestamp").alias(ts_col), value_col),
+        on=[source_col, ts_col],
+        how="left",
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "value_ff",
+) -> DataFrame:
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.last(value_col, ignorenulls=True).over(w))
+
+
+def backward_fill(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "value_bf",
+) -> DataFrame:
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    return df.withColumn(out_col, F.first(value_col, ignorenulls=True).over(w))
+
+
+def interpolate_linear(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "value_lerp",
+) -> DataFrame:
+    """pandas ``Series.interpolate('linear')`` parity: interior NULLs get
+    the time-weighted line between anchors, trailing NULLs carry the last
+    value forward, leading NULLs stay NULL."""
+    v = F.col(value_col)
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    wp = Window.partitionBy(source_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy(source_col).orderBy(ts_col).rowsBetween(0, Window.unboundedFollowing)
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wn)
+    lerp = (
+        F.when(v.isNotNull(), v)
+        .when(
+            pv.isNotNull() & nv.isNotNull() & (nt != pt),
+            pv + (nv - pv) * (t - pt) / (nt - pt),
+        )
+        .when(pv.isNotNull(), pv)
+    )
+    return df.withColumn(out_col, lerp)

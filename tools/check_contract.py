@@ -1,0 +1,105 @@
+"""Self-check of the __spark_entry__ driver contract.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB at
+the given sf dir, then compares row count, column names, and an
+order-insensitive value fingerprint — a local stand-in for the driver's
+CORRECTNESS harness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def fingerprint(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main(sf_dir: str, only: list[str] | None = None):
+    import __spark_entry__ as entrymod
+    from adtk_spark.session import get_spark
+
+    spark = get_spark("contract-check", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ok?  {name}: rows={len(srows)} (no oracle, rows-only check)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = res.columns
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        ok_schema = sorted(c.lower() for c in scols) == sorted(c.lower() for c in dcols)
+        ok_rows = len(srows) == len(drows)
+        fs = fingerprint(scols, srows)
+        fd = fingerprint(dcols, drows)
+        status = "OK  " if (ok_schema and ok_rows and fs == fd) else "FAIL"
+        print(f"{status} {name}: spark {len(srows)}r cols={sorted(scols)} hash={fs} | "
+              f"duck {len(drows)}r hash={fd}{'' if ok_schema else ' SCHEMA-MISMATCH ' + str(sorted(dcols))}")
+        if status == "FAIL":
+            failures.append(name)
+            # show a few diffs
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            s_lines = {"|".join(norm(r[i]) for i in order_s) for r in srows}
+            d_lines = {"|".join(norm(r[i]) for i in order_d) for r in drows}
+            for ln in list(s_lines - d_lines)[:3]:
+                print(f"      spark-only: {ln}")
+            for ln in list(d_lines - s_lines)[:3]:
+                print(f"      duck-only:  {ln}")
+    print("\nFAILURES:", failures or "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    raise SystemExit(main(sf, only))
