@@ -1,0 +1,114 @@
+"""Incremental tier refresh with snapshot watermarks (checkpoint/resume).
+
+Batch analogue of a continuous aggregate: each run reads only raw
+snapshots committed after the last processed watermark, finds the
+(source, bucket) windows they touch, recomputes exactly those buckets
+from the full raw history (exact — percentile is not mergeable), and
+commits the restated buckets as a new snapshot of each tier table. A
+killed job restarts from the manifest watermark and reprocesses only
+uncommitted work; committed snapshots are never rewritten.
+
+Readers use ``read_tier_latest`` to resolve bucket restatements: the
+highest snapshot id wins per (source, bucket) — Iceberg's
+MERGE-on-read semantics expressed as a window dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .lineage import commit_with_lineage
+from .tiers import TIER_INTERVALS, rollup_raw, rollup_up
+
+RAW_TABLE = "raw"
+WATERMARK_KEY = "tiers_from_raw"
+
+
+def read_tier_latest(catalog, spark: SparkSession, table: str) -> DataFrame | None:
+    """Committed tier rows with restated buckets resolved to the newest
+    snapshot (latest-wins per (source, bucket))."""
+    df = catalog.read(spark, table)
+    if df is None:
+        return None
+    w = Window.partitionBy("source", "bucket_ts").orderBy(F.desc("snap"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "snap")
+    )
+
+
+def refresh_tiers(
+    catalog,
+    spark: SparkSession,
+    quantile: float = 0.5,
+    *,
+    series_of=None,
+) -> dict:
+    """Roll every unprocessed raw snapshot into the 1m/1h/1d tiers.
+
+    ``series_of``: optional fn(DataFrame) -> (source, ts, value) long
+    series; defaults to the token-corpus n_tok series.
+    """
+    from ..sources.tokens import token_series
+
+    series_of = series_of or token_series
+    wm = catalog.get_watermark(WATERMARK_KEY)
+    last = catalog.last_snapshot(RAW_TABLE)
+    if last is None or last <= wm:
+        return {"processed": 0, "watermark": wm}
+
+    new_raw = catalog.read_since(spark, RAW_TABLE, wm).drop("snap")
+    all_raw = catalog.read(spark, RAW_TABLE).drop("snap")
+    new_series = series_of(new_raw)
+    full_series = series_of(all_raw)
+
+    # affected 1m buckets: only windows the new snapshots touch
+    touched = (
+        new_series.select(
+            "source", F.date_trunc("minute", F.col("ts")).alias("bucket_ts")
+        ).distinct()
+    )
+    scoped = full_series.alias("s").join(
+        F.broadcast(touched.alias("t")),
+        on=(
+            (F.col("s.source") == F.col("t.source"))
+            & (F.date_trunc("minute", F.col("s.ts")) == F.col("t.bucket_ts"))
+        ),
+        how="leftsemi",
+    )
+
+    stats = {}
+    t1m = rollup_raw(scoped, "1m", quantile)
+    snap_1m = commit_with_lineage(catalog, spark, t1m, "tier_1m",
+                                  {"raw_watermark": last})
+    stats["tier_1m"] = snap_1m
+
+    # affected coarser buckets derive from the restated 1m buckets; they
+    # must re-aggregate the LATEST full set of finer buckets they cover
+    latest_1m = read_tier_latest(catalog, spark, "tier_1m")
+    for finer, tier, table in (("tier_1m", "1h", "tier_1h"), ("tier_1h", "1d", "tier_1d")):
+        trunc = TIER_INTERVALS[tier]
+        affected = t1m.select(
+            "source", F.date_trunc(trunc, F.col("bucket_ts")).alias("_b")
+        ).distinct() if finer == "tier_1m" else None
+        finer_latest = latest_1m if finer == "tier_1m" else read_tier_latest(catalog, spark, finer)
+        if affected is None:
+            affected = catalog.read_since(spark, finer, stats[finer] - 1).select(
+                "source", F.date_trunc(trunc, F.col("bucket_ts")).alias("_b")
+            ).distinct()
+        scoped_finer = finer_latest.alias("f").join(
+            F.broadcast(affected.alias("a")),
+            on=(
+                (F.col("f.source") == F.col("a.source"))
+                & (F.date_trunc(trunc, F.col("f.bucket_ts")) == F.col("a._b"))
+            ),
+            how="leftsemi",
+        )
+        out = rollup_up(scoped_finer, tier, quantile)
+        stats[table] = commit_with_lineage(catalog, spark, out, table,
+                                           {"raw_watermark": last})
+
+    catalog.set_watermark(WATERMARK_KEY, last)
+    return {"processed": last - wm, "watermark": last, **stats}

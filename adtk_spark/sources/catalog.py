@@ -1,0 +1,96 @@
+"""TierCatalog: snapshot-committed tier tables with checkpoint/resume.
+
+The north rule asks for Iceberg tables with snapshot-based resume. No
+Iceberg runtime jars exist in this sandbox, so the catalog is an
+abstraction with the same contract — ``commit`` returns a monotonically
+increasing snapshot id recorded in a JSON manifest, ``read`` sees only
+committed snapshots, ``read_since`` is the incremental-refresh cursor,
+and processing state ("which raw snapshot has been rolled into tier X")
+lives in the manifest too. On a real cluster the same API maps onto
+``spark.read.format("iceberg")`` + snapshot ids; here each snapshot is a
+parquet subdirectory ``<root>/<table>/snap=<id>/``.
+
+Crash safety: data files are written first, then the manifest is
+replaced atomically (tmp file + os.replace). A crash between the two
+leaves an orphan directory that is never read — exactly Iceberg's
+uncommitted-data-file semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TierCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_snapshots.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"tables": {}, "state": {}}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _store(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    # -- writes ------------------------------------------------------------
+    def commit(self, df: DataFrame, table: str, meta: dict | None = None) -> int:
+        """Write df as a new snapshot of ``table``; returns snapshot id."""
+        m = self._load()
+        t = m["tables"].setdefault(table, {"snapshots": []})
+        snap_id = (t["snapshots"][-1]["id"] + 1) if t["snapshots"] else 1
+        path = os.path.join(self.root, table, f"snap={snap_id}")
+        df.write.mode("overwrite").parquet(path)
+        t["snapshots"].append(
+            {"id": snap_id, "committed_at": time.time(), "meta": meta or {}}
+        )
+        self._store(m)
+        return snap_id
+
+    # -- reads -------------------------------------------------------------
+    def snapshots(self, table: str) -> list[int]:
+        return [s["id"] for s in self._load()["tables"].get(table, {}).get("snapshots", [])]
+
+    def last_snapshot(self, table: str) -> int | None:
+        ids = self.snapshots(table)
+        return ids[-1] if ids else None
+
+    def _read_ids(self, spark: SparkSession, table: str, ids: list[int]) -> DataFrame | None:
+        if not ids:
+            return None
+        paths = [os.path.join(self.root, table, f"snap={i}") for i in ids]
+        return spark.read.option("basePath", os.path.join(self.root, table)).parquet(*paths)
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """All committed snapshots (uncommitted orphan dirs invisible)."""
+        return self._read_ids(spark, table, self.snapshots(table))
+
+    def read_since(self, spark: SparkSession, table: str, snapshot_id: int) -> DataFrame | None:
+        """Rows committed strictly after ``snapshot_id`` — the
+        incremental-refresh cursor."""
+        ids = [i for i in self.snapshots(table) if i > snapshot_id]
+        return self._read_ids(spark, table, ids)
+
+    # -- processing state (resume watermarks) ------------------------------
+    def get_watermark(self, key: str) -> int:
+        return int(self._load()["state"].get(key, 0))
+
+    def set_watermark(self, key: str, snapshot_id: int) -> None:
+        m = self._load()
+        m["state"][key] = int(snapshot_id)
+        self._store(m)

@@ -1,0 +1,63 @@
+"""Tier pipeline, gap-fill, and token-corpus invariants."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from adtk_spark.plans.gapfill import forward_fill, interpolate_linear, time_spine
+from adtk_spark.plans.tiers import build_tiers, rollup_raw, rollup_up, tier_series
+from adtk_spark.sources.tokens import token_corpus, token_equality_check, token_series
+from tests.conftest import assert_series, series_df
+
+
+def test_token_corpus_invariants(spark):
+    a = token_corpus(spark, 5000, n_sources=16, seed=3)
+    assert a.where(F.size("tokens") != F.col("n_tok")).count() == 0
+    assert token_equality_check(a, token_corpus(spark, 5000, n_sources=16, seed=3)) == 0
+    counts = dict(
+        (r["source"], r["count"]) for r in a.groupBy("source").count().collect()
+    )
+    assert counts["src0"] > 3 * counts.get("src5", 1)  # Zipf skew present
+
+
+def test_tier_reaggregation_exact(spark):
+    corpus = token_corpus(spark, 3000, n_sources=8, seed=5, span_secs=7200)
+    raw = token_series(corpus)
+    t1m = rollup_raw(raw, "1m")
+    t1h_up = rollup_up(t1m, "1h")
+    t1h_direct = rollup_raw(raw, "1h")
+    cols = ["source", "bucket_ts", "cnt", "vmin", "vmax"]
+    up = {tuple(r) for r in t1h_up.select(*cols, F.round("vsum", 6), F.round("mean", 6)).collect()}
+    di = {tuple(r) for r in t1h_direct.select(*cols, F.round("vsum", 6), F.round("mean", 6)).collect()}
+    assert up == di
+
+
+def test_gapfill_ffill_lerp(spark):
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        ("A", t0, 1.0),
+        ("A", t0 + dt.timedelta(minutes=3), 4.0),
+        ("A", t0 + dt.timedelta(minutes=5), 10.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    spine = time_spine(df, "1 minute")
+    assert spine.count() == 6  # minutes 0..5
+    ff = forward_fill(spine)
+    got_ff = [r["value_ff"] for r in ff.orderBy("ts").collect()]
+    assert got_ff == [1.0, 1.0, 1.0, 4.0, 4.0, 10.0]
+    lp = interpolate_linear(spine)
+    got_lp = [round(r["value_lerp"], 6) for r in lp.orderBy("ts").collect()]
+    assert got_lp == [1.0, 2.0, 3.0, 4.0, 7.0, 10.0]
+
+
+def test_tiers_detector_on_rolled_series(spark):
+    """adtk semantics applied to a tier's own series (SURVEY §7.3.5):
+    a level-shifted burst in the 1m tier is detected by PersistAD."""
+    from adtk_spark.operators.detectors import persist_ad
+
+    corpus = token_corpus(spark, 40000, n_sources=4, seed=9, span_secs=86400)
+    tiers = build_tiers(token_series(corpus))
+    hourly = tier_series(tiers["1h"], "mean")
+    labels = persist_ad(hourly, window=3, c=3.0, min_periods=2)
+    hot = labels.where((F.col("source") == "src0") & (F.col("label") == 1.0))
+    assert hot.count() >= 1  # the injected 6h burst fires the detector
