@@ -23,7 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.windows import double_rolling_agg, rolling_agg
+from ..functions.windows import double_rolling_agg, exact_quantile_agg, rolling_agg
 
 INF = float("inf")
 
@@ -76,14 +76,14 @@ def quantile_ad_fit(
     value_col: str = "value",
 ) -> DataFrame:
     """QuantileAD._fit_core (_detector_1d.py:183-193): per-source exact
-    quantile bounds. Uses `percentile` (pandas-compatible linear
-    interpolation), NOT approx_percentile — point-parity requires exact.
+    quantile bounds — exact type-7 linear interpolation (NOT
+    approx_percentile; point-parity requires exact).
     Result is a tiny (n_sources x 3) model table.
     """
     v = F.col(value_col)
     return train.groupBy(source_col).agg(
-        (F.percentile(v, F.lit(float(low))) if low is not None else F.lit(-INF)).alias("abs_low"),
-        (F.percentile(v, F.lit(float(high))) if high is not None else F.lit(INF)).alias("abs_high"),
+        (exact_quantile_agg(v, float(low)) if low is not None else F.lit(-INF)).alias("abs_low"),
+        (exact_quantile_agg(v, float(high)) if high is not None else F.lit(INF)).alias("abs_high"),
         F.count(v).alias("_n_valid"),
     )
 
@@ -102,7 +102,7 @@ def iqr_ad_fit(
     """
     c_lo, c_hi = c if isinstance(c, tuple) else (c, c)
     v = F.col(value_col)
-    q1, q3 = F.percentile(v, F.lit(0.25)), F.percentile(v, F.lit(0.75))
+    q1, q3 = exact_quantile_agg(v, 0.25), exact_quantile_agg(v, 0.75)
     iqr = q3 - q1
     lo = (q1 - iqr * F.lit(float(c_lo))) if c_lo is not None else F.lit(-INF)
     hi = (q3 + iqr * F.lit(float(c_hi))) if c_hi is not None else F.lit(INF)
@@ -144,6 +144,112 @@ def iqr_ad(df, c=3.0, **kw):
 
 def _fit_kw(kw):
     return {k: v for k, v in kw.items() if k in ("source_col", "value_col")}
+
+
+# ---------------------------------------------------------------------------
+# GeneralizedESDTestAD
+# ---------------------------------------------------------------------------
+
+def esd_ad_fit(
+    train: DataFrame,
+    alpha: float = 0.05,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """GeneralizedESDTestAD._fit_core (_detector_1d.py:309-344).
+
+    The iterative outlier-removal loop is inherently sequential per
+    series, so it runs per source in one Arrow grouped-map UDF; the
+    Student-t quantile comes from the vendored pure-numpy
+    functions.stats.t_ppf (scipy absent in this environment).
+    Returns (source, normal_sum, normal_sq_sum, normal_count, lam).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.stats import t_ppf
+
+    def lam_of(n: int, i: int, a: float) -> float:
+        p = 1 - a / (2 * (n - i + 1))
+        tq = t_ppf(p, n - i - 1)
+        return (n - i) * tq / math.sqrt((n - i - 1 + tq * tq) * (n - i + 1))
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)  # deterministic idxmax tie-breaks
+        s = pdf[value_col].to_numpy(dtype=float)
+        src = pdf[source_col].iloc[0]
+        n = int(np.count_nonzero(~np.isnan(s)))
+        if n == 0:
+            raise ValueError(f"source {src!r}: no valid values for ESD fit")
+        R = np.zeros(len(s))
+        Lam = np.zeros(len(s))
+        work = s.copy()
+        i = 0
+        while np.count_nonzero(~np.isnan(work)) > 0:
+            i += 1
+            dev = np.abs(work - np.nanmean(work))
+            ind = int(np.nanargmax(dev))
+            std = np.nanstd(work, ddof=1)
+            R[ind] = dev[ind] / std if std > 0 else 0.0
+            work[ind] = np.nan
+            Lam[ind] = lam_of(n, i, alpha)
+            if R[ind] <= Lam[ind]:
+                break
+        normal = Lam >= R
+        ns = np.nansum(np.where(normal, s, np.nan))
+        nss = np.nansum(np.where(normal, s * s, np.nan))
+        nc = int(np.count_nonzero(normal & ~np.isnan(s)))
+        lam = lam_of(nc + 1, 1, alpha)
+        return pd.DataFrame(
+            {source_col: [src], "normal_sum": [ns], "normal_sq_sum": [nss],
+             "normal_count": [nc], "lam": [lam]}
+        )
+
+    schema = (
+        f"{source_col} string, normal_sum double, normal_sq_sum double, "
+        "normal_count long, lam double"
+    )
+    return train.groupBy(source_col).applyInPandas(fit, schema=schema)
+
+
+def esd_ad_detect(
+    df: DataFrame,
+    model: DataFrame,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """GeneralizedESDTestAD._predict_core (_detector_1d.py:346-361):
+    add each point to the fitted normal set and re-test — pure column
+    arithmetic after a broadcast join."""
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    v = F.col(value_col)
+    new_sum = v + F.col("normal_sum")
+    new_count = F.col("normal_count") + 1
+    new_mean = new_sum / new_count
+    new_sq = v * v + F.col("normal_sq_sum")
+    new_std = F.sqrt(
+        (new_sq - 2 * new_mean * new_sum + new_count * new_mean * new_mean)
+        / (new_count - 1)
+    )
+    # std == 0 can only happen with |v - mean| == 0 (whole set constant);
+    # pandas gets nan > lam == False there, Spark (ansi off) gets NULL —
+    # coalesce to False for parity
+    flag = F.coalesce(F.abs(v - new_mean) / new_std > F.col("lam"), F.lit(False))
+    label = F.when(v.isNull(), F.lit(None)).otherwise(flag)
+    return joined.withColumn(out_col, _as_double(label)).drop(
+        "normal_sum", "normal_sq_sum", "normal_count", "lam"
+    )
+
+
+def esd_ad(df, alpha: float = 0.05, **kw):
+    model = esd_ad_fit(df, alpha, **{k: v for k, v in kw.items()
+                                     if k in ("source_col", "ts_col", "value_col")})
+    return esd_ad_detect(df, model, **{k: v for k, v in kw.items()
+                                       if k in ("source_col", "value_col", "out_col")})
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,276 @@
+"""Multivariate (HD) operators over wide tables.
+
+Input shape: one row per (source, ts) with k feature columns — the
+Spark analogue of the reference's multivariate DataFrame. Parity
+targets: /root/reference/src/adtk/transformer/_transformer_hd.py and
+detector/_detector_hd.py.
+
+Fits collect per-source sufficient statistics (or run small numpy
+solves per source in a grouped-map UDF); predicts are column
+expressions after a broadcast join — rows with any NULL feature yield
+NULL outputs (the reference's dropna semantics, _transformer_hd.py:160-180).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .detectors import _as_double, _side_sign_label, iqr_ad_fit, threshold_label
+
+
+def _any_null(cols: list[str]) -> Column:
+    expr = F.lit(False)
+    for c in cols:
+        expr = expr | F.col(c).isNull()
+    return expr
+
+
+def regression_residual_fit(
+    train: DataFrame,
+    target: str,
+    features: list[str],
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """RegressionResidual fit with the default LinearRegression
+    (_transformer_hd.py:144-158): closed-form OLS per source on the
+    dropna rows. Returns (source, intercept, coefs array<double>)."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[[target] + features].dropna()
+        src = pdf[source_col].iloc[0]
+        if sub.empty:
+            raise ValueError(f"source {src!r}: no valid rows for regression fit")
+        X = np.column_stack([sub[features].values, np.ones(len(sub))])
+        beta, *_ = np.linalg.lstsq(X, sub[target].values, rcond=None)
+        return pd.DataFrame(
+            {source_col: [src], "intercept": [beta[-1]], "coefs": [list(beta[:-1])]}
+        )
+
+    schema = f"{source_col} string, intercept double, coefs array<double>"
+    return train.groupBy(source_col).applyInPandas(fit, schema=schema)
+
+
+def regression_residual(
+    df: DataFrame,
+    model: DataFrame,
+    target: str,
+    features: list[str],
+    *,
+    source_col: str = "source",
+    out_col: str = "residual",
+) -> DataFrame:
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    pred = F.col("intercept")
+    for i, c in enumerate(features):
+        pred = pred + F.element_at(F.col("coefs"), i + 1) * F.col(c)
+    resid = F.when(_any_null([target] + features), F.lit(None)).otherwise(
+        F.col(target) - pred
+    )
+    return joined.withColumn(out_col, resid).drop("intercept", "coefs")
+
+
+def regression_ad(
+    df: DataFrame,
+    target: str,
+    features: list[str],
+    c: float = 3.0,
+    side: str = "both",
+    *,
+    source_col: str = "source",
+    out_col: str = "label",
+) -> DataFrame:
+    """RegressionAD (_detector_hd.py:196-327): residual -> |residual|
+    IQR rule AND sign rule (fit_detect on one table)."""
+    model = regression_residual_fit(df, target, features, source_col=source_col)
+    resid = regression_residual(df, model, target, features,
+                                source_col=source_col, out_col="_diff")
+    resid = resid.withColumn("_mag", F.abs(F.col("_diff")))
+    bounds = iqr_ad_fit(resid, c=(None, c), source_col=source_col, value_col="_mag")
+    joined = resid.join(F.broadcast(bounds), on=source_col, how="left")
+    label = threshold_label(F.col("_mag"), F.col("abs_low"), F.col("abs_high")) \
+        & _side_sign_label(F.col("_diff"), side)
+    return joined.withColumn(out_col, _as_double(label)).drop(
+        "abs_low", "abs_high", "_n_valid", "_diff", "_mag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA family
+# ---------------------------------------------------------------------------
+
+def pca_fit(
+    train: DataFrame,
+    features: list[str],
+    k: int = 1,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """PcaProjection fit (_transformer_hd.py:205-209): per-source PCA of
+    the dropna rows. Components follow sklearn's convention (rows of V^T
+    from SVD of the centered data, deterministic svd-flip sign).
+    Returns (source, means array, components array<array>) with k rows
+    of components."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[features].dropna()
+        src = pdf[source_col].iloc[0]
+        if sub.empty:
+            raise ValueError(f"source {src!r}: no valid rows for PCA fit")
+        X = sub.values.astype(float)
+        mu = X.mean(axis=0)
+        U, S, Vt = np.linalg.svd(X - mu, full_matrices=False)
+        # sklearn svd_flip: sign so that largest |loading| per component is +
+        signs = np.sign(Vt[np.arange(Vt.shape[0]), np.argmax(np.abs(Vt), axis=1)])
+        Vt = Vt * signs[:, None]
+        return pd.DataFrame(
+            {source_col: [src], "means": [list(mu)],
+             "components": [[list(r) for r in Vt[:k]]]}
+        )
+
+    schema = f"{source_col} string, means array<double>, components array<array<double>>"
+    return train.groupBy(source_col).applyInPandas(fit, schema=schema)
+
+
+def _centered(features: list[str]):
+    return [
+        F.col(c) - F.element_at(F.col("means"), i + 1)
+        for i, c in enumerate(features)
+    ]
+
+
+def _pc_score(features: list[str], j: int) -> Column:
+    comp = F.element_at(F.col("components"), j + 1)
+    expr = None
+    for i, cexpr in enumerate(_centered(features)):
+        term = F.element_at(comp, i + 1) * cexpr
+        expr = term if expr is None else expr + term
+    return expr
+
+
+def pca_projection(
+    df: DataFrame, model: DataFrame, features: list[str], k: int = 1,
+    *, source_col: str = "source", prefix: str = "pc",
+) -> DataFrame:
+    """PcaProjection (_transformer_hd.py:211-223): first k PC scores;
+    NULL rows (any NULL feature) yield NULL scores."""
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    nulls = _any_null(features)
+    cols = [
+        F.when(nulls, F.lit(None)).otherwise(_pc_score(features, j)).alias(f"{prefix}{j}")
+        for j in range(k)
+    ]
+    return joined.select("*", *cols).drop("means", "components")
+
+
+def pca_reconstruction_error(
+    df: DataFrame, model: DataFrame, features: list[str], k: int = 1,
+    *, source_col: str = "source", out_col: str = "recon_error",
+) -> DataFrame:
+    """PcaReconstructionError (_transformer_hd.py:269-310): squared
+    reconstruction error = ||x_c||^2 - sum_j score_j^2 for orthonormal
+    components (algebraically identical to reconstructing and summing
+    squared deltas, but needs no second matrix product)."""
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    nulls = _any_null(features)
+    sq_norm = None
+    for cexpr in _centered(features):
+        term = cexpr * cexpr
+        sq_norm = term if sq_norm is None else sq_norm + term
+    score_sq = None
+    for j in range(k):
+        s = _pc_score(features, j)
+        term = s * s
+        score_sq = term if score_sq is None else score_sq + term
+    err = F.when(nulls, F.lit(None)).otherwise(sq_norm - score_sq)
+    return joined.withColumn(out_col, err).drop("means", "components")
+
+
+def pca_ad(
+    df: DataFrame, features: list[str], k: int = 1, c: float = 5.0,
+    *, source_col: str = "source", out_col: str = "label",
+) -> DataFrame:
+    """PcaAD (_detector_hd.py:330-383): reconstruction error -> IQR rule."""
+    model = pca_fit(df, features, k, source_col=source_col)
+    err = pca_reconstruction_error(df, model, features, k,
+                                   source_col=source_col, out_col="_err")
+    bounds = iqr_ad_fit(err, c=c, source_col=source_col, value_col="_err")
+    joined = err.join(F.broadcast(bounds), on=source_col, how="left")
+    label = threshold_label(F.col("_err"), F.col("abs_low"), F.col("abs_high"))
+    return joined.withColumn(out_col, _as_double(label)).drop(
+        "abs_low", "abs_high", "_n_valid", "_err"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinClusterDetector (numpy KMeans stand-in for the sklearn wrapper)
+# ---------------------------------------------------------------------------
+
+def min_cluster_ad(
+    df: DataFrame,
+    features: list[str],
+    n_clusters: int = 2,
+    seed: int = 0,
+    n_iter: int = 50,
+    *,
+    source_col: str = "source",
+    out_col: str = "label",
+) -> DataFrame:
+    """MinClusterDetector (_detector_hd.py:101-140) with a deterministic
+    Lloyd's-KMeans fit per source (the reference wraps a user-given
+    sklearn clusterer; the semantics tested here are 'membership in the
+    smallest cluster is anomalous')."""
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[features].dropna()
+        src = pdf[source_col].iloc[0]
+        X = sub.values.astype(float)
+        rng = np.random.RandomState(seed)
+        centers = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+        for _ in range(n_iter):
+            d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            new = np.array([
+                X[lab == j].mean(axis=0) if (lab == j).any() else centers[j]
+                for j in range(len(centers))
+            ])
+            if np.allclose(new, centers):
+                break
+            centers = new
+        sizes = np.bincount(lab, minlength=len(centers))
+        return pd.DataFrame(
+            {source_col: [src], "centers": [[list(r) for r in centers]],
+             "min_cluster": [int(sizes.argmin())]}
+        )
+
+    schema = f"{source_col} string, centers array<array<double>>, min_cluster int"
+    model = df.groupBy(source_col).applyInPandas(fit, schema=schema)
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    n_centers = F.size(F.col("centers"))
+
+    def dist_sq(j: Column) -> Column:
+        center = F.element_at(F.col("centers"), j)
+        expr = None
+        for i, c in enumerate(features):
+            t = F.col(c) - F.element_at(center, i + 1)
+            term = t * t
+            expr = term if expr is None else expr + term
+        return expr
+
+    # argmin over clusters via aggregate on a sequence of indices
+    assign = F.aggregate(
+        F.sequence(F.lit(1), n_centers),
+        F.struct(F.lit(0).alias("j"), F.lit(float("inf")).alias("d")),
+        lambda acc, j: F.when(dist_sq(j) < acc["d"],
+                              F.struct(j.alias("j"), dist_sq(j).alias("d"))
+                              ).otherwise(acc),
+    )["j"]
+    label = F.when(_any_null(features), F.lit(None)).otherwise(
+        (assign - 1) == F.col("min_cluster")
+    )
+    return joined.withColumn(out_col, _as_double(label)).drop("centers", "min_cluster")

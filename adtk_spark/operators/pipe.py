@@ -1,0 +1,97 @@
+"""Pipeline / Pipenet: DAG composition of DataFrame operators.
+
+Parity target: /root/reference/src/adtk/pipe/_pipe.py (Pipeline :47-430,
+Pipenet :432-1532). The reference executes its step graph eagerly in
+topological rounds; here each step contributes lazily to ONE Spark
+logical plan, so Catalyst sees the whole DAG at once — shared subtrees
+become shared plan fragments (plus exchange reuse), and adtk's
+dead-step elimination (:859-878) falls out of lazy evaluation for free.
+
+A step is ``{"fn": callable(df) -> df, "input": name | [names],
+"subset": [cols] | None}``; the reserved input name is "original".
+Multi-input steps receive the inputs joined on (source, ts) — the Spark
+analogue of the reference's index-aligned pd.concat (:788-808).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class Pipenet:
+    def __init__(self, steps: dict, *, join_keys: tuple[str, ...] = ("source", "ts")):
+        self.steps = steps
+        self.join_keys = list(join_keys)
+        self._order = self._toposort()
+
+    def _toposort(self) -> list[str]:
+        deps = {}
+        for name, spec in self.steps.items():
+            inp = spec.get("input", "original")
+            inputs = inp if isinstance(inp, list) else [inp]
+            deps[name] = [i for i in inputs if i != "original"]
+            for i in deps[name]:
+                if i not in self.steps:
+                    raise ValueError(f"step {name!r} references unknown input {i!r}")
+        order, seen, visiting = [], set(), set()
+
+        def visit(n):
+            if n in seen:
+                return
+            if n in visiting:
+                raise ValueError(f"cycle detected at step {n!r}")
+            visiting.add(n)
+            for d in deps[n]:
+                visit(d)
+            visiting.discard(n)
+            seen.add(n)
+            order.append(n)
+
+        for n in self.steps:
+            visit(n)
+        return order
+
+    def _final_step(self) -> str:
+        consumed = set()
+        for spec in self.steps.values():
+            inp = spec.get("input", "original")
+            consumed.update(inp if isinstance(inp, list) else [inp])
+        sinks = [n for n in self.steps if n not in consumed]
+        if len(sinks) != 1:
+            raise ValueError(f"Pipenet must have exactly one sink, found {sinks}")
+        return sinks[0]
+
+    def run(self, df: DataFrame, return_intermediate: bool = False):
+        """Build the composed lazy plan; nothing executes until an action."""
+        results: dict[str, DataFrame] = {"original": df}
+        for name in self._order:
+            spec = self.steps[name]
+            inp = spec.get("input", "original")
+            if isinstance(inp, list):
+                cur = results[inp[0]]
+                for other in inp[1:]:
+                    cur = cur.join(results[other], on=self.join_keys, how="outer")
+            else:
+                cur = results[inp]
+            subset = spec.get("subset")
+            if subset:
+                cur = cur.select(*self.join_keys, *subset)
+            results[name] = spec["fn"](cur)
+        if return_intermediate:
+            return results
+        return results[self._final_step()]
+
+
+class Pipeline(Pipenet):
+    """Linear chain sugar (reference Pipeline wraps a Pipenet the same
+    way, _pipe.py:47-120)."""
+
+    def __init__(self, steps: list[tuple[str, Callable]], **kw):
+        net = {}
+        prev = "original"
+        for name, fn in steps:
+            net[name] = {"fn": fn, "input": prev}
+            prev = name
+        super().__init__(net, **kw)

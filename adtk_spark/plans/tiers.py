@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.windows import exact_quantile_agg
+
 TIER_INTERVALS = {"1m": "minute", "1h": "hour", "1d": "day"}
 TIER_ORDER = ["raw", "1m", "1h", "1d"]
 
@@ -46,7 +48,7 @@ def rollup_raw(
             F.min(v).alias("vmin"),
             F.max(v).alias("vmax"),
             F.sum(v).alias("vsum"),
-            F.percentile(v, F.lit(quantile)).alias("vq"),
+            exact_quantile_agg(v, quantile).alias("vq"),
         )
         .withColumn("mean", F.col("vsum") / F.col("cnt"))
     )
@@ -70,7 +72,7 @@ def rollup_up(
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
             F.sum("vsum").alias("vsum"),
-            F.percentile(F.col("mean"), F.lit(quantile)).alias("vq"),
+            exact_quantile_agg(F.col("mean"), quantile).alias("vq"),
         )
         .withColumn("mean", F.col("vsum") / F.col("cnt"))
     )

@@ -34,6 +34,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # pandas/numpy float semantics, not ANSI SQL: the reference's
+        # kernels produce nan/inf on 0/0 instead of raising; with ANSI
+        # off Spark yields NULL, which maps to adtk's "undecidable"
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

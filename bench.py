@@ -35,43 +35,58 @@ def sf_of(path: str) -> float:
         return 0.1
 
 
-def materialize(df) -> int:
+def materialize(df) -> None:
     """Force full execution without driver-side transfer."""
-    return df.write.format("noop").mode("overwrite").save() or df.count()
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_tiers(spark, n_docs: int) -> tuple[float, int]:
-    """The headline pipeline: token corpus -> raw series -> 1m/1h/1d
-    tiers (+ gap-filled 1m) -> PersistAD on the 1h tier. Returns
-    (seconds, total rolled points)."""
-    from pyspark.sql import functions as F
+    """The headline pipeline, production-shaped: raw parquet in ->
+    1m/1h/1d tier parquet out (tier writes ARE the product) -> gap-fill
+    the 1m tier -> PersistAD on the 1h tier. Returns (seconds, total
+    rolled points). Corpus generation + raw ingest are setup, untimed.
+
+    Deliberately no .persist(): building Spark's columnar cache for the
+    tier outputs costs more than recomputing or re-reading parquet
+    (measured: cache build ~10s vs 3-4s recompute at sf0.1), and parquet
+    round-trips mirror the real snapshot-committed pipeline.
+    """
+    import shutil
+    import tempfile
 
     from adtk_spark.operators.detectors import persist_ad
     from adtk_spark.plans.gapfill import forward_fill, time_spine
-    from adtk_spark.plans.tiers import build_tiers, tier_series
+    from adtk_spark.plans.tiers import rollup_raw, rollup_up, tier_series
     from adtk_spark.sources.tokens import token_corpus, token_series
 
-    corpus = token_corpus(spark, n_docs, partitions=max(CPUS * 2, 16))
-    raw = token_series(corpus)
-    raw.persist()
-    n_raw = raw.count()  # corpus generation excluded from the timed span
+    work = tempfile.mkdtemp(prefix="bench_tiers_")
+    try:
+        corpus = token_corpus(spark, n_docs, partitions=max(CPUS * 2, 16))
+        token_series(corpus).write.mode("overwrite").parquet(f"{work}/raw")
+        raw = spark.read.parquet(f"{work}/raw")
+        n_raw = raw.count()  # parquet metadata, cheap
 
-    t0 = time.time()
-    tiers = build_tiers(raw)
-    counts = {}
-    for name, df in tiers.items():
-        df.persist()
-        counts[name] = df.count()
-    filled = forward_fill(time_spine(tier_series(tiers["1m"]), "1 minute"))
-    n_filled = filled.count()
-    labeled = persist_ad(tier_series(tiers["1h"]), window=24, c=3.0, min_periods=12)
-    materialize(labeled)
-    elapsed = time.time() - t0
-    for df in tiers.values():
-        df.unpersist()
-    raw.unpersist()
-    points = n_raw + sum(counts.values()) + n_filled
-    return elapsed, points
+        t0 = time.time()
+        t1m = rollup_raw(raw, "1m")
+        t1m.write.mode("overwrite").parquet(f"{work}/t1m")
+        t1m = spark.read.parquet(f"{work}/t1m")
+        t1h = rollup_up(t1m, "1h")
+        t1h.write.mode("overwrite").parquet(f"{work}/t1h")
+        t1h = spark.read.parquet(f"{work}/t1h")
+        t1d = rollup_up(t1h, "1d")
+        t1d.write.mode("overwrite").parquet(f"{work}/t1d")
+        filled = forward_fill(time_spine(tier_series(t1m), "1 minute"))
+        n_filled = filled.count()
+        labeled = persist_ad(tier_series(t1h), window=24, c=3.0, min_periods=12)
+        materialize(labeled)
+        elapsed = time.time() - t0
+        counts = sum(
+            spark.read.parquet(f"{work}/{t}").count() for t in ("t1m", "t1h", "t1d")
+        )
+        points = n_raw + counts + n_filled
+        return elapsed, points
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -83,6 +98,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "gapfill_lerp", "standard_scale", "doc_quality",
         "embed_cosine_top10",
     ]
+    # warm the parquet footers / JVM before timing
+    for t in ("events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     qs = entrymod.queries()
     out = {}
     for name in names:

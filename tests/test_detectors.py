@@ -92,6 +92,15 @@ def test_detector(spark, case):
     assert_series(out, "label", expected)
 
 
+def test_esd_ad(spark):
+    # test_detector1d.py:84-97
+    s = IQR8 + [0] * 10
+    out = D.esd_ad(series_df(spark, s))
+    assert_series(out, "label", [0, 1, 0, 0, 0, NAN, 0, 1] + [0] * 10)
+    out2 = D.esd_ad(series_df(spark, s), alpha=0.0001)
+    assert_series(out2, "label", [0, 0, 0, 0, 0, NAN, 0, 0] + [0] * 10)
+
+
 SEASONAL84 = [1, 2, 3, 4] * 10 + [1, 3, 2, 4] + [1, 2, 3, 4] * 10
 SEASONAL84_TREND = [v + i for i, v in enumerate(SEASONAL84)]
 

@@ -1,0 +1,135 @@
+"""HD detectors, Customized escape hatch, Pipenet composition.
+
+Goldens transcribed from /root/reference/tests/test_detectorhd.py and
+tests/test_detector1d.py (Customized cases); Pipenet from test_pipe.py.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from adtk_spark.operators import custom as C
+from adtk_spark.operators import hd as H
+from tests.conftest import NAN, assert_series, series_df
+
+
+def wide_df(spark, cols: dict, start="2017-01-01"):
+    t0 = dt.datetime.fromisoformat(start)
+    names = list(cols)
+    n = len(next(iter(cols.values())))
+    rows = []
+    for src in ("A", "B"):
+        for i in range(n):
+            vals = [
+                None if (cols[c][i] is None or cols[c][i] != cols[c][i]) else float(cols[c][i])
+                for c in names
+            ]
+            rows.append((src, t0 + dt.timedelta(days=i), *vals))
+    schema = "source string, ts timestamp, " + ", ".join(f"{c} double" for c in names)
+    return spark.createDataFrame(rows, schema)
+
+
+REG_DF = {
+    "a": [0, 1, 2, 3, 4, 5, 6, 7, 7, 8, 9],
+    "b": [0, 2, 4, 6, 8, 10, 12, 14, 14, 16, 18],
+    "c": [0, 3, 6, 10, 12, 14, 18, 21, NAN, 24, 27],
+}
+
+
+def test_regression_ad(spark):
+    # test_detectorhd.py:136-173
+    df = wide_df(spark, REG_DF)
+    out = H.regression_ad(df, target="c", features=["a", "b"], c=3.0)
+    assert_series(out, "label", [0, 0, 0, 1, 0, 1, 0, 0, NAN, 0, 0])
+    out2 = H.regression_ad(df, target="c", features=["a", "b"], side="negative")
+    assert_series(out2, "label", [0, 0, 0, 0, 0, 1, 0, 0, NAN, 0, 0])
+    out3 = H.regression_ad(df, target="c", features=["a", "b"], side="negative", c=100)
+    assert_series(out3, "label", [0, 0, 0, 0, 0, 0, 0, 0, NAN, 0, 0])
+
+
+def test_pca_ad(spark):
+    # test_detectorhd.py:175-186
+    df = wide_df(spark, {
+        "a": [0, 1, 2, 3, 3.9, 4.1, 5, 6, 7, 7, 8, 9],
+        "b": [0, 1, 2, 3, 4.1, 3.9, 5, 6, 7, NAN, 8, 9],
+    })
+    out = H.pca_ad(df, features=["a", "b"], k=1, c=3)
+    assert_series(out, "label", [0, 0, 0, 0, 1, 1, 0, 0, 0, NAN, 0, 0])
+
+
+def test_min_cluster_ad(spark):
+    # test_detectorhd.py:94-108 (KMeans n_clusters=2)
+    df = wide_df(spark, {
+        "a": [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0],
+        "b": [0, 0, 0, 0, 0, 1, 0, 0, 0, NAN, 0, 0],
+    })
+    out = H.min_cluster_ad(df, features=["a", "b"], n_clusters=2)
+    assert_series(out, "label", [0, 0, 0, 0, 0, 1, 0, 0, 0, NAN, 0, 0])
+
+
+def test_customized_detector_1d(spark):
+    # test_detector1d.py:262-321 (representative cases)
+    s = [0, 0, 0, 0, 0, 1, 0, 0, 0, -1, 0]
+    df = series_df(spark, s)
+    out = C.customized_detector(df, lambda x: x > 0)
+    assert_series(out, "label", [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0])
+    out2 = C.customized_detector(
+        df,
+        lambda x, a, b: (x > a) | (x < b),
+        detect_func_params={"b": -0.5},
+        fit_func=lambda x, q: {"a": float(x.quantile(q))},
+        fit_func_params={"q": 0.5},
+    )
+    assert_series(out2, "label", [0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0])
+
+
+def test_customized_detector_hd(spark):
+    # test_detectorhd.py:18-93 (representative case)
+    df = wide_df(spark, {
+        "a": [0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0],
+        "b": [0, 0, 0, 0, 0, 0, 0, 0, 0, -1, 0],
+    })
+    out = C.customized_detector(
+        df,
+        lambda x, a, b: (x.sum(axis=1) > a) | (x.sum(axis=1) < b),
+        detect_func_params={"b": -0.5},
+        fit_func=lambda x: {"a": float(x.sum(axis=1).median())},
+        value_cols=["a", "b"],
+    )
+    assert_series(out, "label", [0, 0, 0, 0, 0, 1, 0, 0, 0, 1, 0])
+
+
+def test_pipenet_compound(spark):
+    """A Pipenet replicating PersistAD's DAG shape must agree with the
+    built-in persist_ad on the same series."""
+    from adtk_spark.operators.detectors import persist_ad
+    from adtk_spark.operators.pipe import Pipeline, Pipenet
+
+    values = [0, 1, 0, 1, 0, -10, -9, -10, -9, -10, 1, NAN, 1, 0]
+    df = series_df(spark, values)
+    direct = persist_ad(df, window=1)
+
+    net = Pipenet({
+        "detect": {"fn": lambda d: persist_ad(d, window=1), "input": "original"},
+    })
+    via_net = net.run(df)
+    a = [r["label"] for r in direct.where("source='A'").orderBy("ts").collect()]
+    b = [r["label"] for r in via_net.where("source='A'").orderBy("ts").collect()]
+    assert a == b
+
+    chain = Pipeline([
+        ("scale", lambda d: __import__("adtk_spark.operators.transformers",
+                                       fromlist=["standard_scale"]).standard_scale(d)),
+    ])
+    out = chain.run(df)
+    assert "scaled" in out.columns
+
+    with pytest.raises(ValueError, match="cycle"):
+        Pipenet({
+            "x": {"fn": lambda d: d, "input": "y"},
+            "y": {"fn": lambda d: d, "input": "x"},
+        })
+
+    with pytest.raises(ValueError, match="unknown input"):
+        Pipenet({"x": {"fn": lambda d: d, "input": "nope"}})

@@ -1,0 +1,100 @@
+"""Remaining transformer goldens: StandardScale, ClassicSeasonalDecomposition
+(incl. the phase-shift transform test), Retrospect, SumAll, split modes.
+
+Transcribed from /root/reference/tests/test_transformer1d.py:14-27,
+:434-475, :659-698 and tests/test_train_test_split.py semantics.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from adtk_spark.operators.transformers import (
+    retrospect,
+    seasonal_fit,
+    seasonal_transform,
+    standard_scale,
+    sum_all,
+)
+from tests.conftest import NAN, assert_series, series_df
+
+
+def test_standard_scale_goldens(spark):
+    df = series_df(spark, [NAN, 0, 1, NAN, 2, NAN])
+    assert_series(standard_scale(df), "scaled", [NAN, -1, 0, NAN, 1, NAN])
+    df2 = series_df(spark, [NAN, 1, 1, NAN, 1, NAN])
+    assert_series(standard_scale(df2), "scaled", [NAN, 0, 0, NAN, 0, NAN])
+
+
+def test_retrospect_goldens(spark):
+    df = series_df(spark, list(range(10)))
+    out = retrospect(df, n_steps=3, step_size=2, till=3, prefix="t_")
+    assert_series(out, "t_3", [NAN] * 3 + list(range(7)))
+    assert_series(out, "t_5", [NAN] * 5 + list(range(5)))
+    assert_series(out, "t_7", [NAN] * 7 + list(range(3)))
+
+
+def test_sum_all(spark):
+    rows = [("A", dt.datetime(2017, 1, 1 + i), float(i), v)
+            for i, v in enumerate([1.0, None, 3.0])]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, x double, y double")
+    out = sum_all(df, ["x", "y"])
+    got = [r["sum_all"] for r in out.orderBy("ts").collect()]
+    assert got == [1.0, None, 5.0]  # skipna=False
+
+
+def test_seasonal_decomposition_golden(spark):
+    # season30: residual all zero (test_transformer1d.py:462-475)
+    s = [0, 1, 2, 3, 2, 1] * 5
+    df = series_df(spark, s)
+    model = seasonal_fit(df, freq=None)
+    out = seasonal_transform(df, model)
+    assert_series(out, "residual", [0.0] * 30, tol=1e-9)
+    model12 = seasonal_fit(df, freq=12)
+    out12 = seasonal_transform(df, model12)
+    assert_series(out12, "residual", [0.0] * 30, tol=1e-9)
+
+
+def test_seasonal_phase_shift(spark):
+    # test_transformer1d.py:659-698: fit at 00:05, transform windows
+    # starting 00:02 (before datum) and 00:52 (after) — phase alignment
+    train = series_df(spark, [0, 1, 2, 3, 4] * 8,
+                      start="2017-01-01 00:05:00", freq_hours=1 / 60)
+    model = seasonal_fit(train, freq=5)
+    expected = [0, 0, 0.1, 0, 0, 0, -0.1, 0, 0, 0]
+    for start in ("2017-01-01 00:02:00", "2017-01-01 00:52:00"):
+        test = series_df(spark, [2, 3, 4.1, 0, 1, 2, 2.9, 4, 0, 1],
+                         start=start, freq_hours=1 / 60)
+        out = seasonal_transform(test, model)
+        assert_series(out, "residual", expected, tol=1e-9)
+
+
+def test_split_train_test_modes(spark):
+    from adtk_spark.operators.data import split_train_test
+
+    df = series_df(spark, list(range(40)))
+
+    def positions(d):
+        return [int(r["value"]) for r in d.where("source='A'").orderBy("ts").collect()]
+
+    # reference docstring example (_data.py:673-701), n_splits=4, ratio=0.7
+    s1 = split_train_test(df, mode=1, n_splits=4)
+    assert positions(s1[0][0]) == list(range(0, 7))
+    assert positions(s1[0][1]) == list(range(7, 10))
+    assert positions(s1[3][0]) == list(range(30, 37))
+    assert positions(s1[3][1]) == list(range(37, 40))
+
+    s2 = split_train_test(df, mode=2, n_splits=4)
+    assert positions(s2[1][0]) == list(range(0, 14))
+    assert positions(s2[1][1]) == list(range(14, 20))
+
+    s3 = split_train_test(df, mode=3, n_splits=4)
+    assert positions(s3[0][0]) == list(range(0, 8))
+    assert positions(s3[0][1]) == list(range(8, 16))
+    assert positions(s3[3][0]) == list(range(0, 32))
+    assert positions(s3[3][1]) == list(range(32, 40))
+
+    s4 = split_train_test(df, mode=4, n_splits=4)
+    assert positions(s4[0][0]) == list(range(0, 8))
+    assert positions(s4[0][1]) == list(range(8, 40))
