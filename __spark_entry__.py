@@ -255,6 +255,92 @@ def q_embed_cosine_top10(spark, sf_dir):
     return scored.orderBy(F.desc("cos_sim"), "vec_id").limit(10)
 
 
+def q_rolling_skew_kurt(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=8, agg="skew", out_col="r_skew")
+    out = rolling_agg(out, window=8, agg="kurt", out_col="r_kurt")
+    return out.select("source", "ts",
+                      F.round("r_skew", 6).alias("r_skew"),
+                      F.round("r_kurt", 6).alias("r_kurt"))
+
+
+def q_iou_labels(spark, sf_dir):
+    from adtk_spark.operators.metrics import iou_labels
+
+    s = _series(spark, sf_dir)
+    pair = s.select(
+        "source", "ts",
+        F.when(F.col("value").isNull(), None).otherwise((F.col("value") > 150).cast("double")).alias("y_true"),
+        F.when(F.col("value").isNull(), None).otherwise((F.col("value") > 120).cast("double")).alias("y_pred"),
+    )
+    out = iou_labels(pair)
+    return out.select("source", F.round("iou", 6).alias("iou"))
+
+
+def q_split_mode2(spark, sf_dir):
+    from adtk_spark.operators.data import split_train_test
+
+    s = _series(spark, sf_dir)
+    train, test = split_train_test(s, mode=2, n_splits=3)[1]
+    return train.select("source", "ts", "value")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from adtk_spark.operators.corpus import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+
+
+def q_lang_id(spark, sf_dir):
+    from adtk_spark.operators.corpus import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs)
+
+
+def q_token_count(spark, sf_dir):
+    from adtk_spark.operators.corpus import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_count(docs)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs. No portable SQL oracle (xxhash64 is
+    Spark-specific) -> driver records the rows-only check; correctness
+    vs exact Jaccard is asserted in tests/test_corpus_ann.py."""
+    from adtk_spark.operators.corpus import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    from adtk_spark.operators.corpus import simhash, simhash_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_dup_pairs(simhash(docs), max_hamming=6)
+
+
+def q_ann_ivf_top10(spark, sf_dir):
+    from adtk_spark.operators.ann import ivf_assign, ivf_fit, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    centers = ivf_fit(emb, n_lists=8)
+    return ivf_search(ivf_assign(emb, centers), centers, qv, k=10, nprobe=8)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from adtk_spark.operators.corpus import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).select("doc_id", "n_fingerprints")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -288,6 +374,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "embed_cosine_top10": q_embed_cosine_top10,
+        "rolling_skew_kurt": q_rolling_skew_kurt,
+        "iou_labels": q_iou_labels,
+        "split_mode2": q_split_mode2,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_ivf_top10": q_ann_ivf_top10,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
@@ -483,6 +579,97 @@ def oracle_sql() -> dict[str, str]:
                              x -> x IN ('the','a','of','and','to','in','is')))
                          / len(string_split(text, ' ')), 6) AS stopword_ratio,
                    round(length(text) / len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "rolling_skew_kurt": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 8
+                        THEN round(skewness(value) OVER w, 6) END AS r_skew,
+                   CASE WHEN count(value) OVER w >= 8
+                        THEN round(kurtosis(value) OVER w, 6) END AS r_kurt
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        """,
+        "iou_labels": _DEDUP_CTE + """
+            , l AS (
+              SELECT source,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 150.0 AS DOUBLE) END AS yt,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 120.0 AS DOUBLE) END AS yp
+              FROM d
+            )
+            SELECT source,
+                   round(CASE WHEN sum(CASE WHEN yt + yp >= 1 THEN 1.0
+                                            WHEN yt + yp IS NOT NULL THEN 0.0 END) <> 0
+                         THEN sum(yt * yp)
+                              / sum(CASE WHEN yt + yp >= 1 THEN 1.0
+                                         WHEN yt + yp IS NOT NULL THEN 0.0 END)
+                         END, 6) AS iou
+            FROM l GROUP BY source
+        """,
+        "split_mode2": _DEDUP_CTE + """
+            , p AS (
+              SELECT source, ts, value,
+                     row_number() OVER (PARTITION BY source ORDER BY ts) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d
+            )
+            SELECT source, ts, value FROM p
+            WHERE pos < round_even(round_even(n / 3.0, 0) * 2 * 0.7, 0)
+        """,
+        "ngram_jaccard": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), ex AS (
+              SELECT id, unnest(g) AS g FROM sh
+            ), sizes AS (
+              SELECT id, count(*) AS n FROM ex GROUP BY id
+            ), pairs AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(shared / (na.n + nb.n - shared), 6) AS jaccard
+            FROM pairs
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE shared / (na.n + nb.n - shared) >= 0.3
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','and','of','is','to'))) AS score_en,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('el','la','de','que','los'))) AS score_es,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('der','die','und','das','ist'))) AS score_de,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('le','la','et','les','des'))) AS score_fr
+              FROM documents
+            )
+            SELECT doc_id, score_en, score_es, score_de, score_fr,
+                   CASE
+                     WHEN score_fr > score_de AND score_fr > score_es AND score_fr > score_en THEN 'fr'
+                     WHEN score_de > score_es AND score_de > score_en THEN 'de'
+                     WHEN score_es > score_en THEN 'es'
+                     ELSE 'en'
+                   END AS pred_lang
+            FROM s
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_ws_tokens,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
             FROM documents
         """,
         "embed_cosine_top10": """

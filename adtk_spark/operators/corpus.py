@@ -1,0 +1,289 @@
+"""Training-data pipeline operators over the documents corpus.
+
+Beyond the reference's operator set: the ops a 100 TB training-data
+pipeline needs around the time-series engine — exact and near
+deduplication, text quality/language heuristics, and document
+fingerprinting. Everything except SimHash packing is pure JVM
+expression work (split/explode/groupBy/higher-order functions), so the
+plans scale like any other aggregation; SimHash uses one Arrow UDF for
+64-bit popcount packing.
+
+Scale notes: MinHash-LSH is the standard shingle -> minhash -> band ->
+bucket-join pipeline; candidate verification joins only within buckets
+(no quadratic pair join). Exact dedup groups on a 128-bit content hash
+(never on raw text) so the shuffle carries 16 bytes per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is", "to"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def _words(text_col: str = "text") -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via content hash groupBy: one row per distinct text,
+    keeping the smallest id. Output (content_hash, keep_id, n_copies)."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return docs.select(h, id_col).groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    w = _words(text_col)
+    k = F.size(w) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(sh: Column, n_hashes: int = 32, seed: int = 7) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle, seed_i). Pure expressions — one array column."""
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
+        for i in range(n_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle -> signature -> band buckets -> candidate pairs inside a
+    bucket -> exact Jaccard verification on the candidates only.
+    Output (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    banded = sig.select(
+        id_col, "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "sh", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, on=[F.col(f"a.band") == F.col("b.band"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted index:
+    explode shingles, self-join on shingle (candidates must share at
+    least one), count shared, derive |union| from per-doc counts.
+    SQL-expressible — used as a DuckDB-checked oracle query."""
+    ex = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_n)).alias("g"),
+    )
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
+    pairs = (
+        ex.alias("x").join(ex.alias("y"),
+                           on=[F.col("x.g") == F.col("y.g"),
+                               F.col("x.id") < F.col("y.id")])
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    j = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")))
+    )
+    return j.where(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of per-bit sums of word hashes.
+
+    The per-bit +/-1 accumulation over 64 bits is bit-twiddling numpy
+    (an Arrow batch UDF), not a 64-aggregate SQL expression.
+    """
+    ex = docs.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("w"))
+    hashed = ex.select("id", F.xxhash64("w").alias("h"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["h"].to_numpy(dtype=np.uint64)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sh = np.uint64(0)
+        for k in range(64):
+            if votes[k] > 0:
+                sh |= np.uint64(1) << np.uint64(k)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(sh)]})
+
+    out = hashed.groupBy("id").applyInPandas(pack, schema="id long, simhash long")
+    return out.withColumnRenamed("id", id_col)
+
+
+def simhash_dup_pairs(sig: DataFrame, max_hamming: int = 3,
+                      *, id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs by 16-bit block (pigeonhole: <=3 differing bits
+    means at least one of 4 blocks matches), verified by popcount."""
+    blocks = sig.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("blk"),
+                     F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("v"))
+            for k in range(4)
+        ])).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.v")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.v") == F.col("b.v"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).where(ham <= max_hamming) \
+               .select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def doc_quality(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality heuristics: length, token count, stopword ratio, mean
+    token length, distinct-token ratio."""
+    w = _words(text_col)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n = F.size(w)
+    return docs.select(
+        id_col,
+        F.length(text_col).alias("n_chars_text"),
+        n.alias("n_words"),
+        F.round(F.size(F.filter(w, lambda x: F.array_contains(sw, x))) / n, 6).alias("stopword_ratio"),
+        F.round(F.length(text_col) / n, 6).alias("avg_token_len"),
+        F.round(F.size(F.array_distinct(w)) / n, 6).alias("distinct_ratio"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Marker-word language heuristic: count per-language marker hits
+    and take the argmax (en on ties). Deterministic and SQL-expressible."""
+    w = _words(text_col)
+
+    def contains(arr):
+        # NOTE: no default-arg capture — F.filter reads the lambda's
+        # arity, and (x, a=arr) would be parsed as an (element, index)
+        # two-arg lambda
+        return lambda x: F.array_contains(arr, x)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(F.size(F.filter(w, contains(arr))).alias(f"score_{lang}"))
+    scored = docs.select(id_col, *scores)
+    langs = list(LANG_MARKERS)
+    best = F.lit(langs[0])
+    best_score = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.withColumn("pred_lang", best)
+
+
+def token_count(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish subword estimate
+    (word-length/4 pieces per word, ceil) — the standard cheap proxy."""
+    w = _words(text_col)
+    bpe_est = F.aggregate(
+        w, F.lit(0).cast("long"),
+        lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("long"),
+    )
+    return docs.select(
+        id_col, F.size(w).alias("n_ws_tokens"), bpe_est.alias("n_bpe_est")
+    )
+
+
+def fingerprint(
+    docs: DataFrame, window: int = 4, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprint: rolling hash over word shingles,
+    per-window minimum, distinct set — all higher-order functions."""
+    grams = shingles(text_col, 3)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    k = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    return docs.select(
+        id_col,
+        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
+        F.size(F.array_distinct(mins)).alias("n_fingerprints"),
+    )

@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the whole local-mode JVM is the "cluster"; give it room before the
+# first session pins the heap
+os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 DOCS_PER_SF = 4_000_000  # synthetic corpus rows at sf=1.0
@@ -110,6 +114,80 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "64000000"))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+
+
+def run_scaling() -> dict:
+    """The N -> 4N cluster-size proxy: the 4-tier rollup chain as ONE
+    Spark job at local[4] vs local[16], best-of-R interleaved rounds.
+
+    Methodology notes (see BENCH/BASELINE.md):
+    - 4 vs 16 threads, not 8 vs 32: the box exposes 32 hyperthreads on
+      ~16 physical cores, so beyond 16 threads adding workers buys no
+      compute — a cluster of 4 vs 16 *machines* is the honest analogue.
+    - best-of-R with alternating sessions: the sandbox has heavy
+      noisy-neighbor steal time (same config varies 12s..80s); min over
+      interleaved rounds approximates the uncontended machine for both
+      configs symmetrically.
+    - one job (no intermediate materialization): fixed per-job costs
+      (planning, AQE rounds, scheduling) don't shrink with cores and
+      would otherwise dominate at sandbox scale.
+    - 64M-row corpus: Catalyst prunes the token array column at the
+      scan, so the series generation stays cheap while the rollup does
+      real work per core.
+    - shuffle dirs on /dev/shm: local-mode shuffle files on rotating
+      /tmp serialize on I/O; a real cluster keeps shuffle on local SSDs.
+    """
+    import shutil
+    import tempfile
+
+    from adtk_spark.session import get_spark
+    from adtk_spark.plans.tiers import rollup_raw, rollup_up
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    work = tempfile.mkdtemp(prefix="bench_scaling_")
+    try:
+        spark = get_spark("scaling-gen", cores=16, shuffle_partitions=32)
+        token_series(
+            token_corpus(spark, SCALING_DOCS, n_sources=2048,
+                         span_secs=6 * 86400, partitions=64)
+        ).write.mode("overwrite").parquet(f"{work}/raw")
+        n_raw = spark.read.parquet(f"{work}/raw").count()
+        spark.stop()
+
+        def chain(spark_, raw):
+            t1d = rollup_up(rollup_up(rollup_raw(raw, "1m"), "1h"), "1d")
+            t1d.write.format("noop").mode("overwrite").save()
+
+        times: dict[int, list[float]] = {4: [], 16: []}
+        for _ in range(SCALING_ROUNDS):
+            for cores in (4, 16):
+                spark = get_spark(
+                    f"scaling-{cores}", cores=cores, shuffle_partitions=2 * cores,
+                    extra_conf={"spark.local.dir": "/dev/shm/spark-local"},
+                )
+                raw = spark.read.parquet(f"{work}/raw")
+                chain(spark, raw.limit(200_000))  # JIT/codegen warm-up
+                t0 = time.time()
+                chain(spark, raw)
+                times[cores].append(time.time() - t0)
+                spark.stop()
+        b4, b16 = min(times[4]), min(times[16])
+        return {
+            "mode": "scaling", "n_rows": n_raw, "rounds": SCALING_ROUNDS,
+            "local4_sec_best": round(b4, 2), "local16_sec_best": round(b16, 2),
+            "local4_all": [round(t, 2) for t in times[4]],
+            "local16_all": [round(t, 2) for t in times[16]],
+            "points_per_sec_local4": round(n_raw / b4),
+            "points_per_sec_local16": round(n_raw / b16),
+            "speedup": round(b4 / b16, 2),
+            "scaling_efficiency": round(b4 / b16 / 4, 3),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     from adtk_spark.session import get_spark
 
@@ -117,23 +195,7 @@ def main():
     n_docs = max(10_000, int(DOCS_PER_SF * sf))
 
     if "--scaling" in sys.argv:
-        results = {}
-        for cores in (8, 32):
-            spark = get_spark(f"bench-scaling-{cores}", cores=cores,
-                              shuffle_partitions=2 * cores)
-            sec, points = run_tiers(spark, n_docs)
-            results[cores] = (sec, points, points / sec)
-            spark.stop()
-        eff = (results[32][2] / results[8][2]) / 4.0
-        line = {
-            "mode": "scaling", "sf": sf, "n_docs": n_docs,
-            "local8_points_per_sec": round(results[8][2]),
-            "local32_points_per_sec": round(results[32][2]),
-            "local8_sec": round(results[8][0], 2),
-            "local32_sec": round(results[32][0], 2),
-            "scaling_efficiency": round(eff, 3),
-        }
-        print(json.dumps(line))
+        print(json.dumps(run_scaling()))
         return
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
