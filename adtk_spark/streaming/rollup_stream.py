@@ -1,0 +1,57 @@
+"""Structured Streaming variant of the 1m tier rollup.
+
+The batch path (plans/tiers + plans/incremental) is the system of
+record — adtk's centered windows need future data, and exact quantiles
+are not mergeable, so detectors stay batch. This module covers the
+*ingest edge*: a file stream of raw token-series rows rolled into
+1-minute tumbling aggregates with a watermark for late data. Streaming
+aggregates are algebraic only (count/min/max/sum -> mean); the exact
+per-bucket quantile is backfilled by the next incremental batch refresh
+(the classic lambda split, stated in the tier table docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RAW_SCHEMA = "source string, ts timestamp, value double"
+
+
+def streaming_rollup_1m(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """readStream(parquet dir) -> watermarked 1-minute tumbling rollup."""
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+        )
+        .select(
+            "source", F.col("w.start").alias("bucket_ts"),
+            "cnt", "vmin", "vmax", "vsum",
+            (F.col("vsum") / F.col("cnt")).alias("mean"),
+        )
+    )
+
+
+def run_available_now(agg: DataFrame, out_dir: str, checkpoint: str) -> None:
+    """Drain everything currently in the source (availableNow trigger),
+    append to parquet, then stop — the batch-boundary-friendly mode the
+    incremental refresher schedules between snapshot commits."""
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
