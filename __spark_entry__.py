@@ -341,6 +341,181 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "n_fingerprints")
 
 
+def q_level_shift_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import level_shift_ad
+
+    s = _series(spark, sf_dir)
+    return level_shift_ad(s, window=6, c=6.0).select("source", "ts", "label")
+
+
+def q_volatility_shift_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import volatility_shift_ad
+
+    s = _series(spark, sf_dir)
+    return volatility_shift_ad(s, window=10, c=6.0, agg="std").select(
+        "source", "ts", "label"
+    )
+
+
+def q_autoregression_ad(spark, sf_dir):
+    from adtk_spark.operators.detectors import autoregression_ad
+
+    s = _series(spark, sf_dir)
+    return autoregression_ad(s, n_steps=1, step_size=1, c=3.0).select(
+        "source", "ts", "label"
+    )
+
+
+def q_esd_ad(spark, sf_dir):
+    """GeneralizedESDTestAD (vendored inverse-t; the iterative fit is not
+    SQL-expressible and DuckDB has no Student-t ppf) -> rows-only check;
+    point goldens are in tests/test_detectors.py."""
+    from adtk_spark.operators.detectors import esd_ad
+
+    s = _series(spark, sf_dir)
+    return esd_ad(s, alpha=0.05).select("source", "ts", "label")
+
+
+def _hour_labels(spark, sf_dir, thr):
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.avg("value").alias("value"))
+    return h1.withColumn(
+        "label",
+        F.when(F.col("value").isNull(), F.lit(None)).otherwise(
+            (F.col("value") > thr).cast("double")
+        ),
+    )
+
+
+def q_or_and_labels(spark, sf_dir):
+    from adtk_spark.operators.aggregators import and_labels, or_labels
+
+    hi = _hour_labels(spark, sf_dir, 130).withColumnRenamed("label", "l_hi")
+    both = hi.withColumn(
+        "l_lo",
+        F.when(F.col("value").isNull(), F.lit(None)).otherwise(
+            (F.col("value") > 110).cast("double")
+        ),
+    )
+    out = or_labels(both, ["l_hi", "l_lo"], out_col="l_or")
+    out = and_labels(out, ["l_hi", "l_lo"], out_col="l_and")
+    return out.select("source", "ts", "l_hi", "l_lo", "l_or", "l_and")
+
+
+def q_expand_events(spark, sf_dir):
+    from adtk_spark.operators.events import expand_events, to_events
+
+    labels = _hour_labels(spark, sf_dir, 130)
+    ev = to_events(labels, freq="1 hour")
+    return expand_events(ev, "30 minutes", "30 minutes")
+
+
+def q_to_labels_roundtrip(spark, sf_dir):
+    """labels -> to_events(freq) -> to_labels(freq) must be the identity
+    on {0,1} label series (oracle = the direct labels)."""
+    from adtk_spark.operators.events import to_events, to_labels
+
+    labels = _hour_labels(spark, sf_dir, 130)
+    ev = to_events(labels, freq="1 hour")
+    spine = labels.select("source", "ts")
+    back = to_labels(ev, spine, freq="1 hour")
+    return back.select("source", "ts", "label")
+
+
+def q_recall_events(spark, sf_dir):
+    from adtk_spark.operators.events import to_events
+    from adtk_spark.operators.metrics import recall_events
+
+    t = to_events(_hour_labels(spark, sf_dir, 130), freq="1 hour")
+    p = to_events(_hour_labels(spark, sf_dir, 110), freq="1 hour")
+    out = recall_events(t, p, thresh=0.5)
+    return out.select("source", F.round("recall", 6).alias("recall"))
+
+
+def q_rolling_quantile_2q(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=6, agg="quantile",
+                      agg_params={"q": [0.25, 0.75]}, out_col="r")
+    return out.select(
+        "source", "ts",
+        F.round(F.col("`r_q0.25`"), 6).alias("rq25"),
+        F.round(F.col("`r_q0.75`"), 6).alias("rq75"),
+    )
+
+
+def q_rolling_nnz(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=5, agg="nnz", out_col="r_nnz")
+    return out.select("source", "ts", "r_nnz")
+
+
+def q_payload_roundtrip_1m(spark, sf_dir):
+    """1m rollup -> Gorilla-XOR + delta-of-delta compress -> decompress
+    must reproduce the plain SQL aggregate bit-for-bit (fp64 lossless)."""
+    from adtk_spark.plans.payloads import compress_tier, decompress_tier
+
+    ev = _events(spark, sf_dir)
+    m1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+    ).agg(F.avg("value").alias("mean"))
+    blobs = compress_tier(m1, stat="mean", chunk="day")
+    back = decompress_tier(blobs)
+    return back.select(
+        "source", "bucket_ts", F.round("value", 6).alias("vavg")
+    )
+
+
+def q_tier_1d_3level(spark, sf_dir):
+    """1d tier computed raw -> 1m -> 1h -> 1d (three re-aggregations);
+    oracle computes 1d directly from raw."""
+    ev = _events(spark, sf_dir)
+    m1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("minute", F.col("ts")).alias("b"),
+    ).agg(F.count("value").alias("cnt"), F.min("value").alias("vmin"),
+          F.max("value").alias("vmax"), F.sum("value").alias("vsum"))
+    h1 = m1.groupBy("source", F.date_trunc("hour", F.col("b")).alias("b")).agg(
+        F.sum("cnt").alias("cnt"), F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"), F.sum("vsum").alias("vsum"))
+    return h1.groupBy(
+        "source", F.date_trunc("day", F.col("b")).alias("bucket_ts")
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.round(F.min("vmin"), 6).alias("vmin"),
+        F.round(F.max("vmax"), 6).alias("vmax"),
+        F.round(F.sum("vsum"), 6).alias("vsum"),
+        F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+    )
+
+
+def q_seasonal_resid(spark, sf_dir):
+    """ClassicSeasonalDecomposition residual (freq=24) on the lerp-filled
+    hourly series: fit = per-phase means, transform = phase-aligned
+    subtraction."""
+    from adtk_spark.operators.transformers import seasonal_fit, seasonal_transform
+    from adtk_spark.plans.gapfill import interpolate_linear, time_spine
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.avg("value").alias("value"))
+    spine = time_spine(h1, "1 hour")
+    filled = interpolate_linear(spine, out_col="v")
+    filled = filled.select("source", "ts", F.col("v").alias("value"))
+    model = seasonal_fit(filled, freq=24)
+    out = seasonal_transform(filled, model)
+    return out.select("source", "ts", F.round("residual", 6).alias("resid"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -384,6 +559,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "ann_ivf_top10": q_ann_ivf_top10,
         "doc_fingerprint": q_doc_fingerprint,
+        "level_shift_ad": q_level_shift_ad,
+        "volatility_shift_ad": q_volatility_shift_ad,
+        "autoregression_ad": q_autoregression_ad,
+        "esd_ad": q_esd_ad,
+        "or_and_labels": q_or_and_labels,
+        "expand_events": q_expand_events,
+        "to_labels_roundtrip": q_to_labels_roundtrip,
+        "recall_events": q_recall_events,
+        "rolling_quantile_2q": q_rolling_quantile_2q,
+        "rolling_nnz": q_rolling_nnz,
+        "payload_roundtrip_1m": q_payload_roundtrip_1m,
+        "tier_1d_3level": q_tier_1d_3level,
+        "seasonal_resid": q_seasonal_resid,
     }
 
 
@@ -688,5 +876,251 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cos_sim FROM scored
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "level_shift_ad": _DEDUP_CTE + """
+            , m AS (
+              SELECT source, ts,
+                     CASE WHEN count(value) OVER wl >= 6
+                          THEN quantile_cont(value, 0.5) OVER wl END AS lmed,
+                     CASE WHEN count(value) OVER wr >= 6
+                          THEN quantile_cont(value, 0.5) OVER wr END AS rmed
+              FROM d
+              WINDOW wl AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+                     wr AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)
+            ), x AS (
+              SELECT source, ts, abs(rmed - lmed) AS mag FROM m
+            ), b AS (
+              SELECT source,
+                     quantile_cont(mag, 0.75)
+                       + 6.0 * (quantile_cont(mag, 0.75) - quantile_cont(mag, 0.25)) AS hi
+              FROM x GROUP BY source
+            )
+            SELECT x.source, x.ts,
+                   CASE WHEN x.mag IS NULL THEN NULL
+                        ELSE CAST(x.mag > b.hi AS DOUBLE) END AS label
+            FROM x JOIN b USING (source)
+        """,
+        "volatility_shift_ad": _DEDUP_CTE + """
+            , m AS (
+              SELECT source, ts,
+                     CASE WHEN count(value) OVER wl >= 10
+                          THEN stddev_samp(value) OVER wl END AS lstd,
+                     CASE WHEN count(value) OVER wr >= 10
+                          THEN stddev_samp(value) OVER wr END AS rstd
+              FROM d
+              WINDOW wl AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                     wr AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+            ), x AS (
+              SELECT source, ts, abs(rstd - lstd) / lstd AS mag FROM m
+            ), b AS (
+              SELECT source,
+                     quantile_cont(mag, 0.75)
+                       + 6.0 * (quantile_cont(mag, 0.75) - quantile_cont(mag, 0.25)) AS hi
+              FROM x GROUP BY source
+            )
+            SELECT x.source, x.ts,
+                   CASE WHEN x.mag IS NULL THEN NULL
+                        ELSE CAST(x.mag > b.hi AS DOUBLE) END AS label
+            FROM x JOIN b USING (source)
+        """,
+        "autoregression_ad": _DEDUP_CTE + """
+            , l AS (
+              SELECT source, ts, value,
+                     lag(value) OVER (PARTITION BY source ORDER BY ts) AS lag1
+              FROM d
+            ), fitp AS (
+              SELECT source, regr_slope(value, lag1) AS slope,
+                     regr_intercept(value, lag1) AS icept
+              FROM l GROUP BY source
+            ), x AS (
+              SELECT l.source, l.ts,
+                     l.value - (f.icept + f.slope * l.lag1) AS resid
+              FROM l JOIN fitp f USING (source)
+            ), b AS (
+              SELECT source,
+                     quantile_cont(abs(resid), 0.75)
+                       + 3.0 * (quantile_cont(abs(resid), 0.75)
+                                - quantile_cont(abs(resid), 0.25)) AS hi
+              FROM x GROUP BY source
+            )
+            SELECT x.source, x.ts,
+                   CASE WHEN x.resid IS NULL THEN NULL
+                        ELSE CAST(abs(x.resid) > b.hi AS DOUBLE) END AS label
+            FROM x JOIN b USING (source)
+        """,
+        "or_and_labels": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     avg(value) AS value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT source, ts,
+                   CAST(value > 130.0 AS DOUBLE) AS l_hi,
+                   CAST(value > 110.0 AS DOUBLE) AS l_lo,
+                   CAST(value > 130.0 OR value > 110.0 AS DOUBLE) AS l_or,
+                   CAST(value > 130.0 AND value > 110.0 AS DOUBLE) AS l_and
+            FROM r
+        """,
+        "expand_events": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), l AS (
+              SELECT source, h,
+                     CAST(v > 130.0 AS DOUBLE) AS label,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM r
+            ), fl AS (
+              SELECT source, h,
+                     rn - row_number() OVER (PARTITION BY source ORDER BY rn) AS grp
+              FROM l WHERE label = 1
+            ), ev AS (
+              SELECT source,
+                     epoch_us(min(h)) - 1800000000 AS s,
+                     epoch_us(max(h)) + 3599999999 + 1800000000 AS e
+              FROM fl GROUP BY source, grp
+            ), isl AS (
+              SELECT source, s, e,
+                     sum(CASE WHEN pmax IS NULL OR s > pmax + 1
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY source ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS grp
+              FROM (SELECT source, s, e,
+                           max(e) OVER (PARTITION BY source ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING) AS pmax
+                    FROM ev)
+            )
+            SELECT source, make_timestamp(min(s)) AS start_ts,
+                   make_timestamp(max(e)) AS end_ts
+            FROM isl GROUP BY source, grp
+        """,
+        "to_labels_roundtrip": """
+            SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                   CAST(avg(value) > 130.0 AS DOUBLE) AS label
+            FROM events GROUP BY 1, 2
+        """,
+        "recall_events": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), l AS (
+              SELECT source, h, v,
+                     row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+              FROM r
+            ), evt AS (
+              SELECT source, epoch_us(min(h)) AS s,
+                     epoch_us(max(h)) + 3599999999 AS e
+              FROM (SELECT source, h,
+                           rn - row_number() OVER (PARTITION BY source ORDER BY rn) AS grp
+                    FROM l WHERE v > 130.0)
+              GROUP BY source, grp
+            ), evp AS (
+              SELECT source, epoch_us(min(h)) AS s,
+                     epoch_us(max(h)) + 3599999999 AS e
+              FROM (SELECT source, h,
+                           rn - row_number() OVER (PARTITION BY source ORDER BY rn) AS grp
+                    FROM l WHERE v > 110.0)
+              GROUP BY source, grp
+            ), per_event AS (
+              SELECT t.source, t.s, t.e,
+                     sum(greatest(0, least(t.e, p.e) - greatest(t.s, p.s))) AS ov
+              FROM evt t LEFT JOIN evp p
+                ON p.source = t.source AND t.s <= p.e AND p.s <= t.e
+              GROUP BY t.source, t.s, t.e
+            )
+            SELECT source,
+                   round(sum(CASE WHEN coalesce(ov, 0) >= 0.5 * (e - s)
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS recall
+            FROM per_event GROUP BY source
+        """,
+        "rolling_quantile_2q": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 6
+                        THEN round(quantile_cont(value, 0.25) OVER w, 6) END AS rq25,
+                   CASE WHEN count(value) OVER w >= 6
+                        THEN round(quantile_cont(value, 0.75) OVER w, 6) END AS rq75
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        "rolling_nnz": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(*) OVER w
+                             - count(CASE WHEN value = 0 THEN 1 END) OVER w
+                             AS DOUBLE) END AS r_nnz
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "payload_roundtrip_1m": """
+            SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                   round(avg(value), 6) AS vavg
+            FROM events GROUP BY 1, 2
+        """,
+        "tier_1d_3level": """
+            SELECT event_type AS source,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                   count(value) AS cnt, round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
+                   round(sum(value) / count(value), 6) AS vavg
+            FROM events GROUP BY 1, 2
+        """,
+        "seasonal_resid": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
+            ), spine AS (
+              SELECT source, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM bounds
+            ), j AS (
+              SELECT s.source, s.ts, r.v, epoch_us(s.ts) AS t
+              FROM spine s LEFT JOIN r ON r.source = s.source AND r.h = s.ts
+            ), f AS (
+              SELECT source, ts, t,
+                     CASE
+                       WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                       WHEN pv IS NOT NULL THEN pv
+                     END AS v
+              FROM (
+                SELECT source, ts, v, t,
+                       last_value(v IGNORE NULLS) OVER wp AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+                       first_value(v IGNORE NULLS) OVER wn AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+                FROM j
+                WINDOW wp AS (PARTITION BY source ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wn AS (PARTITION BY source ORDER BY ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              )
+            ), pat AS (
+              SELECT source,
+                     (row_number() OVER (PARTITION BY source ORDER BY ts) - 1) % 24 AS phase,
+                     v
+              FROM f
+            ), seas AS (
+              SELECT source, phase, avg(v) AS seasonal FROM pat GROUP BY 1, 2
+            ), d0 AS (
+              SELECT source, min(t) AS datum FROM f GROUP BY source
+            )
+            SELECT f.source, f.ts,
+                   round(f.v - s.seasonal, 6) AS resid
+            FROM f
+            JOIN d0 ON d0.source = f.source
+            JOIN seas s ON s.source = f.source
+              AND s.phase = ((f.t - d0.datum) / 3600000000) % 24
         """,
     }

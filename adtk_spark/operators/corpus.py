@@ -34,6 +34,26 @@ def _words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
 
 
+def _with_shingles(
+    docs: DataFrame, *, text_col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """Materialize distinct word-n-gram shingles as column ``out``.
+
+    The words array is bound to a real projection (referenced more than
+    once, so CollapseProject keeps the boundary); the per-index lambda
+    then slices an in-memory array — O(1) per shingle. Building the
+    whole thing as one nested expression instead makes Catalyst inline
+    the split() into every lambda element, re-splitting the document
+    per shingle index: O(words^2) per row and off the codegen path.
+    """
+    d = docs.withColumn("_w", _words(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_w") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, n)),
+    )
+    return d.withColumn(out, F.array_distinct(grams)).drop("_w")
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -50,7 +70,13 @@ def dedup_exact(
 
 
 def shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Word n-gram shingles as strings (distinct)."""
+    """Word n-gram shingles as strings (distinct).
+
+    NOTE: expression form — the split() is textually inlined into the
+    per-index lambda, so this is O(words^2) per row. Fine for ad-hoc
+    use on short strings; every operator in this module goes through
+    ``_with_shingles`` (materialized words array) instead.
+    """
     w = _words(text_col)
     k = F.size(w) - (n - 1)
     grams = F.transform(
@@ -86,11 +112,17 @@ def minhash_lsh_pairs(
     Output (id_a, id_b, jaccard) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    sig = (
+        _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                       n=shingle_n, out="sh")
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .drop(text_col)
+    )
+    # The banded table carries only (id, band, bucket) — 20 bytes/row —
+    # through the explode and the bucket self-join; the (wide) shingle
+    # arrays are joined back only for the surviving candidate pairs.
     banded = sig.select(
-        id_col, "sh",
+        id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -101,16 +133,23 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select(id_col, "sh", "bb.band", "bb.bucket")
+    ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
-        a.join(b, on=[F.col(f"a.band") == F.col("b.band"),
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bucket") == F.col("b.bucket"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_only = sig.select(id_col, "sh")
+    cand = (
+        cand.join(sh_only.select(F.col(id_col).alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_only.select(F.col(id_col).alias("id_b"),
+                             F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -133,9 +172,9 @@ def ngram_jaccard_pairs(
     explode shingles, self-join on shingle (candidates must share at
     least one), count shared, derive |union| from per-doc counts.
     SQL-expressible — used as a DuckDB-checked oracle query."""
-    ex = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(text_col, shingle_n)).alias("g"),
+    ex = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                        n=shingle_n, out="sh").select(
+        F.col(id_col).alias("id"), F.explode("sh").alias("g"),
     )
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (
@@ -213,11 +252,11 @@ def doc_quality(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Quality heuristics: length, token count, stopword ratio, mean
-    token length, distinct-token ratio."""
-    w = _words(text_col)
+    token length, distinct-token ratio. Words split once per row."""
     sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    w = F.col("_w")
     n = F.size(w)
-    return docs.select(
+    return docs.withColumn("_w", _words(text_col)).select(
         id_col,
         F.length(text_col).alias("n_chars_text"),
         n.alias("n_words"),
@@ -232,7 +271,7 @@ def lang_id(
 ) -> DataFrame:
     """Marker-word language heuristic: count per-language marker hits
     and take the argmax (en on ties). Deterministic and SQL-expressible."""
-    w = _words(text_col)
+    w = F.col("_w")
 
     def contains(arr):
         # NOTE: no default-arg capture — F.filter reads the lambda's
@@ -244,7 +283,7 @@ def lang_id(
     for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
         scores.append(F.size(F.filter(w, contains(arr))).alias(f"score_{lang}"))
-    scored = docs.select(id_col, *scores)
+    scored = docs.withColumn("_w", _words(text_col)).select(id_col, *scores)
     langs = list(LANG_MARKERS)
     best = F.lit(langs[0])
     best_score = F.col(f"score_{langs[0]}")
@@ -260,12 +299,12 @@ def token_count(
 ) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish subword estimate
     (word-length/4 pieces per word, ceil) — the standard cheap proxy."""
-    w = _words(text_col)
+    w = F.col("_w")
     bpe_est = F.aggregate(
         w, F.lit(0).cast("long"),
         lambda acc, x: acc + F.ceil(F.length(x) / 4.0).cast("long"),
     )
-    return docs.select(
+    return docs.withColumn("_w", _words(text_col)).select(
         id_col, F.size(w).alias("n_ws_tokens"), bpe_est.alias("n_bpe_est")
     )
 
@@ -274,16 +313,22 @@ def fingerprint(
     docs: DataFrame, window: int = 4, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Winnowing document fingerprint: rolling hash over word shingles,
-    per-window minimum, distinct set — all higher-order functions."""
-    grams = shingles(text_col, 3)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    k = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    per-window minimum, distinct set — all higher-order functions.
+
+    Shingles and their hashes are materialized columns (not inlined
+    expressions) so each per-window lambda slices an in-memory array
+    instead of re-deriving the whole shingle set per window position."""
+    d = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                       n=3, out="_sh")
+    d = d.withColumn("_h", F.transform("_sh", lambda g: F.xxhash64(g)))
     mins = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        F.sequence(F.lit(1),
+                   F.greatest(F.size("_h") - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
     )
-    return docs.select(
+    d = d.withColumn("_fp", F.array_sort(F.array_distinct(mins)))
+    return d.select(
         id_col,
-        F.array_sort(F.array_distinct(mins)).alias("fingerprints"),
-        F.size(F.array_distinct(mins)).alias("n_fingerprints"),
+        F.col("_fp").alias("fingerprints"),
+        F.size("_fp").alias("n_fingerprints"),
     )

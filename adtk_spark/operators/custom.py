@@ -128,3 +128,39 @@ def customized_transformer(
         model = custom_fit(df, fit_func, fit_func_params, **fit_kw)
     kw.setdefault("out_col", "transformed")
     return custom_apply(df, transform_func, transform_func_params, model, **kw)
+
+
+def customized_aggregator(
+    labels: DataFrame,
+    aggregate_func: Callable,
+    aggregate_func_params: dict | None = None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    label_cols: list[str] | None = None,
+    out_col: str = "label",
+) -> DataFrame:
+    """CustomizedAggregator (aggregator/_aggregator.py:15-79): a user
+    function combining several binary-label columns into one. Input is
+    the wide label table (one column per upstream detector); the
+    function receives the ts-indexed pandas DataFrame of label columns
+    and returns an index-aligned Series, per source, in one Arrow
+    grouped-map UDF."""
+    cols = label_cols or [
+        c for c in labels.columns if c not in (source_col, ts_col)
+    ]
+    params = aggregate_func_params or {}
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in labels.schema.fields
+    )
+    schema = f"{in_fields}, `{out_col}` double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        x = pdf.set_index(pd.DatetimeIndex(pdf[ts_col]))[cols]
+        out = aggregate_func(x, **params)
+        res = pdf.copy()
+        res[out_col] = pd.Series(out).astype(float).values
+        return res
+
+    return labels.groupBy(source_col).applyInPandas(run, schema=schema)

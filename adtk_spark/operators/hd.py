@@ -168,6 +168,28 @@ def pca_projection(
     return joined.select("*", *cols).drop("means", "components")
 
 
+def pca_reconstruction(
+    df: DataFrame, model: DataFrame, features: list[str], k: int = 1,
+    *, source_col: str = "source", suffix: str = "_recon",
+) -> DataFrame:
+    """PcaReconstruction (_transformer_hd.py:226-266):
+    inverse_transform(transform(x)) = mu + sum_j score_j * component_j,
+    one reconstructed column per feature. NULL rows stay NULL."""
+    joined = df.join(F.broadcast(model), on=source_col, how="left")
+    nulls = _any_null(features)
+    scores = [_pc_score(features, j) for j in range(k)]
+    out_cols = []
+    for i, c in enumerate(features):
+        recon = F.element_at(F.col("means"), i + 1)
+        for j in range(k):
+            comp = F.element_at(F.col("components"), j + 1)
+            recon = recon + scores[j] * F.element_at(comp, i + 1)
+        out_cols.append(
+            F.when(nulls, F.lit(None)).otherwise(recon).alias(f"{c}{suffix}")
+        )
+    return joined.select("*", *out_cols).drop("means", "components")
+
+
 def pca_reconstruction_error(
     df: DataFrame, model: DataFrame, features: list[str], k: int = 1,
     *, source_col: str = "source", out_col: str = "recon_error",
@@ -274,3 +296,38 @@ def min_cluster_ad(
         (assign - 1) == F.col("min_cluster")
     )
     return joined.withColumn(out_col, _as_double(label)).drop("centers", "min_cluster")
+
+
+def outlier_detector(
+    df: DataFrame,
+    outlier_func,
+    features: list[str],
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    out_col: str = "label",
+) -> DataFrame:
+    """OutlierDetector (_detector_hd.py:143-188): wrap a user outlier
+    model. The reference calls sklearn ``fit_predict`` on the dropna
+    rows and maps ``-1`` -> anomalous; here ``outlier_func`` is any
+    callable ``DataFrame[features] -> array-like of {-1, 1}`` (e.g. a
+    bound ``IsolationForest(...).fit_predict``), run per source in one
+    Arrow grouped-map UDF. Rows with any NULL feature get NULL labels
+    (the reference's dropna semantics)."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{in_fields}, `{out_col}` double"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sub = pdf[features].dropna()
+        lab = pd.Series(np.nan, index=pdf.index)
+        if len(sub):
+            pred = np.asarray(outlier_func(sub))
+            lab.loc[sub.index] = (pred == -1).astype(float)
+        out = pdf.copy()
+        out[out_col] = lab
+        return out
+
+    return df.groupBy(source_col).applyInPandas(run, schema=schema)

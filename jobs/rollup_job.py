@@ -53,6 +53,9 @@ def main(argv=None):
     from adtk_spark.sources.tokens import token_corpus
 
     t0 = time.time()
+    from pyspark.sql import SparkSession
+
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("adtk-rollup-job", cores=args.cores)
     catalog = TierCatalog(args.catalog)
     report = {"catalog": args.catalog}
@@ -87,7 +90,8 @@ def main(argv=None):
 
     report["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(report))
-    spark.stop()
+    if owns_session:  # don't tear down a session the caller owns
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -133,3 +133,43 @@ def test_pipenet_compound(spark):
 
     with pytest.raises(ValueError, match="unknown input"):
         Pipenet({"x": {"fn": lambda d: d, "input": "nope"}})
+
+
+def test_pca_reconstruction(spark):
+    # test_transformerhd.py:228-238 (k=1 reconstruction golden)
+    df = wide_df(spark, {
+        "a": [0, 1, 2, 3, 3.9, 4.1, 5, 6, 7, 7, 8, 9],
+        "b": [0, 1, 2, 3, 4.1, 3.9, 5, 6, 7, NAN, 8, 9],
+    })
+    model = H.pca_fit(df, features=["a", "b"], k=1)
+    out = H.pca_reconstruction(df, model, features=["a", "b"], k=1)
+    want = [0, 1, 2, 3, 4, 4, 5, 6, 7, NAN, 8, 9]
+    assert_series(out, "a_recon", want, tol=1e-6)
+    assert_series(out, "b_recon", want, tol=1e-6)
+
+
+def test_outlier_detector(spark):
+    # test_detectorhd.py:109-134 semantics: wrapped model returns -1 for
+    # outliers on the dropna rows; NULL rows stay NULL
+    df = wide_df(spark, {
+        "a": [0, 0, 0, 0, 0, 1, 0, 0, 0, NAN, 0, 0],
+    })
+
+    def flag_far_from_median(sub):
+        med = sub["a"].median()
+        return [(-1 if abs(v - med) > 0.5 else 1) for v in sub["a"]]
+
+    out = H.outlier_detector(df, flag_far_from_median, features=["a"])
+    assert_series(out, "label", [0, 0, 0, 0, 0, 1, 0, 0, 0, NAN, 0, 0])
+
+
+def test_customized_aggregator(spark):
+    # aggregator/_aggregator.py:15-79: user fn over the label frame;
+    # row-wise max === OR on {0,1} labels
+    df = wide_df(spark, {
+        "l1": [0, 1, 0, 1, 0, 0],
+        "l2": [0, 0, 1, 1, 0, 0],
+    })
+    out = C.customized_aggregator(df, lambda x: x.max(axis=1),
+                                  label_cols=["l1", "l2"])
+    assert_series(out, "label", [0, 1, 1, 1, 0, 0])
