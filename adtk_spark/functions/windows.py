@@ -97,8 +97,38 @@ def exact_quantile_agg(v: Column, p: float) -> Column:
 
 
 def exact_quantile_over(v: Column, win: WindowSpec, p: float) -> Column:
+    """One-off exact quantile over a window frame.
+
+    NOTE: expression form — `_interp_sorted` references the array five
+    times and WindowExec does NOT dedupe identical window expressions,
+    so this builds/sorts five frame buffers per row. Hot paths
+    (rolling_agg / double_rolling_agg / shift detectors) materialize
+    `sorted_frame_arr` once behind a projection instead."""
     arr = F.array_sort(F.collect_list(v).over(win))
     return _interp_sorted(arr, p)
+
+
+#: aggs whose kernel is an exact quantile over the frame's sorted values
+QUANTILE_AGGS = ("median", "quantile", "iqr", "idr")
+
+
+def sorted_frame_arr(value_col: str, win: WindowSpec) -> Column:
+    """The frame's non-null values as ONE sorted-array window expression.
+
+    Quantile kernels index into this attribute after a projection
+    boundary, so the frame is buffered and sorted exactly once per row
+    regardless of how many quantiles/references are computed."""
+    return F.array_sort(F.collect_list(F.col(value_col)).over(win))
+
+
+def single_row_arr(value_col: str) -> Column:
+    """collect_list-equivalent for a degenerate single-row ROWS frame
+    (e.g. DoubleRolling right window=1): [] when NULL else [value] —
+    a pure projection, no window buffer at all."""
+    v = F.col(value_col)
+    return F.when(v.isNotNull(), F.array(v)).otherwise(
+        F.array().cast("array<double>")
+    )
 
 
 def _interp_sorted(arr: Column, p: float) -> Column:
@@ -135,15 +165,21 @@ def agg_exprs(
     agg_params: dict | None,
     min_periods: int | None,
     default_min_periods: int,
+    arr: Column | None = None,
 ) -> "dict[str | None, Column]":
     """Columns for one (frame, agg) pair, min_periods-gated.
 
     Returns {suffix: column}; suffix None means scalar output (single
     column), otherwise one column per suffix (multi-output aggs).
+
+    ``arr``: a materialized `sorted_frame_arr` attribute for this frame.
+    When given, quantile kernels index into it and the min_periods gate
+    uses its size (== count of non-null frame values) — one frame
+    buffer per row instead of one per expression reference.
     """
     v = F.col(value_col)
     params = agg_params or {}
-    cnt = F.count(v).over(win)
+    cnt = F.size(arr).cast("long") if arr is not None else F.count(v).over(win)
     mp = min_periods if min_periods is not None else default_min_periods
     gate = cnt >= F.lit(mp)
 
@@ -151,6 +187,8 @@ def agg_exprs(
         return F.when(gate, c).otherwise(F.lit(None)).cast("double")
 
     def q(p: float) -> Column:
+        if arr is not None:
+            return _interp_sorted(arr, p)
         return exact_quantile_over(v, win, p)
 
     if agg == "mean":
@@ -266,10 +304,15 @@ def rolling_agg(
     lo, hi = _bounds(kind, size, center, closed)
     win = _win(source_col, ts_col, kind, lo, hi)
     default_mp = size if kind == ROWS else 1
-    exprs = agg_exprs(value_col, win, agg, agg_params, min_periods, default_mp)
+    src, arr = df, None
+    if agg in QUANTILE_AGGS:
+        src = df.select("*", sorted_frame_arr(value_col, win).alias("_qarr"))
+        arr = F.col("_qarr")
+    exprs = agg_exprs(value_col, win, agg, agg_params, min_periods, default_mp,
+                      arr=arr)
     base = out_col or f"{value_col}_roll"
     cols = [c.alias(base if sfx is None else f"{base}_{sfx}") for sfx, c in exprs.items()]
-    return df.select("*", *cols)
+    return src.select(*df.columns, *cols)
 
 
 def _double_frames(
@@ -334,8 +377,22 @@ def double_rolling_agg(
 
     lwin = _win(source_col, ts_col, lk, llo, lhi)
     rwin = _win(source_col, ts_col, rk, rlo, rhi)
-    lexprs = agg_exprs(value_col, lwin, aggs[0], aps[0], mps[0], lmp)
-    rexprs = agg_exprs(value_col, rwin, aggs[1], aps[1], mps[1], rmp)
+    extra, larr, rarr = [], None, None
+    if aggs[0] in QUANTILE_AGGS:
+        if lk == ROWS and llo == 0 and lhi == 0:
+            larr = single_row_arr(value_col)
+        else:
+            extra.append(sorted_frame_arr(value_col, lwin).alias("_qarr_l"))
+            larr = F.col("_qarr_l")
+    if aggs[1] in QUANTILE_AGGS:
+        if rk == ROWS and rlo == 0 and rhi == 0:
+            rarr = single_row_arr(value_col)
+        else:
+            extra.append(sorted_frame_arr(value_col, rwin).alias("_qarr_r"))
+            rarr = F.col("_qarr_r")
+    src = df.select("*", *extra) if extra else df
+    lexprs = agg_exprs(value_col, lwin, aggs[0], aps[0], mps[0], lmp, arr=larr)
+    rexprs = agg_exprs(value_col, rwin, aggs[1], aps[1], mps[1], rmp, arr=rarr)
     if set(lexprs) != set(rexprs):
         raise ValueError("left/right aggs must produce matching outputs")
 
@@ -359,7 +416,7 @@ def double_rolling_agg(
             c = F.sqrt((r - l) * (r - l))
         else:
             raise ValueError(f"unsupported diff: {diff!r}")
-        return df.select("*", c.alias(out))
+        return src.select(*df.columns, c.alias(out))
     # vector output: elementwise combine, NULL-propagating (skipna=False)
     if diff == "l1":
         c = None
@@ -374,4 +431,4 @@ def double_rolling_agg(
         c = F.sqrt(c)
     else:
         raise ValueError(f"diff {diff!r} not applicable to vector aggregates")
-    return df.select("*", c.alias(out))
+    return src.select(*df.columns, c.alias(out))

@@ -34,6 +34,42 @@ def validate_series(
     )
 
 
+def one_hot(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """validate_series(check_categorical=True) parity (_data.py:80-93):
+    pd.get_dummies — string columns become `{col}_{value}` 0/1 indicator
+    columns, ordered by value; non-string columns pass through. The
+    series key (``source_col``) is structural, never encoded.
+
+    Fit-as-action: the distinct value sets (small) are collected once,
+    the encoding itself is a pure projection — no shuffle of the series.
+    """
+    if cols is None:
+        cols = [f.name for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+                and f.name != source_col]
+    values = {}
+    if cols:
+        rows = (
+            df.select(*[F.collect_set(c).alias(c) for c in cols]).collect()[0]
+        )
+        values = {c: sorted(v for v in rows[c] if v is not None) for c in cols}
+    out_cols = []
+    for f in df.schema.fields:
+        if f.name not in cols:
+            out_cols.append(F.col(f.name))
+            continue
+        for v in values[f.name]:
+            out_cols.append(
+                (F.col(f.name) == F.lit(v)).cast("int").alias(f"{f.name}_{v}")
+            )
+    return df.select(*out_cols)
+
+
 def split_train_test(
     df: DataFrame,
     mode: int = 1,

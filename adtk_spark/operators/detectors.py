@@ -365,17 +365,38 @@ def _shift_diffs(df, window, min_periods, agg, diff_mag, *, source_col, ts_col, 
     # shape (center=True); magnitude branch uses l1 or abs_rel_diff.
     # Compute the left/right aggregates once (one Window node, zero
     # joins) and derive both the signed diff and the magnitude.
-    from ..functions.windows import _double_frames, _win, agg_exprs
+    from ..functions.windows import (
+        QUANTILE_AGGS,
+        _double_frames,
+        _win,
+        agg_exprs,
+        sorted_frame_arr,
+    )
 
     mps = min_periods if isinstance(min_periods, tuple) else (min_periods, min_periods)
     (lk, llo, lhi, _ls, lmp), (rk, rlo, rhi, _rs, rmp) = _double_frames(window, True)
     lwin = _win(source_col, ts_col, lk, llo, lhi)
     rwin = _win(source_col, ts_col, rk, rlo, rhi)
-    left = agg_exprs(value_col, lwin, agg, None, mps[0], lmp)[None]
-    right = agg_exprs(value_col, rwin, agg, None, mps[1], rmp)[None]
+    from ..functions.windows import ROWS, single_row_arr
+
+    extra, larr, rarr = [], None, None
+    if agg in QUANTILE_AGGS:
+        if lk == ROWS and llo == 0 and lhi == 0:
+            larr = single_row_arr(value_col)
+        else:
+            extra.append(sorted_frame_arr(value_col, lwin).alias("_qarr_l"))
+            larr = F.col("_qarr_l")
+        if rk == ROWS and rlo == 0 and rhi == 0:
+            rarr = single_row_arr(value_col)
+        else:
+            extra.append(sorted_frame_arr(value_col, rwin).alias("_qarr_r"))
+            rarr = F.col("_qarr_r")
+    src = df.select("*", *extra) if extra else df
+    left = agg_exprs(value_col, lwin, agg, None, mps[0], lmp, arr=larr)[None]
+    right = agg_exprs(value_col, rwin, agg, None, mps[1], rmp, arr=rarr)[None]
     diff = right - left
     mag = F.abs(diff) if diff_mag == "l1" else F.abs(diff) / left
-    return df.select("*", diff.alias("_diff"), mag.alias("_mag"))
+    return src.select(*df.columns, diff.alias("_diff"), mag.alias("_mag"))
 
 
 def level_shift_ad_fit(train, window, c=6.0, min_periods=None, **kw):
