@@ -516,6 +516,62 @@ def q_seasonal_resid(spark, sf_dir):
     return out.select("source", "ts", F.round("residual", 6).alias("resid"))
 
 
+def q_rolling_hist(spark, sf_dir):
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=5, agg="hist",
+                      agg_params={"bins": [0.0, 50.0, 100.0, 1000.0]},
+                      out_col="h")
+    return out.select(
+        "source", "ts",
+        F.col("`h_[0.0, 50.0)`").alias("h0"),
+        F.col("`h_[50.0, 100.0)`").alias("h1"),
+        F.col("`h_[100.0, 1000.0]`").alias("h2"),
+    )
+
+
+def q_split_mode3(spark, sf_dir):
+    from adtk_spark.operators.data import split_train_test
+
+    s = _series(spark, sf_dir)
+    _, test = split_train_test(s, mode=3, n_splits=2)[0]
+    return test.select("source", "ts", "value")
+
+
+def _wide_pair(spark, sf_dir):
+    """Two event-type hourly series pivoted to a 2-feature wide table
+    (the engine's multivariate input shape)."""
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("ts"), "event_type"
+    ).agg(F.avg("value").alias("v"))
+    a = h.where(F.col("event_type") == "click").select("ts", F.col("v").alias("a"))
+    b = h.where(F.col("event_type") == "view").select("ts", F.col("v").alias("b"))
+    return a.join(b, "ts").withColumn("source", F.lit("all"))
+
+
+def q_pca_recon_error(spark, sf_dir):
+    """PCA k=1 reconstruction error on the 2-feature table; the oracle
+    is the closed-form principal axis of the 2x2 covariance matrix
+    (rotation-invariant, so the SVD sign convention cancels)."""
+    from adtk_spark.operators.hd import pca_fit, pca_reconstruction_error
+
+    w = _wide_pair(spark, sf_dir)
+    model = pca_fit(w, ["a", "b"], k=1)
+    out = pca_reconstruction_error(w, model, ["a", "b"], k=1, out_col="err")
+    return out.select("source", "ts", F.round("err", 6).alias("recon_err"))
+
+
+def q_regression_residual(spark, sf_dir):
+    from adtk_spark.operators.hd import regression_residual, regression_residual_fit
+
+    w = _wide_pair(spark, sf_dir)
+    model = regression_residual_fit(w, target="b", features=["a"])
+    out = regression_residual(w, model, target="b", features=["a"])
+    return out.select("source", "ts", F.round("residual", 6).alias("resid"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -572,6 +628,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "payload_roundtrip_1m": q_payload_roundtrip_1m,
         "tier_1d_3level": q_tier_1d_3level,
         "seasonal_resid": q_seasonal_resid,
+        "rolling_hist": q_rolling_hist,
+        "split_mode3": q_split_mode3,
+        "pca_recon_error": q_pca_recon_error,
+        "regression_residual": q_regression_residual,
     }
 
 
@@ -1122,5 +1182,69 @@ def oracle_sql() -> dict[str, str]:
             JOIN d0 ON d0.source = f.source
             JOIN seas s ON s.source = f.source
               AND s.phase = ((f.t - d0.datum) / 3600000000) % 24
+        """,
+        "rolling_hist": _DEDUP_CTE + """
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= 0.0 AND value < 50.0
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h0,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= 50.0 AND value < 100.0
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h1,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= 100.0 AND value <= 1000.0
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h2
+            FROM d
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "split_mode3": _DEDUP_CTE + """
+            , p AS (
+              SELECT source, ts, value,
+                     row_number() OVER (PARTITION BY source ORDER BY ts) - 1 AS pos,
+                     count(*) OVER (PARTITION BY source) AS n
+              FROM d
+            )
+            SELECT source, ts, value FROM p
+            WHERE pos >= round_even(n / 3.0, 0)
+              AND pos < 2 * round_even(n / 3.0, 0)
+        """,
+        "pca_recon_error": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), s AS (
+              SELECT avg(a) AS ma, avg(b) AS mb,
+                     0.5 * atan2(2 * covar_pop(a, b),
+                                 var_pop(a) - var_pop(b)) AS th
+              FROM w
+            )
+            SELECT 'all' AS source, w.ts,
+                   round( (w.a - s.ma) * (w.a - s.ma)
+                        + (w.b - s.mb) * (w.b - s.mb)
+                        - (cos(s.th) * (w.a - s.ma)
+                           + sin(s.th) * (w.b - s.mb))
+                          * (cos(s.th) * (w.a - s.ma)
+                             + sin(s.th) * (w.b - s.mb)), 6) AS recon_err
+            FROM w, s
+        """,
+        "regression_residual": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), f AS (
+              SELECT regr_slope(b, a) AS sl, regr_intercept(b, a) AS ic FROM w
+            )
+            SELECT 'all' AS source, w.ts,
+                   round(w.b - (f.ic + f.sl * w.a), 6) AS resid
+            FROM w, f
         """,
     }

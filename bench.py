@@ -188,6 +188,84 @@ def run_scaling() -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+PANDAS_DOCS = int(os.environ.get("SPARK_GRAFT_PANDAS_DOCS", "16000000"))
+
+
+def run_pandas_baseline() -> dict:
+    """Single-core pandas 4-tier rollup on the same input — the
+    reference's substrate (adtk is a single-threaded pandas library with
+    no published benchmarks, BASELINE.md). Throughput comparison point
+    for the 'matches-or-beats single-node throughput' gate.
+    """
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from adtk_spark.plans.tiers import rollup_raw, rollup_up
+    from adtk_spark.session import get_spark
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    work = tempfile.mkdtemp(prefix="bench_pandas_")
+    try:
+        spark = get_spark("pandas-baseline-gen", cores=16, shuffle_partitions=32)
+        token_series(
+            token_corpus(spark, PANDAS_DOCS, n_sources=2048,
+                         span_secs=6 * 86400, partitions=64)
+        ).write.mode("overwrite").parquet(f"{work}/raw")
+        raw = spark.read.parquet(f"{work}/raw")
+        n_raw = raw.count()
+
+        def spark_chain():
+            rollup_up(rollup_up(rollup_raw(raw, "1m"), "1h"), "1d") \
+                .write.format("noop").mode("overwrite").save()
+
+        pdf = pd.read_parquet(f"{work}/raw", columns=["source", "ts", "value"])
+
+        def pandas_chain():
+            d = pdf.copy()
+            d["b"] = d["ts"].dt.floor("1min")
+            t1m = d.groupby(["source", "b"], sort=False)["value"].agg(
+                cnt="count", vmin="min", vmax="max", vsum="sum", vq="median"
+            ).reset_index()
+            t1m["mean"] = t1m["vsum"] / t1m["cnt"]
+            t1m["b"] = t1m["b"].dt.floor("1h")
+            t1h = t1m.groupby(["source", "b"], sort=False).agg(
+                cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"),
+                vsum=("vsum", "sum"), vq=("mean", "median")
+            ).reset_index()
+            t1h["mean"] = t1h["vsum"] / t1h["cnt"]
+            t1h["b"] = t1h["b"].dt.floor("1D")
+            t1d = t1h.groupby(["source", "b"], sort=False).agg(
+                cnt=("cnt", "sum"), vmin=("vmin", "min"), vmax=("vmax", "max"),
+                vsum=("vsum", "sum"), vq=("mean", "median")
+            )
+            return len(t1m), len(t1h), len(t1d)
+
+        # interleaved best-of-R: both phases sample the same noise
+        # windows, min approximates the uncontended machine for each
+        spark_times, pandas_times, tier_rows = [], [], None
+        spark_chain()  # warm-up (codegen/JIT)
+        for _ in range(2):
+            t0 = time.time(); spark_chain(); spark_times.append(time.time() - t0)
+            t0 = time.time(); tier_rows = pandas_chain(); pandas_times.append(time.time() - t0)
+        spark.stop()
+        spark_sec, pandas_sec = min(spark_times), min(pandas_times)
+        return {
+            "mode": "pandas_baseline", "n_rows": n_raw,
+            "tier_rows": list(tier_rows),
+            "pandas_1core_sec": round(pandas_sec, 2),
+            "spark_sec": round(spark_sec, 2),
+            "pandas_all": [round(t, 2) for t in pandas_times],
+            "spark_all": [round(t, 2) for t in spark_times],
+            "pandas_points_per_sec": round(n_raw / pandas_sec),
+            "spark_points_per_sec": round(n_raw / spark_sec),
+            "speedup_vs_pandas": round(pandas_sec / spark_sec, 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main():
     from adtk_spark.session import get_spark
 
@@ -196,6 +274,10 @@ def main():
 
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+        return
+
+    if "--pandas-baseline" in sys.argv:
+        print(json.dumps(run_pandas_baseline()))
         return
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
