@@ -16,3 +16,41 @@ from .transformers import (  # noqa: F401
     seasonal_fit,
     seasonal_transform,
 )
+from .detectors import esd_ad, iqr_ad, quantile_ad  # noqa: F401
+from .data import one_hot, split_train_test, validate_series  # noqa: F401
+from .hd import (  # noqa: F401
+    min_cluster_ad,
+    outlier_detector,
+    pca_ad,
+    pca_fit,
+    pca_projection,
+    pca_reconstruction,
+    pca_reconstruction_error,
+    regression_ad,
+    regression_residual,
+    regression_residual_fit,
+)
+from .custom import (  # noqa: F401
+    customized_aggregator,
+    customized_detector,
+    customized_transformer,
+)
+from .aggregators import and_labels, or_labels  # noqa: F401
+from .events import (  # noqa: F401
+    events_and,
+    events_or,
+    expand_events,
+    to_events,
+    to_labels,
+    validate_events,
+)
+from .metrics import (  # noqa: F401
+    f1_events,
+    f1_labels,
+    iou_events,
+    iou_labels,
+    precision_events,
+    precision_labels,
+    recall_events,
+    recall_labels,
+)
