@@ -83,6 +83,46 @@ class Pipenet:
             return results
         return results[self._final_step()]
 
+    def summary(self) -> str:
+        """Step table in topological order (Pipenet.summary,
+        _pipe.py:1357-1376)."""
+        lines = [f"{'step':<24}{'input':<32}subset"]
+        for name in self._order:
+            spec = self.steps[name]
+            inp = spec.get("input", "original")
+            inp = ", ".join(inp) if isinstance(inp, list) else inp
+            sub = ", ".join(spec.get("subset") or []) or "-"
+            lines.append(f"{name:<24}{inp:<32}{sub}")
+        return "\n".join(lines)
+
+    def score(
+        self,
+        df: DataFrame,
+        truth: DataFrame,
+        scoring: str = "recall",
+        *,
+        label_col: str = "label",
+        truth_label_col: str = "label",
+    ) -> DataFrame:
+        """Pipenet.score (_pipe.py:1259-1355): run the DAG's detect pass
+        and compare its label output against a truth label table with
+        the chosen metric ('recall' | 'precision' | 'f1' | 'iou').
+        Returns the per-source metric DataFrame."""
+        from pyspark.sql import functions as F
+
+        from .metrics import f1_labels, iou_labels, precision_labels, recall_labels
+
+        fns = {"recall": recall_labels, "precision": precision_labels,
+               "f1": f1_labels, "iou": iou_labels}
+        if scoring not in fns:
+            raise ValueError(f"scoring must be one of {sorted(fns)}")
+        pred = self.run(df).select(
+            *self.join_keys, F.col(label_col).alias("y_pred")
+        )
+        t = truth.select(*self.join_keys, F.col(truth_label_col).alias("y_true"))
+        pair = t.join(pred, on=self.join_keys, how="outer")
+        return fns[scoring](pair, source_col=self.join_keys[0])
+
 
 class Pipeline(Pipenet):
     """Linear chain sugar (reference Pipeline wraps a Pipenet the same
