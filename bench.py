@@ -182,8 +182,19 @@ def run_scaling() -> dict:
             t1d = rollup_up(rollup_up(rollup_raw(raw, "1m"), "1h"), "1d")
             t1d.write.format("noop").mode("overwrite").save()
 
+        # probe-gated rounds: only measure when the box is near-quiet
+        # (noisy-neighbor steal inflates both configs unevenly and can
+        # turn a 0.8-efficiency chain into a 0.37 reading)
         times: dict[int, list[float]] = {4: [], 16: []}
-        for _ in range(SCALING_ROUNDS):
+        probes: list[float] = []
+        rounds_done, attempts = 0, 0
+        while rounds_done < SCALING_ROUNDS and attempts < 24:
+            attempts += 1
+            p = noise_probe()
+            if p > 5.0 and rounds_done + len(probes) > 0:
+                time.sleep(90)
+                continue
+            probes.append(p)
             for cores in (4, 16):
                 spark = get_spark(
                     f"scaling-{cores}", cores=cores, shuffle_partitions=2 * cores,
@@ -195,9 +206,11 @@ def run_scaling() -> dict:
                 chain(spark, raw)
                 times[cores].append(time.time() - t0)
                 spark.stop()
+            rounds_done += 1
         b4, b16 = min(times[4]), min(times[16])
         return {
-            "mode": "scaling", "n_rows": n_raw, "rounds": SCALING_ROUNDS,
+            "mode": "scaling", "n_rows": n_raw, "rounds": rounds_done,
+            "round_probes_sec": [round(p, 2) for p in probes],
             "local4_sec_best": round(b4, 2), "local16_sec_best": round(b16, 2),
             "local4_all": [round(t, 2) for t in times[4]],
             "local16_all": [round(t, 2) for t in times[16]],
