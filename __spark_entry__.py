@@ -18,6 +18,21 @@ from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 
+# Order-independent float policy for re-aggregated sums: double addition
+# is non-associative, so a 2- or 3-level rollup chain can flip the last
+# digit of round(sum, 6) depending on partial-aggregation order (the
+# round-1 tier_1d_3level hash flake). All oracle-facing sums/avgs in the
+# rollup family go through DECIMAL(38,9) — exact and associative — then
+# cast to double once at the end. The double->decimal cast itself is
+# deterministic across engines (a double's decimal expansion is never
+# exactly at a half-tie at digit 9 unless the remaining digits are zero,
+# in which case no rounding happens).
+def _dsum():
+    return F.sum(F.col("value").cast("decimal(38,9)"))
+
+
+_DSUM_SQL = "sum(CAST(value AS DECIMAL(38,9)))"
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -59,8 +74,8 @@ def q_rollup_1m(spark, sf_dir):
             F.count("value").alias("cnt"),
             F.round(F.min("value"), 6).alias("vmin"),
             F.round(F.max("value"), 6).alias("vmax"),
-            F.round(F.sum("value"), 6).alias("vsum"),
-            F.round(F.avg("value"), 6).alias("vavg"),
+            F.round(_dsum().cast("double"), 6).alias("vsum"),
+            F.round(_dsum().cast("double") / F.count("value"), 6).alias("vavg"),
         )
     )
 
@@ -76,7 +91,7 @@ def q_rollup_1h_2level(spark, sf_dir):
         F.count("value").alias("cnt"),
         F.min("value").alias("vmin"),
         F.max("value").alias("vmax"),
-        F.sum("value").alias("vsum"),
+        _dsum().alias("vsum"),
     )
     return (
         m1.groupBy("source", F.date_trunc("hour", F.col("m")).alias("bucket_ts"))
@@ -84,8 +99,8 @@ def q_rollup_1h_2level(spark, sf_dir):
             F.sum("cnt").alias("cnt"),
             F.round(F.min("vmin"), 6).alias("vmin"),
             F.round(F.max("vmax"), 6).alias("vmax"),
-            F.round(F.sum("vsum"), 6).alias("vsum"),
-            F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+            F.round(F.sum("vsum").cast("double"), 6).alias("vsum"),
+            F.round(F.sum("vsum").cast("double") / F.sum("cnt"), 6).alias("vavg"),
         )
     )
 
@@ -465,7 +480,7 @@ def q_payload_roundtrip_1m(spark, sf_dir):
     m1 = ev.groupBy(
         F.col("event_type").alias("source"),
         F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
-    ).agg(F.avg("value").alias("mean"))
+    ).agg((_dsum().cast("double") / F.count("value")).alias("mean"))
     blobs = compress_tier(m1, stat="mean", chunk="day")
     back = decompress_tier(blobs)
     return back.select(
@@ -481,7 +496,7 @@ def q_tier_1d_3level(spark, sf_dir):
         F.col("event_type").alias("source"),
         F.date_trunc("minute", F.col("ts")).alias("b"),
     ).agg(F.count("value").alias("cnt"), F.min("value").alias("vmin"),
-          F.max("value").alias("vmax"), F.sum("value").alias("vsum"))
+          F.max("value").alias("vmax"), _dsum().alias("vsum"))
     h1 = m1.groupBy("source", F.date_trunc("hour", F.col("b")).alias("b")).agg(
         F.sum("cnt").alias("cnt"), F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"), F.sum("vsum").alias("vsum"))
@@ -491,8 +506,8 @@ def q_tier_1d_3level(spark, sf_dir):
         F.sum("cnt").alias("cnt"),
         F.round(F.min("vmin"), 6).alias("vmin"),
         F.round(F.max("vmax"), 6).alias("vmax"),
-        F.round(F.sum("vsum"), 6).alias("vsum"),
-        F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+        F.round(F.sum("vsum").cast("double"), 6).alias("vsum"),
+        F.round(F.sum("vsum").cast("double") / F.sum("cnt"), 6).alias("vavg"),
     )
 
 
@@ -637,18 +652,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "rollup_1m": """
+        "rollup_1m": f"""
             SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
                    count(value) AS cnt, round(min(value), 6) AS vmin,
-                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
-                   round(avg(value), 6) AS vavg
+                   round(max(value), 6) AS vmax,
+                   round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
+                   round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
         """,
-        "rollup_1h_2level": """
+        "rollup_1h_2level": f"""
             SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
                    count(value) AS cnt, round(min(value), 6) AS vmin,
-                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
-                   round(sum(value) / count(value), 6) AS vavg
+                   round(max(value), 6) AS vmax,
+                   round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
+                   round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
         """,
         "threshold_ad": """
@@ -1120,17 +1137,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY source ORDER BY ts
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
-        "payload_roundtrip_1m": """
+        "payload_roundtrip_1m": f"""
             SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
-                   round(avg(value), 6) AS vavg
+                   round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
         """,
-        "tier_1d_3level": """
+        "tier_1d_3level": f"""
             SELECT event_type AS source,
                    CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
                    count(value) AS cnt, round(min(value), 6) AS vmin,
-                   round(max(value), 6) AS vmax, round(sum(value), 6) AS vsum,
-                   round(sum(value) / count(value), 6) AS vavg
+                   round(max(value), 6) AS vmax,
+                   round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
+                   round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
         """,
         "seasonal_resid": """

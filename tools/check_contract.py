@@ -47,7 +47,9 @@ def main(sf_dir: str, only: list[str] | None = None):
     import __spark_entry__ as entrymod
     from adtk_spark.session import get_spark
 
-    spark = get_spark("contract-check", cores=8, shuffle_partitions=8)
+    import os
+    cores = int(os.environ.get("SPARK_GRAFT_CHECK_CORES", "8"))
+    spark = get_spark("contract-check", cores=cores, shuffle_partitions=cores)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
