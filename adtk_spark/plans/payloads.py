@@ -54,19 +54,25 @@ def decompress_tier(
     source_col: str = "source",
     value_name: str = "value",
 ) -> DataFrame:
-    """Inverse of compress_tier -> (source, bucket_ts, value)."""
+    """Inverse of compress_tier -> (source, bucket_ts, value).
+
+    Groups by (source, chunk_ts) — one task decodes ONE chunk, so a hot
+    source with a long history fans out across the cluster instead of
+    serializing (and potentially OOMing) in a single task.
+    """
 
     def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, row in pdf.iterrows():
-            ts = dod_decode(row["ts_blob"]).astype("datetime64[us]")
-            vals = xor_decode(row["val_blob"])
-            frames.append(pd.DataFrame(
-                {source_col: row[source_col], "bucket_ts": ts, value_name: vals}
-            ))
-        return pd.concat(frames) if frames else pd.DataFrame(
-            {source_col: [], "bucket_ts": [], value_name: []}
+        # compress_tier emits exactly one row per (source, chunk_ts)
+        if len(pdf) != 1:
+            raise ValueError(
+                f"duplicate payload chunk for {pdf.iloc[0, 0]!r}: {len(pdf)} rows"
+            )
+        row = pdf.iloc[0]
+        ts = dod_decode(row["ts_blob"]).astype("datetime64[us]")
+        vals = xor_decode(row["val_blob"])
+        return pd.DataFrame(
+            {source_col: row[source_col], "bucket_ts": ts, value_name: vals}
         )
 
     schema = f"{source_col} string, bucket_ts timestamp, {value_name} double"
-    return payloads.groupBy(source_col).applyInPandas(unpack, schema=schema)
+    return payloads.groupBy(source_col, "chunk_ts").applyInPandas(unpack, schema=schema)

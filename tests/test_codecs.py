@@ -58,3 +58,25 @@ def test_spark_payload_roundtrip(spark):
     a = {(r["source"], r["bucket_ts"], r["value"]) for r in back.collect()}
     b = {(r["source"], r["bucket_ts"], r["mean"]) for r in tier.collect()}
     assert a == b
+
+
+def test_spark_payload_many_chunks_per_source(spark):
+    # a hot source with a long history: each (source, day) chunk must
+    # decode independently (decompress groups on (source, chunk_ts),
+    # not source alone)
+    import datetime as dt
+
+    rows = [
+        ("hot", dt.datetime(2025, 1, 1) + dt.timedelta(days=d, minutes=15 * m),
+         float(d + m))
+        for d in range(30) for m in range(4)
+    ] + [("cold", dt.datetime(2025, 1, 1, 0, 30), 7.0)]
+    tier = spark.createDataFrame(rows, "source string, bucket_ts timestamp, mean double")
+    from adtk_spark.plans.payloads import compress_tier, decompress_tier
+
+    payloads = compress_tier(tier, stat="mean")
+    assert payloads.count() == 31  # 30 hot days + 1 cold day
+    back = decompress_tier(payloads)
+    a = {(r["source"], r["bucket_ts"], r["value"]) for r in back.collect()}
+    b = {(r["source"], r["bucket_ts"], r["mean"]) for r in tier.collect()}
+    assert a == b
