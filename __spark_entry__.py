@@ -324,36 +324,51 @@ def q_token_count(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash-LSH near-dup pairs. No portable SQL oracle (xxhash64 is
-    Spark-specific) -> driver records the rows-only check; correctness
-    vs exact Jaccard is asserted in tests/test_corpus_ann.py."""
+    """MinHash-LSH near-dup pairs with the portable md5-based hash and
+    a hot-bucket cap — the oracle replays the exact shingle ->
+    signature -> band-bucket -> verify pipeline in SQL."""
     from adtk_spark.operators.corpus import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5, portable=True,
+                             max_bucket=200)
 
 
 def q_simhash_dedup(spark, sf_dir):
-    from adtk_spark.operators.corpus import simhash, simhash_dup_pairs
+    """SimHash near-dup pairs (portable 60-bit hash). The oracle
+    computes ALL pairs with hamming <= 6 directly (brute force is fine
+    at sf0.01), so a hash match also proves the pigeonhole block
+    candidate generation has full recall."""
+    from adtk_spark.operators.corpus import (
+        SIMHASH_BITS_PORTABLE, simhash, simhash_dup_pairs,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dup_pairs(simhash(docs), max_hamming=6)
+    out = simhash_dup_pairs(simhash(docs, portable=True), max_hamming=6,
+                            n_bits=SIMHASH_BITS_PORTABLE)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann_ivf_top10(spark, sf_dir):
+    """IVF top-10 in seeds-mode (n_iter=0): centroids are the first 8
+    vectors in md5(vec_id) order — deterministic and SQL-replayable —
+    and nprobe=2 < n_lists so the oracle must reproduce the probe
+    selection and the per-vector list assignment, not just brute-force
+    cosine. Lloyd-refined centroids (the production default) are
+    golden-tested in tests/test_corpus_ann.py."""
     from adtk_spark.operators.ann import ivf_assign, ivf_fit, ivf_search
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    centers = ivf_fit(emb, n_lists=8)
-    return ivf_search(ivf_assign(emb, centers), centers, qv, k=10, nprobe=8)
+    centers = ivf_fit(emb, n_lists=8, sample=8, n_iter=0)
+    return ivf_search(ivf_assign(emb, centers), centers, qv, k=10, nprobe=2)
 
 
 def q_doc_fingerprint(spark, sf_dir):
     from adtk_spark.operators.corpus import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(docs).select("doc_id", "n_fingerprints")
+    return fingerprint(docs, portable=True).select("doc_id", "n_fingerprints")
 
 
 def q_level_shift_ad(spark, sf_dir):
@@ -936,6 +951,135 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum(list_transform(string_split(text, ' '),
                         x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_est
             FROM documents
+        """,
+        # -- near-dup / ANN family: replay the portable md5-based hash
+        # pipeline (md5_hash64(x) == ('0x'||substr(md5(x),1,15))::BIGINT)
+        "minhash_dedup": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), hx AS (
+              SELECT id, t.i AS i,
+                     min(('0x' || substr(md5((7 + t.i)::VARCHAR || ':' || u.g), 1, 15))::BIGINT) AS mh
+              FROM sh, unnest(sh.g) AS u(g), generate_series(0, 31) AS t(i)
+              GROUP BY id, t.i
+            ), bandv AS (
+              SELECT id, i // 4 AS band,
+                     string_agg(mh::VARCHAR, ',' ORDER BY i) AS bucket
+              FROM hx GROUP BY id, i // 4
+            ), keepb AS (
+              SELECT band, bucket FROM bandv
+              GROUP BY band, bucket HAVING count(*) <= 200
+            ), bb AS (
+              SELECT b.id, b.band, b.bucket FROM bandv b JOIN keepb USING (band, bucket)
+            ), cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM bb x JOIN bb y
+                ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+            ), j AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(a.g, b.g)) * 1.0
+                       / len(list_distinct(a.g || b.g)) AS jaccard
+              FROM cand c
+              JOIN sh a ON a.id = c.id_a
+              JOIN sh b ON b.id = c.id_b
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM j WHERE jaccard >= 0.5
+        """,
+        "simhash_dedup": """
+            WITH w AS (
+              SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), hb AS (
+              SELECT id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM w
+            ), votes AS (
+              SELECT id, b.b AS b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM hb, generate_series(0, 59) AS b(b)
+              GROUP BY id, b.b
+            ), sig AS (
+              SELECT id,
+                     sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+              FROM votes GROUP BY id
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+        """,
+        "ann_ivf_top10": """
+            WITH ord AS (
+              SELECT vec_id, embedding
+              FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id,
+                     CAST(embedding AS DOUBLE[]) AS c
+              FROM ord
+            ), q AS (
+              SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0
+            ), probe AS (
+              SELECT s.list_id FROM seeds s, q
+              ORDER BY list_sum(list_transform(generate_series(1, len(s.c)),
+                                i -> (s.c[i] - q.qe[i]) ^ 2)), s.list_id
+              LIMIT 2
+            ), dists AS (
+              SELECT e.vec_id, s.list_id,
+                     list_sum(list_transform(generate_series(1, len(s.c)),
+                              i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i]) ^ 2)) AS d
+              FROM embeddings e, seeds s
+            ), assigned AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ), scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)
+                       / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cos_sim
+              FROM embeddings e
+              JOIN assigned a ON a.vec_id = e.vec_id
+              JOIN probe p ON p.list_id = a.list_id
+              CROSS JOIN q
+            )
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "doc_fingerprint": """
+            WITH raw AS (
+              SELECT doc_id AS id,
+                     list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ) AS g0
+              FROM documents
+            ), sh AS (
+              -- order-preserving distinct (Spark array_distinct keeps
+              -- first occurrence; DuckDB list_distinct does not)
+              SELECT id, list_filter(g0, (x, i) -> list_position(g0, x) = i) AS g
+              FROM raw
+            ), h AS (
+              SELECT id,
+                     list_transform(g, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM sh
+            ), mins AS (
+              SELECT id, list_transform(
+                       generate_series(1, greatest(len(hs) - 3, 1)),
+                       i -> list_min(list_slice(hs, i, i + 3))
+                     ) AS m
+              FROM h
+            )
+            SELECT id AS doc_id, len(list_distinct(m)) AS n_fingerprints
+            FROM mins
         """,
         "embed_cosine_top10": """
             WITH q AS (

@@ -54,3 +54,23 @@ from .metrics import (  # noqa: F401
     recall_events,
     recall_labels,
 )
+from .corpus import (  # noqa: F401
+    dedup_exact,
+    doc_quality,
+    fingerprint,
+    lang_id,
+    lsh_bucket_stats,
+    md5_hash64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_dup_pairs,
+    token_count,
+)
+from .ann import (  # noqa: F401
+    cosine_topk,
+    embedding_dup_pairs,
+    ivf_assign,
+    ivf_fit,
+    ivf_search,
+)

@@ -52,12 +52,27 @@ def cosine_topk(
 
 def ivf_fit(
     emb: DataFrame, n_lists: int = 16, sample: int = 2000, seed: int = 0,
-    n_iter: int = 20, *, vec_col: str = "embedding",
+    n_iter: int = 20, *, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Train coarse centroids with numpy k-means on a deterministic
-    sample (driver-side: n_lists x dim floats — tiny)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    sample (driver-side: n_lists x dim floats — tiny).
+
+    The sample is ordered by md5(id) — a seeded shuffle that is stable
+    across partition layouts and parallelism (a bare ``limit()`` is
+    whichever rows arrive first, so centroids — and every downstream
+    search result — would change between runs). md5-ordering is also
+    reproducible by a SQL oracle.
+
+    ``n_iter=0`` skips Lloyd refinement and uses the first ``n_lists``
+    sampled vectors directly as centroids ("random-seeds IVF") — fully
+    deterministic arithmetic that an oracle can replay; recall is lower
+    than the refined centroids, which remain the production default.
+    """
+    ordered = emb.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    rows = ordered.select(vec_col).limit(sample).collect()
     X = np.array([r[0] for r in rows], dtype=float)
+    if n_iter == 0:
+        return [list(c) for c in X[: min(n_lists, len(X))]]
     rng = np.random.RandomState(seed)
     centers = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(n_iter):
@@ -115,13 +130,25 @@ def ivf_search(
 def embedding_dup_pairs(
     emb: DataFrame, centers: list[list[float]], threshold: float = 0.95,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates inside one IVF
     cell (near-dups land in the same cell with high probability), exact
-    cosine verification, id_a < id_b."""
+    cosine verification, id_a < id_b.
+
+    ``max_cell`` drops cells holding more than that many vectors from
+    candidate generation — the within-cell join is quadratic in cell
+    size, so one degenerate cell (e.g. a big cluster of zero-ish
+    embeddings) would otherwise dominate the whole job. At scale,
+    re-cluster oversized cells with more centroids instead.
+    """
     idx = ivf_assign(emb, centers).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     )
+    if max_cell is not None:
+        hot = (idx.groupBy("list_id").agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_cell).drop("_n"))
+        idx = idx.join(F.broadcast(hot), ["list_id"], "left_anti")
     a, b = idx.alias("a"), idx.alias("b")
     cand = a.join(b, on=[F.col("a.list_id") == F.col("b.list_id"),
                          F.col("a.id") < F.col("b.id")])

@@ -3,10 +3,9 @@
 Beyond the reference's operator set: the ops a 100 TB training-data
 pipeline needs around the time-series engine — exact and near
 deduplication, text quality/language heuristics, and document
-fingerprinting. Everything except SimHash packing is pure JVM
-expression work (split/explode/groupBy/higher-order functions), so the
-plans scale like any other aggregation; SimHash uses one Arrow UDF for
-64-bit popcount packing.
+fingerprinting. Everything is pure JVM expression work
+(split/explode/groupBy/higher-order functions), so the plans scale
+like any other aggregation — no Python UDFs anywhere in this module.
 
 Scale notes: MinHash-LSH is the standard shingle -> minhash -> band ->
 bucket-join pipeline; candidate verification joins only within buckets
@@ -16,9 +15,7 @@ bucket-join pipeline; candidate verification joins only within buckets
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
@@ -32,6 +29,22 @@ LANG_MARKERS = {
 
 def _words(text_col: str = "text") -> Column:
     return F.split(F.col(text_col), " ")
+
+
+def md5_hash64(c: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as int64.
+
+    Bit-identical in any engine with md5 (DuckDB:
+    ``('0x' || substr(md5(x),1,15))::BIGINT``), which makes hash-keyed
+    operators (minhash/simhash/fingerprint) cross-checkable against a
+    SQL oracle. Production paths default to xxhash64 — one JVM op, no
+    hex-string round-trip — via the ``portable=False`` default.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash64(c: Column, portable: bool) -> Column:
+    return md5_hash64(c) if portable else F.xxhash64(c)
 
 
 def _with_shingles(
@@ -86,9 +99,23 @@ def shingles(text_col: str = "text", n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(sh: Column, n_hashes: int = 32, seed: int = 7) -> Column:
+def minhash_signature(
+    sh: Column, n_hashes: int = 32, seed: int = 7, *, portable: bool = False
+) -> Column:
     """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle, seed_i). Pure expressions — one array column."""
+    hash_i(shingle). Pure expressions — one array column.
+
+    hash_i is xxhash64(shingle, seed+i) by default; with
+    ``portable=True`` it is md5_hash64(f"{seed+i}:" + shingle), which a
+    SQL oracle can reproduce exactly.
+    """
+    if portable:
+        return F.array(*[
+            F.array_min(F.transform(
+                sh, lambda s, i=i: md5_hash64(F.concat(F.lit(f"{seed + i}:"), s))
+            ))
+            for i in range(n_hashes)
+        ])
     return F.array(*[
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(seed + i))))
         for i in range(n_hashes)
@@ -104,36 +131,55 @@ def minhash_lsh_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     shingle -> signature -> band buckets -> candidate pairs inside a
     bucket -> exact Jaccard verification on the candidates only.
     Output (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_bucket`` bounds the per-(band, bucket) cardinality: buckets
+    holding more than ``max_bucket`` docs are dropped from candidate
+    generation (a degenerate bucket — e.g. boilerplate shared by k docs
+    — would otherwise emit k^2 candidate rows). Dropped buckets trade
+    recall for a hard bound on join fan-out; at 100 TB a hot bucket is
+    almost always near-identical boilerplate better handled by exact
+    dedup first. Use ``lsh_bucket_stats`` to count what a cap drops.
     """
     rows_per_band = n_hashes // bands
     sig = (
         _with_shingles(docs.select(id_col, text_col), text_col=text_col,
                        n=shingle_n, out="sh")
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes,
+                                             portable=portable))
         .drop(text_col)
     )
     # The banded table carries only (id, band, bucket) — 20 bytes/row —
     # through the explode and the bucket self-join; the (wide) shingle
     # arrays are joined back only for the surviving candidate pairs.
+    def band_key(b: int) -> Column:
+        concat = F.concat_ws(",", *[
+            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        # portable: the raw signature string IS the bucket key (a SQL
+        # oracle reproduces string_agg exactly); default hashes it down
+        # to 8 bytes for the shuffle
+        return concat if portable else F.xxhash64(concat)
+
     banded = sig.select(
         id_col,
         F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ])).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
             for b in range(bands)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    if max_bucket is not None:
+        hot = (banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_bucket).drop("_n"))
+        banded = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -160,6 +206,41 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_bucket_stats(
+    docs: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bucket-size distribution for a minhash_lsh_pairs run: one row per
+    oversized (band, bucket) with its cardinality — what a ``max_bucket``
+    cap would drop. Run (and log) this before a big LSH job."""
+    rows_per_band = n_hashes // bands
+    sig = (
+        _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                       n=shingle_n, out="sh")
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    )
+    banded = sig.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ])).alias("bucket"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("bb.band", "bb.bucket")
+    return (banded.groupBy("band", "bucket").agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") > max_bucket))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_n: int = 3,
@@ -167,15 +248,47 @@ def ngram_jaccard_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
     explode shingles, self-join on shingle (candidates must share at
     least one), count shared, derive |union| from per-doc counts.
-    SQL-expressible — used as a DuckDB-checked oracle query."""
-    ex = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
-                        n=shingle_n, out="sh").select(
-        F.col(id_col).alias("id"), F.explode("sh").alias("g"),
-    )
+    SQL-expressible — used as a DuckDB-checked oracle query.
+
+    ``max_df`` caps the inverted index's document frequency: shingles
+    present in more than ``max_df`` docs are excluded from candidate
+    GENERATION (a shingle shared by k docs emits k^2 index join rows).
+    Surviving candidates are then verified with the FULL shingle sets,
+    so reported jaccard values are still exact; only pairs whose every
+    shared shingle is ultra-common can be missed — the standard
+    stopword-shingle trade-off.
+    """
+    with_sh = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                             n=shingle_n, out="sh")
+    ex = with_sh.select(F.col(id_col).alias("id"), F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (ex.groupBy("g").agg(F.count("*").alias("_df"))
+               .where(F.col("_df") > max_df).drop("_df"))
+        idx = ex.join(F.broadcast(hot), "g", "left_anti")
+        cand = (
+            idx.alias("x").join(idx.alias("y"),
+                                on=[F.col("x.g") == F.col("y.g"),
+                                    F.col("x.id") < F.col("y.id")])
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh_only = with_sh.select(F.col(id_col).alias("id"), "sh")
+        cand = (
+            cand.join(sh_only.select(F.col("id").alias("id_a"),
+                                     F.col("sh").alias("sh_a")), "id_a")
+            .join(sh_only.select(F.col("id").alias("id_b"),
+                                 F.col("sh").alias("sh_b")), "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        return (cand.withColumn("jaccard", inter / union)
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
     sizes = ex.groupBy("id").agg(F.count("*").alias("n"))
     pairs = (
         ex.alias("x").join(ex.alias("y"),
@@ -194,43 +307,66 @@ def ngram_jaccard_pairs(
     )
 
 
+SIMHASH_BITS = 64
+SIMHASH_BITS_PORTABLE = 60  # md5_hash64 yields 60-bit values
+
+
 def simhash(
-    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document: sign of per-bit sums of word hashes.
-
-    The per-bit +/-1 accumulation over 64 bits is bit-twiddling numpy
-    (an Arrow batch UDF), not a 64-aggregate SQL expression.
-    """
+    """SimHash per document: sign of per-bit sums of word hashes —
+    one groupBy with one JVM-side sum aggregate per bit (fully
+    SQL-expressible; with ``portable=True`` the word hash is
+    md5_hash64, so a DuckDB oracle reproduces it bit-for-bit).
+    64 bits via xxhash64 by default, 60 bits when portable."""
+    n_bits = SIMHASH_BITS_PORTABLE if portable else SIMHASH_BITS
     ex = docs.select(F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("w"))
-    hashed = ex.select("id", F.xxhash64("w").alias("h"))
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = pdf["h"].to_numpy(dtype=np.uint64)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-        votes = (2 * bits - 1).sum(axis=0)
-        sh = np.uint64(0)
-        for k in range(64):
-            if votes[k] > 0:
-                sh |= np.uint64(1) << np.uint64(k)
-        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "simhash": [np.int64(sh)]})
-
-    out = hashed.groupBy("id").applyInPandas(pack, schema="id long, simhash long")
-    return out.withColumnRenamed("id", id_col)
+    hashed = ex.select("id", _hash64(F.col("w"), portable).alias("h"))
+    votes = hashed.groupBy("id").agg(*[
+        F.sum(F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"v{b}")
+        for b in range(n_bits)
+    ])
+    packed = F.lit(0).cast("long")
+    for b in range(n_bits):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col("id").alias(id_col), packed.alias("simhash"))
 
 
 def simhash_dup_pairs(sig: DataFrame, max_hamming: int = 3,
-                      *, id_col: str = "doc_id") -> DataFrame:
-    """Candidate pairs by 16-bit block (pigeonhole: <=3 differing bits
-    means at least one of 4 blocks matches), verified by popcount."""
+                      *, id_col: str = "doc_id", n_bits: int = SIMHASH_BITS,
+                      max_block: int | None = None) -> DataFrame:
+    """Candidate pairs by bit-block pigeonhole, verified by popcount.
+
+    The hash is split into ``max_hamming + 1`` blocks: two hashes
+    within ``max_hamming`` differing bits must agree on at least one
+    block (k differing bits cannot touch all k+1 blocks), so the
+    block-equality join has FULL recall — the round-1 fixed 4-block
+    split silently missed pairs with hamming > 3.
+
+    ``max_block`` drops block values shared by more than that many docs
+    from candidate generation (quadratic fan-out bound, same trade-off
+    as minhash_lsh_pairs' max_bucket).
+    """
+    n_blocks = max_hamming + 1
+    width = -(-n_bits // n_blocks)
+    mask = (1 << width) - 1
     blocks = sig.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(k).alias("blk"),
-                     F.shiftright("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-            for k in range(4)
+                     F.shiftrightunsigned("simhash", width * k)
+                      .bitwiseAND(F.lit(mask)).alias("v"))
+            for k in range(n_blocks)
         ])).alias("b"),
     ).select(id_col, "simhash", "b.blk", "b.v")
+    if max_block is not None:
+        hot = (blocks.groupBy("blk", "v").agg(F.count("*").alias("_n"))
+               .where(F.col("_n") > max_block).drop("_n"))
+        blocks = blocks.join(F.broadcast(hot), ["blk", "v"], "left_anti")
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.v") == F.col("b.v"),
@@ -310,7 +446,8 @@ def token_count(
 
 
 def fingerprint(
-    docs: DataFrame, window: int = 4, *, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, window: int = 4, *, id_col: str = "doc_id",
+    text_col: str = "text", portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprint: rolling hash over word shingles,
     per-window minimum, distinct set — all higher-order functions.
@@ -320,7 +457,7 @@ def fingerprint(
     instead of re-deriving the whole shingle set per window position."""
     d = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
                        n=3, out="_sh")
-    d = d.withColumn("_h", F.transform("_sh", lambda g: F.xxhash64(g)))
+    d = d.withColumn("_h", F.transform("_sh", lambda g: _hash64(g, portable)))
     mins = F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.size("_h") - (window - 1), F.lit(1))),

@@ -126,3 +126,73 @@ def test_multimodal_plumbing(spark):
     assert fs.count() > 0 and fs.where(F.col("frame_idx") % 8 != 0).count() == 0
     with pytest.raises(NotImplementedError):
         resize_stub()
+
+
+def test_minhash_hot_bucket_cap(spark):
+    from adtk_spark.operators.corpus import minhash_lsh_pairs
+
+    # 40 identical docs: every band collapses to ONE bucket of 40 docs
+    # (780 pairs). A cap below 40 must drop the bucket and bound the
+    # candidate join; without a cap the pairs all come back.
+    rows = [(i, "all work and no play makes jack a dull boy " * 3) for i in range(40)]
+    rows += [(100 + i, f"unique document number {i} with its own words entirely {i}")
+             for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs, jaccard_threshold=0.9)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = minhash_lsh_pairs(docs, jaccard_threshold=0.9, max_bucket=10)
+    assert capped.count() == 0
+
+
+def test_simhash_pigeonhole_full_recall(spark):
+    from adtk_spark.operators.corpus import (
+        SIMHASH_BITS_PORTABLE, simhash, simhash_dup_pairs,
+    )
+
+    # brute-force hamming vs blocked candidate generation must agree
+    # exactly, including hamming in (max_hamming/2, max_hamming] where
+    # the old fixed-4-block split lost pairs
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base + f" variant {i} tail {'x' * (i % 7)}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = simhash(docs, portable=True)
+    sigs = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    for mh in (3, 6):
+        expect = {
+            (a, b)
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= mh
+        }
+        got = {(r["id_a"], r["id_b"]) for r in
+               simhash_dup_pairs(sig, max_hamming=mh,
+                                 n_bits=SIMHASH_BITS_PORTABLE).collect()}
+        assert got == expect
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    from adtk_spark.operators.corpus import ngram_jaccard_pairs
+
+    # two near-dup docs + 30 docs sharing one boilerplate shingle: the
+    # boilerplate makes 30*29/2 index join rows without a cap; with the
+    # cap the near-dup pair survives with the SAME exact jaccard
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, a), (2, a + " iota")]
+    rows += [(10 + i, f"shared boiler plate w{i} x{i} y{i} z{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df=5).collect()}
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == full[(1, 2)]
+
+
+def test_ivf_fit_deterministic_across_layouts(spark, emb):
+    from adtk_spark.operators.ann import ivf_fit
+
+    c1 = ivf_fit(emb, n_lists=4, sample=64, n_iter=0)
+    c2 = ivf_fit(emb.repartition(13), n_lists=4, sample=64, n_iter=0)
+    assert c1 == c2
+    l1 = ivf_fit(emb, n_lists=4, sample=64)
+    l2 = ivf_fit(emb.repartition(7), n_lists=4, sample=64)
+    assert l1 == l2
