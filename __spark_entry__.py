@@ -397,13 +397,15 @@ def q_autoregression_ad(spark, sf_dir):
 
 
 def q_esd_ad(spark, sf_dir):
-    """GeneralizedESDTestAD (vendored inverse-t; the iterative fit is not
-    SQL-expressible and DuckDB has no Student-t ppf) -> rows-only check;
-    point goldens are in tests/test_detectors.py."""
+    """GeneralizedESDTestAD in portable mode: the fit's Student-t
+    quantile is the closed-form Hill expansion, which the oracle
+    replays term-for-term (recursive-CTE removal walk + the same
+    predict arithmetic — see _esd_oracle_sql). Reference-parity goldens
+    with the exact bisection quantile are in tests/test_detectors.py."""
     from adtk_spark.operators.detectors import esd_ad
 
     s = _series(spark, sf_dir)
-    return esd_ad(s, alpha=0.05).select("source", "ts", "label")
+    return esd_ad(s, alpha=0.05, portable=True).select("source", "ts", "label")
 
 
 def _hour_labels(spark, sf_dir, thr):
@@ -663,6 +665,181 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_recon_error": q_pca_recon_error,
         "regression_residual": q_regression_residual,
     }
+
+
+def _esd_oracle_sql() -> str:
+    """Full SQL replay of GeneralizedESDTestAD (portable mode).
+
+    The iterative fit removes the max-|x - mean| point each round; that
+    point is always an extreme of the remaining set, so the removal
+    walk is a two-pointer scan over the per-source SORTED values with
+    O(1) prefix-sum statistics per step — expressible as a recursive
+    CTE. lambda_i depends only on m = n - i + 1, so all critical values
+    come from one precomputed table evaluating the same closed-form
+    Hill/Acklam chain as adtk_spark.functions.stats.t_ppf_hill
+    (term-for-term identical arithmetic). The predict pass is the same
+    broadcast-join formula as operators.detectors.esd_ad_detect.
+    """
+    # Acklam inverse-normal at pn (= q/2); tail + central branches
+    nv_tail = (
+        "(((((-7.784894002430293e-03*qq + -3.223964580411365e-01)*qq"
+        " + -2.400758277161838e+00)*qq + -2.549732539343734e+00)*qq"
+        " + 4.374664141464968e+00)*qq + 2.938163982698783e+00)"
+        " / ((((7.784695709041462e-03*qq + 3.224671290700398e-01)*qq"
+        " + 2.445134137142996e+00)*qq + 3.754408661907416e+00)*qq + 1.0)"
+    )
+    nv_central = (
+        "(((((-3.969683028665376e+01*(qc*qc) + 2.209460984245205e+02)*(qc*qc)"
+        " + -2.759285104469687e+02)*(qc*qc) + 1.383577518672690e+02)*(qc*qc)"
+        " + -3.066479806614716e+01)*(qc*qc) + 2.506628277459239e+00)*qc"
+        " / (((((-5.447609879822406e+01*(qc*qc) + 1.615858368580409e+02)*(qc*qc)"
+        " + -1.556989798598866e+02)*(qc*qc) + 6.680131188771972e+01)*(qc*qc)"
+        " + -1.328068155288572e+01)*(qc*qc) + 1.0)"
+    )
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT event_type AS source, ts, value
+          FROM (SELECT *, row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                FROM events)
+          WHERE _rn = 1
+        ), vals AS (
+          SELECT source, value AS v FROM d WHERE value IS NOT NULL
+        ), srt AS (
+          SELECT source, v,
+                 row_number() OVER w AS idx,
+                 sum(v)     OVER w AS ps,
+                 sum(v * v) OVER w AS pss
+          FROM vals
+          WINDOW w AS (PARTITION BY source ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), pre AS (
+          SELECT source, count(*)::BIGINT AS n0,
+                 list(v   ORDER BY idx) AS xs,
+                 list(ps  ORDER BY idx) AS psl,
+                 list(pss ORDER BY idx) AS pssl
+          FROM srt GROUP BY source
+        ),
+        -- critical values lambda(m): identical chain to t_ppf_hill
+        lam00 AS (
+          SELECT unnest(generate_series(3, (SELECT max(n0) + 1 FROM pre))) AS m
+        ),
+        lam0 AS (
+          SELECT m, (m - 2)::DOUBLE AS df, 1.0 - 0.05 / (2.0 * m) AS p
+          FROM lam00
+        ),
+        lam1 AS (SELECT *, q * 0.5 AS pn FROM
+                   (SELECT *, 2.0 * (1.0 - p) AS q FROM lam0)),
+        lam2 AS (SELECT *,
+                   CASE WHEN pn < 0.02425 THEN sqrt(-2.0 * ln(pn)) ELSE 0.0 END AS qq,
+                   CASE WHEN pn >= 0.02425 THEN pn - 0.5 ELSE 0.0 END AS qc
+                 FROM lam1),
+        lam3 AS (SELECT *,
+                   CASE WHEN pn < 0.02425 THEN {nv_tail} ELSE {nv_central} END AS nv
+                 FROM lam2),
+        lam4 AS (SELECT *, -nv AS x1, 1.0 / (df - 0.5) AS a FROM lam3),
+        lam5 AS (SELECT *, 48.0 / (a * a) AS b FROM lam4),
+        lam6 AS (SELECT *,
+                   ((20700.0 * a / b - 98.0) * a - 16.0) * a + 96.36 AS c0
+                 FROM lam5),
+        lam7 AS (SELECT *,
+                   ((94.5 / (b + c0) - 3.0) / b + 1.0) * sqrt(a * (pi() / 2.0)) * df AS dd
+                 FROM lam6),
+        lam8 AS (SELECT *, (dd * q) ^ (2.0 / df) AS y0, x1 * x1 AS y1 FROM lam7),
+        lam9 AS (SELECT *,
+                   CASE WHEN df < 5.0 THEN c0 + 0.3 * (df - 4.5) * (x1 + 0.6)
+                        ELSE c0 END AS c1
+                 FROM lam8),
+        lam10 AS (SELECT *,
+                    (((0.05 * dd * x1 - 5.0) * x1 - 7.0) * x1 - 2.0) * x1 + b + c1 AS c2
+                  FROM lam9),
+        lam11 AS (SELECT *,
+                    (((((0.4 * y1 + 6.3) * y1 + 36.0) * y1 + 94.5) / c2 - y1 - 3.0) / b + 1.0) * x1 AS y2
+                  FROM lam10),
+        lam12 AS (SELECT *, a * y2 * y2 AS y3 FROM lam11),
+        lam13 AS (SELECT *,
+                    CASE WHEN y3 > 0.002 THEN exp(y3) - 1.0
+                         ELSE 0.5 * y3 * y3 + y3 END AS y4a,
+                    ((1.0 / (((df + 6.0) / (df * y0) - 0.089 * dd - 0.822) * (df + 2.0) * 3.0)
+                      + 0.5 / (df + 4.0)) * y0 - 1.0) * (df + 1.0) / (df + 2.0) + 1.0 / y0 AS y4b
+                  FROM lam12),
+        lam14 AS (SELECT *,
+                    CASE WHEN df = 1.0 THEN cos(q * (pi() / 2.0)) / sin(q * (pi() / 2.0))
+                         WHEN df = 2.0 THEN sqrt(2.0 / (q * (2.0 - q)) - 2.0)
+                         WHEN y0 > 0.05 + a THEN sqrt(df * y4a)
+                         ELSE sqrt(df * y4b) END AS tq
+                  FROM lam13),
+        lam_m AS (SELECT m,
+                    (m - 1) * tq / sqrt((m - 2 + tq * tq) * m) AS lam
+                  FROM lam14),
+        -- the two-pointer removal walk; stopping keeps (lo, hi) put so
+        -- the terminal row's range IS the normal set (the last-tested
+        -- point has R <= lambda and stays normal, matching the fit)
+        esd AS (
+          SELECT source, 1::BIGINT AS i, 1::BIGINT AS lo, n0 AS hi, false AS stopped
+          FROM pre
+          UNION ALL
+          SELECT source, i + 1,
+                 CASE WHEN stop_now OR NOT rm_lo THEN lo ELSE lo + 1 END,
+                 CASE WHEN stop_now OR rm_lo THEN hi ELSE hi - 1 END,
+                 stop_now
+          FROM (
+            SELECT t.*, (CASE WHEN sd > 0 THEN dev / sd ELSE 0.0 END) <= l.lam AS stop_now
+            FROM (
+              SELECT u.*,
+                     CASE WHEN dev_lo >= dev_hi THEN dev_lo ELSE dev_hi END AS dev,
+                     dev_lo >= dev_hi AS rm_lo,
+                     sqrt((sq - nn * mean * mean) / (nn - 1)) AS sd
+              FROM (
+                SELECT e.source, e.i, e.lo, e.hi, p.n0,
+                       (e.hi - e.lo + 1)::DOUBLE AS nn,
+                       (p.psl[e.hi] - CASE WHEN e.lo > 1 THEN p.psl[e.lo - 1] ELSE 0.0 END)
+                         / (e.hi - e.lo + 1) AS mean,
+                       p.pssl[e.hi] - CASE WHEN e.lo > 1 THEN p.pssl[e.lo - 1] ELSE 0.0 END AS sq,
+                       abs(p.xs[e.lo] - (p.psl[e.hi] - CASE WHEN e.lo > 1 THEN p.psl[e.lo - 1] ELSE 0.0 END)
+                                         / (e.hi - e.lo + 1)) AS dev_lo,
+                       abs(p.xs[e.hi] - (p.psl[e.hi] - CASE WHEN e.lo > 1 THEN p.psl[e.lo - 1] ELSE 0.0 END)
+                                         / (e.hi - e.lo + 1)) AS dev_hi
+                FROM esd e JOIN pre p USING (source)
+                WHERE NOT e.stopped AND e.lo <= e.hi
+              ) u
+            ) t
+            JOIN lam_m l ON l.m = t.n0 - t.i + 1
+          )
+        ),
+        fin AS (
+          SELECT source, lo, hi FROM (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY stopped DESC, i DESC) AS rn
+            FROM esd
+          ) WHERE rn = 1 AND stopped
+        ),
+        model AS (
+          SELECT f.source,
+                 p.psl[f.hi] - CASE WHEN f.lo > 1 THEN p.psl[f.lo - 1] ELSE 0.0 END AS normal_sum,
+                 p.pssl[f.hi] - CASE WHEN f.lo > 1 THEN p.pssl[f.lo - 1] ELSE 0.0 END AS normal_sq_sum,
+                 (f.hi - f.lo + 1)::BIGINT AS normal_count,
+                 l.lam AS lam
+          FROM fin f
+          JOIN pre p USING (source)
+          JOIN lam_m l ON l.m = (f.hi - f.lo + 1) + 1
+        ),
+        pred AS (
+          SELECT d.source, d.ts, d.value,
+                 d.value + m.normal_sum AS new_sum,
+                 m.normal_count + 1 AS new_count,
+                 (d.value + m.normal_sum) / (m.normal_count + 1) AS new_mean,
+                 d.value * d.value + m.normal_sq_sum AS new_sq,
+                 m.lam AS lam
+          FROM d JOIN model m USING (source)
+        )
+        SELECT source, ts,
+               CASE WHEN value IS NULL THEN NULL
+                    ELSE CAST(coalesce(
+                      abs(value - new_mean)
+                        / sqrt((new_sq - 2 * new_mean * new_sum + new_count * new_mean * new_mean)
+                               / (new_count - 1)) > lam, false) AS DOUBLE) END AS label
+        FROM pred
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1173,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(abs(x.resid) > b.hi AS DOUBLE) END AS label
             FROM x JOIN b USING (source)
         """,
+        "esd_ad": _esd_oracle_sql(),
         "or_and_labels": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS ts,

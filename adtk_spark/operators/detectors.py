@@ -157,6 +157,7 @@ def esd_ad_fit(
     source_col: str = "source",
     ts_col: str = "ts",
     value_col: str = "value",
+    portable: bool = False,
 ) -> DataFrame:
     """GeneralizedESDTestAD._fit_core (_detector_1d.py:309-344).
 
@@ -165,15 +166,22 @@ def esd_ad_fit(
     Student-t quantile comes from the vendored pure-numpy
     functions.stats.t_ppf (scipy absent in this environment).
     Returns (source, normal_sum, normal_sq_sum, normal_count, lam).
+
+    ``portable=True`` swaps the exact bisection t_ppf for the
+    closed-form Hill expansion (stats.t_ppf_hill, |rel err| ~1e-6) so a
+    SQL oracle can reproduce lambda — and therefore the fitted model —
+    with the identical arithmetic. Reference-parity goldens keep the
+    exact quantile.
     """
     import numpy as np
     import pandas as pd
 
-    from ..functions.stats import t_ppf
+    from ..functions.stats import t_ppf, t_ppf_hill
+    quantile = t_ppf_hill if portable else t_ppf
 
     def lam_of(n: int, i: int, a: float) -> float:
         p = 1 - a / (2 * (n - i + 1))
-        tq = t_ppf(p, n - i - 1)
+        tq = quantile(p, n - i - 1)
         return (n - i) * tq / math.sqrt((n - i - 1 + tq * tq) * (n - i + 1))
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -247,7 +255,8 @@ def esd_ad_detect(
 
 def esd_ad(df, alpha: float = 0.05, **kw):
     model = esd_ad_fit(df, alpha, **{k: v for k, v in kw.items()
-                                     if k in ("source_col", "ts_col", "value_col")})
+                                     if k in ("source_col", "ts_col", "value_col",
+                                              "portable")})
     return esd_ad_detect(df, model, **{k: v for k, v in kw.items()
                                        if k in ("source_col", "value_col", "out_col")})
 
