@@ -334,21 +334,136 @@ def _double_frames(
         else:
             right = (kr, 0, sr - 1, sr, 1)
     else:
+        # mixed-kind center=False pairs don't reduce to two frames over
+        # the same row ordering; double_rolling_agg routes them to
+        # _double_rolling_mixed before calling here
         if kr == ROWS:
             right = (kr, -(sr - 1), 0, sr, sr)
-            if kl != ROWS:
-                raise NotImplementedError(
-                    "center=False with time left window and int right window"
-                )
+            assert kl == ROWS
             left = (kl, -(sr + sl - 1), -sr, sl, sl)
         else:
             right = (kr, -sr + 1, 0, sr, 1)
-            if kl == ROWS:
-                raise NotImplementedError(
-                    "center=False with int left window and time right window"
-                )
+            assert kl != ROWS
             left = (kl, -(sr + sl) + 1, -sr, sl, 1)
     return left, right
+
+
+def _callable_diff(fn: Callable, left: Column, right: Column) -> Column:
+    """diff=callable parity (_transformer_1d.py:617-626): the reference
+    calls diff(left_i, right_i) per row; here the per-row Python calls
+    run inside one Arrow-batched pandas UDF (columnar transfer, no
+    row-at-a-time serialization)."""
+
+    @F.pandas_udf("double")
+    def _d(ls: pd.Series, rs: pd.Series) -> pd.Series:
+        return pd.Series([fn(a, b) for a, b in zip(ls, rs)],
+                         index=ls.index, dtype="float64")
+
+    return _d(left, right)
+
+
+def _double_rolling_mixed(
+    df: DataFrame, wl, wr, aggs, aps, mps, diff,
+    source_col: str, ts_col: str, value_col: str, out: str,
+) -> DataFrame:
+    """DoubleRollingAggregate with center=False and MIXED window kinds
+    (one int, one time), mirroring the reference's shift tricks
+    (_transformer_1d.py:558-598):
+
+    - int right (sr rows): left = time-rolling over the series shifted
+      by sr rows -> aggregate ``lag(value, sr)`` over the time frame.
+    - time right (Dr): left = int-rolling over the series re-indexed to
+      ts+Dr unioned with the original index (NULL there, shifted value
+      winning ts collisions), evaluated at the original index -> build
+      that union frame, roll, join back on (source, ts).
+    """
+    kl, _sl = parse_window(wl)
+    kr, sr = parse_window(wr)
+    right = rolling_agg(df, wr, aggs[1], aps[1], center=False,
+                        min_periods=mps[1], source_col=source_col,
+                        ts_col=ts_col, value_col=value_col, out_col="_r")
+    if kr == ROWS:
+        # time left over the sr-rows-shifted values: same row ordering,
+        # no join — one extra lag column
+        ow = Window.partitionBy(source_col).orderBy(
+            F.unix_micros(F.col(ts_col).cast("timestamp")))
+        shifted = right.withColumn("_vshift", F.lag(value_col, sr).over(ow))
+        both = rolling_agg(shifted, wl, aggs[0], aps[0], center=False,
+                           min_periods=mps[0], source_col=source_col,
+                           ts_col=ts_col, value_col="_vshift", out_col="_l")
+        both = both.drop("_vshift")
+    else:
+        # int left over the union-index frame {ts + Dr} ∪ {ts}
+        tsu = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        shifted = df.select(
+            F.col(source_col), (tsu + F.lit(sr)).alias("_tsk"),
+            F.col(value_col).cast("double").alias("_vu"), F.lit(0).alias("_pri"),
+        )
+        spine = df.select(
+            F.col(source_col), tsu.alias("_tsk"),
+            F.lit(None).cast("double").alias("_vu"), F.lit(1).alias("_pri"),
+        )
+        u = (shifted.unionByName(spine)
+             .groupBy(source_col, "_tsk")
+             .agg(F.min_by("_vu", "_pri").alias("_vu"))
+             .withColumn("_tsu", F.timestamp_micros(F.col("_tsk"))))
+        la = rolling_agg(u, wl, aggs[0], aps[0], center=False,
+                         min_periods=mps[0], source_col=source_col,
+                         ts_col="_tsu", value_col="_vu", out_col="_l")
+        lcols = [c for c in la.columns if c == "_l" or c.startswith("_l_")]
+        lsel = la.select(source_col, "_tsk", *lcols)
+        both = (right.withColumn("_tsk", tsu)
+                .join(lsel, [source_col, "_tsk"], "left")
+                .drop("_tsk"))
+    lkeys = {None if c == "_l" else c[3:]: F.col(f"`{c}`")
+             for c in both.columns if c == "_l" or c.startswith("_l_")}
+    rkeys = {None if c == "_r" else c[3:]: F.col(f"`{c}`")
+             for c in both.columns if c == "_r" or c.startswith("_r_")}
+    if set(lkeys) != set(rkeys):
+        raise ValueError("left/right aggs must produce matching outputs")
+    c = _diff_col(lkeys, rkeys, diff)
+    keep = [col for col in df.columns]
+    return both.select(*keep, c.alias(out))
+
+
+def _diff_col(lexprs: dict, rexprs: dict, diff) -> Column:
+    """Combine left/right aggregate expressions per the diff mode."""
+    keys = list(lexprs)
+    if len(keys) == 1 and keys[0] is None:
+        l, r = lexprs[None], rexprs[None]
+        if callable(diff):
+            return _callable_diff(diff, l, r)
+        if diff == "diff":
+            return r - l
+        if diff == "rel_diff":
+            return (r - l) / l
+        if diff == "abs_rel_diff":
+            return F.abs(r - l) / l
+        if diff == "l1":
+            return F.abs(r - l)
+        if diff == "l2":
+            return F.sqrt((r - l) * (r - l))
+        raise ValueError(f"unsupported diff: {diff!r}")
+    if callable(diff):
+        raise NotImplementedError(
+            "callable diff over multi-output aggs (quantile lists/hist): "
+            "the reference passes pandas row slices; compose two "
+            "rolling_agg calls and a grouped-map UDF instead"
+        )
+    # vector output: elementwise combine, NULL-propagating (skipna=False)
+    if diff == "l1":
+        c = None
+        for k in keys:
+            term = F.abs(rexprs[k] - lexprs[k])
+            c = term if c is None else c + term
+        return c
+    if diff == "l2":
+        c = None
+        for k in keys:
+            term = (rexprs[k] - lexprs[k]) * (rexprs[k] - lexprs[k])
+            c = term if c is None else c + term
+        return F.sqrt(c)
+    raise ValueError(f"diff {diff!r} not applicable to vector aggregates")
 
 
 def double_rolling_agg(
@@ -373,6 +488,11 @@ def double_rolling_agg(
     aggs = agg if isinstance(agg, tuple) else (agg, agg)
     aps = agg_params if isinstance(agg_params, tuple) else (agg_params, agg_params)
     mps = min_periods if isinstance(min_periods, tuple) else (min_periods, min_periods)
+    wl_, wr_ = window if isinstance(window, tuple) else (window, window)
+    if not center and parse_window(wl_)[0] != parse_window(wr_)[0]:
+        return _double_rolling_mixed(
+            df, wl_, wr_, aggs, aps, mps, diff,
+            source_col, ts_col, value_col, out_col or f"{value_col}_droll")
     (lk, llo, lhi, _lsz, lmp), (rk, rlo, rhi, _rsz, rmp) = _double_frames(window, center)
 
     lwin = _win(source_col, ts_col, lk, llo, lhi)
@@ -397,38 +517,13 @@ def double_rolling_agg(
         raise ValueError("left/right aggs must produce matching outputs")
 
     out = out_col or f"{value_col}_droll"
-    if callable(diff):
-        raise NotImplementedError(
-            "callable diff: compose rolling_agg outputs and apply a pandas_udf"
-        )
-    keys = list(lexprs)
-    if len(keys) == 1 and keys[0] is None:
-        l, r = lexprs[None], rexprs[None]
-        if diff == "diff":
-            c = r - l
-        elif diff == "rel_diff":
-            c = (r - l) / l
-        elif diff == "abs_rel_diff":
-            c = F.abs(r - l) / l
-        elif diff == "l1":
-            c = F.abs(r - l)
-        elif diff == "l2":
-            c = F.sqrt((r - l) * (r - l))
-        else:
-            raise ValueError(f"unsupported diff: {diff!r}")
-        return src.select(*df.columns, c.alias(out))
-    # vector output: elementwise combine, NULL-propagating (skipna=False)
-    if diff == "l1":
-        c = None
-        for k in keys:
-            term = F.abs(rexprs[k] - lexprs[k])
-            c = term if c is None else c + term
-    elif diff == "l2":
-        c = None
-        for k in keys:
-            term = (rexprs[k] - lexprs[k]) * (rexprs[k] - lexprs[k])
-            c = term if c is None else c + term
-        c = F.sqrt(c)
-    else:
-        raise ValueError(f"diff {diff!r} not applicable to vector aggregates")
+    if callable(diff) and len(lexprs) == 1 and None in lexprs:
+        # materialize the two window aggregates behind a projection so
+        # the pandas UDF consumes plain columns, not window expressions
+        tmp = src.select(*df.columns, lexprs[None].alias("_dl"),
+                         rexprs[None].alias("_dr"))
+        return tmp.select(
+            *df.columns,
+            _callable_diff(diff, F.col("_dl"), F.col("_dr")).alias(out))
+    c = _diff_col(lexprs, rexprs, diff)
     return src.select(*df.columns, c.alias(out))

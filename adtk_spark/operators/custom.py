@@ -147,20 +147,33 @@ def customized_aggregator(
     and returns an index-aligned Series, per source, in one Arrow
     grouped-map UDF."""
     cols = label_cols or [
-        c for c in labels.columns if c not in (source_col, ts_col)
+        c for c in labels.columns if c not in (source_col, ts_col, out_col)
     ]
+    if out_col in cols:
+        raise ValueError(
+            f"out_col {out_col!r} is also an aggregation input; rename one "
+            "(the echoed output schema would otherwise hold two "
+            f"{out_col!r} fields)")
     params = aggregate_func_params or {}
     in_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in labels.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in labels.schema.fields if f.name != out_col
     )
     schema = f"{in_fields}, `{out_col}` double"
+    echo = [c for c in labels.columns if c != out_col]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
         x = pdf.set_index(pd.DatetimeIndex(pdf[ts_col]))[cols]
         out = aggregate_func(x, **params)
-        res = pdf.copy()
-        res[out_col] = pd.Series(out).astype(float).values
+        out = pd.Series(out)
+        if isinstance(out.index, pd.DatetimeIndex):
+            # index-aligned Series contract (the reference assigns into
+            # an index-aligned frame): realign instead of trusting the
+            # user function's row order
+            out = out.reindex(x.index)
+        res = pdf[echo].copy()
+        res[out_col] = out.astype(float).values
         return res
 
     return labels.groupBy(source_col).applyInPandas(run, schema=schema)

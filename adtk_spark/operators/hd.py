@@ -314,10 +314,14 @@ def outlier_detector(
     bound ``IsolationForest(...).fit_predict``), run per source in one
     Arrow grouped-map UDF. Rows with any NULL feature get NULL labels
     (the reference's dropna semantics)."""
+    if out_col in features:
+        raise ValueError(f"out_col {out_col!r} is also a feature; rename one")
     in_fields = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != out_col
     )
     schema = f"{in_fields}, `{out_col}` double"
+    echo = [c for c in df.columns if c != out_col]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
@@ -326,7 +330,7 @@ def outlier_detector(
         if len(sub):
             pred = np.asarray(outlier_func(sub))
             lab.loc[sub.index] = (pred == -1).astype(float)
-        out = pdf.copy()
+        out = pdf[echo].copy()
         out[out_col] = lab
         return out
 

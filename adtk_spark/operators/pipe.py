@@ -25,6 +25,46 @@ class Pipenet:
         self.steps = steps
         self.join_keys = list(join_keys)
         self._order = self._toposort()
+        self._validate_kinds()
+
+    _KINDS = ("transformer", "detector", "aggregator")
+
+    def _validate_kinds(self) -> None:
+        """Edge compatibility rules of the reference Pipenet
+        (_pipe.py:692-739): a detector/transformer consumes "original"
+        or a transformer's output; an aggregator consumes detector or
+        aggregator outputs (never "original"). Steps declare
+        ``"kind": "transformer" | "detector" | "aggregator"``; kinds
+        are optional (function-style steps may be arbitrary DataFrame
+        ops) but any declared kind is enforced against every declared
+        upstream kind.
+        """
+        for name, spec in self.steps.items():
+            kind = spec.get("kind")
+            if kind is None:
+                continue
+            if kind not in self._KINDS:
+                raise ValueError(
+                    f"step {name!r}: kind must be one of {self._KINDS}, "
+                    f"got {kind!r}")
+            inp = spec.get("input", "original")
+            inputs = inp if isinstance(inp, list) else [inp]
+            for i in inputs:
+                up = None if i == "original" else self.steps[i].get("kind")
+                if kind in ("detector", "transformer"):
+                    if i != "original" and up is not None and up != "transformer":
+                        raise TypeError(
+                            f"step {name!r} ({kind}) cannot accept output "
+                            f"from step {i!r} ({up})")
+                else:  # aggregator
+                    if i == "original":
+                        raise TypeError(
+                            f"step {name!r} (aggregator) cannot accept the "
+                            "original series as input")
+                    if up is not None and up not in ("detector", "aggregator"):
+                        raise TypeError(
+                            f"step {name!r} (aggregator) cannot accept output "
+                            f"from step {i!r} ({up})")
 
     def _toposort(self) -> list[str]:
         deps = {}

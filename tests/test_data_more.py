@@ -44,3 +44,60 @@ def test_pipenet_summary_and_score(spark):
     assert all(r["recall"] == 1.0 for r in rec.collect())
     f1 = net.score(df, truth, scoring="f1")
     assert all(r["f1"] == 1.0 for r in f1.collect())
+
+
+def test_validate_series_check_freq_parity(spark):
+    """Reference parity (tests/test_data_validation.py): pandas only
+    infers a freq on a perfectly regular index, so validation must
+    leave both regular series and gap-containing series row-identical
+    (missed timestamps SURVIVE — asfreq never fires on gappy data)."""
+    import datetime as dt
+
+    from adtk_spark.operators.data import validate_series
+
+    base = dt.datetime(2017, 1, 1)
+    day = dt.timedelta(days=1)
+    # regular (10 pts) for A; B misses days 2 and 8 (reference's
+    # test_series_missed_timestamp selection [0,1,3,4,5,6,7,9])
+    rows = [("A", base + i * day, float(i)) for i in range(10)]
+    rows += [("B", base + i * day, float(i)) for i in (0, 1, 3, 4, 5, 6, 7, 9)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = validate_series(df, check_freq=True)
+    got = {(r["source"], r["ts"], r["value"]) for r in out.collect()}
+    assert got == set(rows)
+
+
+def test_infer_freq_modes(spark):
+    import datetime as dt
+
+    from adtk_spark.operators.data import infer_freq
+
+    base = dt.datetime(2017, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [("reg", base + i * h, 1.0) for i in range(24)]
+    rows += [("gappy", base + i * h, 1.0) for i in range(24) if i not in (5, 11)]
+    rows += [("wild", base, 1.0), ("wild", base + 3 * h, 1.0),
+             ("wild", base + 4 * h, 1.0)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    strict = {r["source"]: r["freq_micros"] for r in infer_freq(df).collect()}
+    assert strict["reg"] == 3_600_000_000
+    assert strict["gappy"] is None and strict["wild"] is None
+    mode = {r["source"]: r["freq_micros"]
+            for r in infer_freq(df, freq_mode="mode").collect()}
+    assert mode["reg"] == mode["gappy"] == 3_600_000_000
+
+
+def test_regularize_mode_fills_gaps_and_drops_offgrid(spark):
+    import datetime as dt
+
+    from adtk_spark.operators.data import regularize
+
+    base = dt.datetime(2017, 1, 1)
+    h = dt.timedelta(hours=1)
+    rows = [("g", base + i * h, float(i)) for i in range(10) if i != 4]
+    rows += [("g", base + dt.timedelta(hours=6, minutes=30), 99.0)]  # off-grid
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {(r["ts"], r["value"]) for r in regularize(df).collect()}
+    assert (base + 4 * h, None) in out                       # gap -> NULL row
+    assert all(ts.minute == 0 for ts, _ in out)              # off-grid dropped
+    assert len(out) == 10

@@ -173,3 +173,38 @@ def test_customized_aggregator(spark):
     out = C.customized_aggregator(df, lambda x: x.max(axis=1),
                                   label_cols=["l1", "l2"])
     assert_series(out, "label", [0, 1, 1, 1, 0, 0])
+
+
+def test_pipenet_kind_validation(spark):
+    """Edge-compatibility parity with the reference Pipenet
+    (_pipe.py:692-739): transformer/detector after aggregator and
+    aggregator fed by "original" or a transformer must be rejected."""
+    from adtk_spark.operators.pipe import Pipenet
+
+    ident = lambda df: df  # noqa: E731
+    # detector downstream of an aggregator -> invalid
+    with pytest.raises(TypeError, match="cannot accept"):
+        Pipenet({
+            "det": {"fn": ident, "kind": "detector"},
+            "agg": {"fn": ident, "input": "det", "kind": "aggregator"},
+            "det2": {"fn": ident, "input": "agg", "kind": "detector"},
+        })
+    # aggregator fed by the original series -> invalid
+    with pytest.raises(TypeError, match="original"):
+        Pipenet({"agg": {"fn": ident, "kind": "aggregator"}})
+    # aggregator fed by a transformer -> invalid
+    with pytest.raises(TypeError, match="cannot accept"):
+        Pipenet({
+            "tr": {"fn": ident, "kind": "transformer"},
+            "agg": {"fn": ident, "input": "tr", "kind": "aggregator"},
+        })
+    # the canonical valid shape builds fine
+    Pipenet({
+        "tr": {"fn": ident, "kind": "transformer"},
+        "d1": {"fn": ident, "input": "tr", "kind": "detector"},
+        "d2": {"fn": ident, "input": "original", "kind": "detector"},
+        "agg": {"fn": ident, "input": ["d1", "d2"], "kind": "aggregator"},
+    })
+    # unknown kind string -> ValueError
+    with pytest.raises(ValueError, match="kind"):
+        Pipenet({"x": {"fn": ident, "kind": "detektor"}})

@@ -149,3 +149,58 @@ def test_double_rolling_agg(spark, case):
     df = series_df(spark, values)
     out = double_rolling_agg(df, out_col="d", **kwargs)
     assert_series(out, "d", expected)
+
+
+def _pandas_double_mixed(values, wl, wr, agg="mean", diff="l1"):
+    """Expected output per the reference's center=False shift tricks
+    (_transformer_1d.py:558-598), computed with pandas directly."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(values, index=pd.date_range("2017-01-01", periods=len(values),
+                                              freq="24h"), dtype="float64")
+    if isinstance(wr, int):
+        left = s.shift(wr).rolling(wl).agg(agg)
+        right = s.rolling(wr).agg(agg)
+    else:
+        s_shifted = pd.Series(s.values, s.index + pd.Timedelta(wr))
+        s_shifted = pd.concat([s_shifted, pd.Series(index=s.index, dtype="float64")])
+        s_shifted = s_shifted.iloc[~s_shifted.index.duplicated()]
+        s_shifted = s_shifted.sort_index()
+        left = s_shifted.rolling(wl).agg(agg)[s.index]
+        right = s.rolling(wr).agg(agg)
+    out = abs(right - left) if diff == "l1" else (right - left)
+    return [None if np.isnan(v) else v for v in out]
+
+
+@pytest.mark.parametrize("wl,wr", [("3D", 2), (2, "3D"), ("2D", 3), (3, "2D")])
+def test_double_rolling_mixed_windows(spark, wl, wr):
+    vals = [0, 1, 2, 3, NAN, 5, 6, 7, 8, 9]
+    df = series_df(spark, vals)
+    out = double_rolling_agg(df, (wl, wr), agg="mean", center=False,
+                             diff="l1", out_col="d")
+    assert_series(out, "d", _pandas_double_mixed(vals, wl, wr))
+
+
+def test_double_rolling_callable_diff(spark):
+    vals = [0, 1, 2, 3, NAN, 5, 6, 7, 8, 9]
+    df = series_df(spark, vals)
+    out = double_rolling_agg(df, 2, agg="mean", center=False,
+                             diff=lambda l, r: (r - l) * 10.0, out_col="d")
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(vals, index=pd.date_range("2017-01-01", periods=10, freq="24h"),
+                  dtype="float64")
+    left = s.shift(2).rolling(2).mean()
+    right = s.rolling(2).mean()
+    exp = [(None if np.isnan(v) else v) for v in (right - left) * 10.0]
+    assert_series(out, "d", exp)
+
+
+def test_double_rolling_callable_diff_mixed(spark):
+    vals = [0, 1, 2, 3, NAN, 5, 6, 7, 8, 9]
+    df = series_df(spark, vals)
+    out = double_rolling_agg(df, ("3D", 2), agg="mean", center=False,
+                             diff=lambda l, r: r - l, out_col="d")
+    assert_series(out, "d", _pandas_double_mixed(vals, "3D", 2, diff="diff"))
