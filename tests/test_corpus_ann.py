@@ -196,3 +196,37 @@ def test_ivf_fit_deterministic_across_layouts(spark, emb):
     l1 = ivf_fit(emb, n_lists=4, sample=64)
     l2 = ivf_fit(emb.repartition(7), n_lists=4, sample=64)
     assert l1 == l2
+
+
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    from adtk_spark.operators.multimodal import bmp_decode, bmp_encode
+
+    rng = np.random.RandomState(0)
+    for h, w in ((1, 1), (24, 32), (7, 5)):  # odd width exercises row padding
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(bmp_decode(bmp_encode(arr)), arr)
+
+
+def test_extract_features_real_bmp_decode(spark):
+    import numpy as np
+
+    from adtk_spark.operators.multimodal import (
+        bmp_encode, extract_features, resize_nearest, synthetic_bmp_media,
+    )
+
+    media = synthetic_bmp_media(spark, 12)
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 12
+    # the Spark-path feature must equal the driver-side luma mean of the
+    # SAME deterministic image -> proves a real decode happened
+    rng = np.random.RandomState(7)  # seed + i for i=0
+    arr = rng.randint(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    y = np.round(0.299 * arr[..., 0] + 0.587 * arr[..., 1]
+                 + 0.114 * arr[..., 2]).astype(np.uint8)
+    assert abs(feats["bmp0"]["px_mean"] - y.mean()) < 1e-9
+    # nearest-neighbor resize: shape + corner-pixel fidelity
+    small = resize_nearest(arr, 8, 6)
+    assert small.shape == (6, 8, 3)
+    assert (small[0, 0] == arr[0, 0]).all()
