@@ -223,29 +223,40 @@ def seasonal_transform(
         how="left",
     )
     resid = F.col(value_col) - F.col("seasonal")
+    drop_cols = ("phase", "seasonal", "datum_micros", "dt_micros", "freq")
     if trend:
-        # centered MA of the test series, same frame logic as _classic_trend
+        # centered MA of the test series, same frame logic as
+        # _classic_trend. Window frames must be plan-time constants, so
+        # per-source differing freqs are handled as one fixed-frame plan
+        # per DISTINCT freq (a handful at most — already a small
+        # collected action), filtered by freq and unioned: each source's
+        # rows flow through exactly one branch, all JVM-native.
         from ..functions.windows import _win
 
-        fcol = F.col("freq")
-        # freq is constant per source; build frames for the common case of
-        # a single global freq (collected from the model — small action)
         freqs = [r["freq"] for r in meta.select("freq").distinct().collect()]
-        if len(freqs) != 1:
-            raise NotImplementedError("trend=True with per-source differing freq")
-        f = freqs[0]
-        if f % 2:
-            half = f // 2
-            w = _win(source_col, ts_col, "rows", -half, half)
-            t = F.when(F.count(F.col(value_col)).over(w) >= f, F.avg(F.col(value_col)).over(w))
-        else:
+
+        def trend_col(f: int):
+            if f % 2:
+                half = f // 2
+                w = _win(source_col, ts_col, "rows", -half, half)
+                return F.when(F.count(F.col(value_col)).over(w) >= f,
+                              F.avg(F.col(value_col)).over(w))
             wa = _win(source_col, ts_col, "rows", -(f // 2), f // 2 - 1)
             wb = _win(source_col, ts_col, "rows", -(f // 2) + 1, f // 2)
-            ta = F.when(F.count(F.col(value_col)).over(wa) >= f, F.avg(F.col(value_col)).over(wa))
-            tb = F.when(F.count(F.col(value_col)).over(wb) >= f, F.avg(F.col(value_col)).over(wb))
-            t = (ta + tb) / 2
-        resid = F.col(value_col) - t - F.col("seasonal")
-    return (
-        out.withColumn(out_col, resid)
-        .drop("phase", "seasonal", "datum_micros", "dt_micros", "freq")
-    )
+            ta = F.when(F.count(F.col(value_col)).over(wa) >= f,
+                        F.avg(F.col(value_col)).over(wa))
+            tb = F.when(F.count(F.col(value_col)).over(wb) >= f,
+                        F.avg(F.col(value_col)).over(wb))
+            return (ta + tb) / 2
+
+        parts = [
+            out.where(F.col("freq") == f)
+            .withColumn(out_col, F.col(value_col) - trend_col(f) - F.col("seasonal"))
+            .drop(*drop_cols)
+            for f in freqs
+        ]
+        part = parts[0]
+        for p in parts[1:]:
+            part = part.unionByName(p)
+        return part
+    return out.withColumn(out_col, resid).drop(*drop_cols)

@@ -98,3 +98,45 @@ def test_split_train_test_modes(spark):
     s4 = split_train_test(df, mode=4, n_splits=4)
     assert positions(s4[0][0]) == list(range(0, 8))
     assert positions(s4[0][1]) == list(range(8, 40))
+
+
+def test_seasonal_trend_per_source_freq(spark):
+    """trend=True with DIFFERENT freqs per source (the round-1
+    NotImplementedError): each source flows through its own fixed-frame
+    centered-MA branch; expected residuals computed with pandas using
+    the statsmodels convention the reference follows."""
+    import numpy as np
+    import pandas as pd
+
+    def mk(vals, src):
+        return [(src, dt.datetime(2017, 1, 1) + dt.timedelta(hours=i), float(v))
+                for i, v in enumerate(vals)]
+
+    a_vals = [v + 0.1 * i for i, v in enumerate([0, 2, 4, 2] * 12)]      # freq 4
+    b_vals = [v + 0.05 * i for i, v in enumerate([1, 5, 3, 7, 2, 6] * 8)]  # freq 6
+    df = spark.createDataFrame(mk(a_vals, "A") + mk(b_vals, "B"),
+                               "source string, ts timestamp, value double")
+    model = seasonal_fit(df, freq=None, trend=True)
+    out = seasonal_transform(df, model, trend=True)
+    got = {s: [r["residual"] for r in out.where(f"source='{s}'").orderBy("ts").collect()]
+           for s in ("A", "B")}
+
+    for s, vals in (("A", a_vals), ("B", b_vals)):
+        ser = pd.Series(vals)
+        f = 4 if s == "A" else 6
+        half = f // 2
+        ma = ser.rolling(f, center=True).mean()
+        if f % 2 == 0:  # statsmodels even-freq 2x MA
+            ma = (ser.rolling(f, center=True).mean()
+                  .add(ser.shift(-1).rolling(f, center=True).mean()) / 2)
+            ma = ser.rolling(f + 1, center=True, win_type=None).apply(
+                lambda w: (w[0] / 2 + w[1:-1].sum() + w[-1] / 2) / f, raw=True)
+        detr = ser - ma
+        pat = np.array([np.nanmean(detr[i::f]) for i in range(f)])
+        pat -= np.nanmean(pat)
+        exp = [v - m - pat[i % f] for i, (v, m) in enumerate(zip(vals, ma))]
+        for g, e in zip(got[s], exp):
+            if np.isnan(e):
+                assert g is None
+            else:
+                assert abs(g - e) < 1e-9, (s, g, e)
