@@ -604,6 +604,116 @@ def q_regression_residual(spark, sf_dir):
     return out.select("source", "ts", F.round("residual", 6).alias("resid"))
 
 
+def q_salted_rollup_1m(spark, sf_dir):
+    """Two-phase salted rollup must equal the plain 1m aggregate (the
+    oracle computes the direct GROUP BY). Values go through
+    DECIMAL(38,9) so the two-level partial sums are order-independent."""
+    from adtk_spark.plans.tiers import salt_partials
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts",
+        F.col("value").cast("decimal(38,9)").alias("value"),
+    )
+    out = salt_partials(ev, "1m", n_salts=8)
+    return out.select(
+        "source", "bucket_ts", "cnt",
+        F.round(F.col("vmin").cast("double"), 6).alias("vmin"),
+        F.round(F.col("vmax").cast("double"), 6).alias("vmax"),
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+    )
+
+
+def q_one_hot_docs(spark, sf_dir):
+    from adtk_spark.operators.data import one_hot
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return one_hot(docs.select("doc_id", "source", "lang"), cols=["lang"])
+
+
+def q_sum_all(spark, sf_dir):
+    from adtk_spark.operators.transformers import sum_all
+
+    w = _wide_pair(spark, sf_dir)
+    out = sum_all(w, ["a", "b"])
+    return out.select("source", "ts", F.round("sum_all", 6).alias("sum_ab"))
+
+
+def q_f1_labels(spark, sf_dir):
+    from adtk_spark.operators.metrics import f1_labels
+
+    s = _series(spark, sf_dir)
+    pair = s.select(
+        "source", "ts",
+        F.when(F.col("value").isNull(), None).otherwise((F.col("value") > 150).cast("double")).alias("y_true"),
+        F.when(F.col("value").isNull(), None).otherwise((F.col("value") > 120).cast("double")).alias("y_pred"),
+    )
+    out = f1_labels(pair)
+    return out.select("source", F.round("f1", 6).alias("f1"))
+
+
+def q_double_rolling_mixed(spark, sf_dir):
+    """center=False with a time LEFT window and an int RIGHT window —
+    the round-1 NotImplementedError path (reference shift trick:
+    aggregate lag(value, w_right) over the time frame)."""
+    from adtk_spark.functions.windows import double_rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = double_rolling_agg(s, ("3D", 2), agg="max", center=False,
+                             diff="diff", out_col="dd")
+    return out.select("source", "ts", F.round("dd", 6).alias("dd"))
+
+
+def q_regularize_hourly(spark, sf_dir):
+    """Modal-frequency regularization: hourly series re-indexed onto its
+    inferred 1h grid — gap hours appear as NULL rows (asfreq
+    semantics)."""
+    from adtk_spark.operators.data import regularize
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    return regularize(h1).select("source", "ts", "value")
+
+
+def q_pipenet_chain(spark, sf_dir):
+    """Pipenet DAG (kind-validated): rolling-mean transformer ->
+    threshold detector, composed into one lazy plan."""
+    from adtk_spark.functions.windows import rolling_agg
+    from adtk_spark.operators.detectors import threshold_ad
+    from adtk_spark.operators.pipe import Pipenet
+
+    def smooth(df):
+        return rolling_agg(df, 5, "mean", min_periods=5, out_col="sm")
+
+    def det(df):
+        labeled = threshold_ad(
+            df.select("source", "ts", F.col("sm").alias("value")),
+            low=60.0, high=140.0)
+        return labeled.select("source", "ts", "label")
+
+    net = Pipenet({
+        "smooth": {"fn": smooth, "kind": "transformer"},
+        "det": {"fn": det, "input": "smooth", "kind": "detector"},
+    })
+    return net.run(_series(spark, sf_dir))
+
+
+def q_customized_detector(spark, sf_dir):
+    """CustomizedDetector1D with a user pandas function (2-sigma rule);
+    the oracle replays the same arithmetic in SQL — proves the custom
+    grouped-map plumbing, not just the builtin detectors."""
+    from adtk_spark.operators.custom import customized_detector
+
+    def two_sigma(s):
+        return ((s - s.mean()).abs() > 2 * s.std()).astype(float)
+
+    s = _series(spark, sf_dir)
+    out = customized_detector(s, two_sigma)
+    return out.select("source", "ts", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -664,6 +774,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_mode3": q_split_mode3,
         "pca_recon_error": q_pca_recon_error,
         "regression_residual": q_regression_residual,
+        "salted_rollup_1m": q_salted_rollup_1m,
+        "one_hot_docs": q_one_hot_docs,
+        "sum_all": q_sum_all,
+        "f1_labels": q_f1_labels,
+        "double_rolling_mixed": q_double_rolling_mixed,
+        "regularize_hourly": q_regularize_hourly,
+        "pipenet_chain": q_pipenet_chain,
+        "customized_detector": q_customized_detector,
     }
 
 
@@ -1586,5 +1704,124 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, w.ts,
                    round(w.b - (f.ic + f.sl * w.a), 6) AS resid
             FROM w, f
+        """,
+        "salted_rollup_1m": f"""
+            SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                   count(value) AS cnt,
+                   round(CAST(min(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6) AS vmin,
+                   round(CAST(max(CAST(value AS DECIMAL(38,9))) AS DOUBLE), 6) AS vmax,
+                   round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum
+            FROM events GROUP BY 1, 2
+        """,
+        # lang domain of the driver corpus: de/en/es/fr/zh
+        "one_hot_docs": """
+            SELECT doc_id, source,
+                   CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+                   CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+                   CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+                   CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+            FROM documents
+        """,
+        "sum_all": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            )
+            SELECT 'all' AS source, ts, round(a + b, 6) AS sum_ab FROM w
+        """,
+        "f1_labels": _DEDUP_CTE + """
+            , l AS (
+              SELECT source,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 150.0 AS DOUBLE) END AS yt,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 120.0 AS DOUBLE) END AS yp
+              FROM d
+            ), pr AS (
+              SELECT source,
+                     CASE WHEN sum(yt) <> 0 THEN sum(yt * yp) / sum(yt) END AS r,
+                     CASE WHEN sum(yp) <> 0 THEN sum(yt * yp) / sum(yp) END AS p
+              FROM l GROUP BY source
+            )
+            SELECT source,
+                   round(CASE WHEN r + p <> 0 THEN 2 * r * p / (r + p) END, 6) AS f1
+            FROM pr
+        """,
+        "double_rolling_mixed": _DEDUP_CTE + """
+            , l AS (
+              SELECT source, ts, value, epoch_us(ts) AS t,
+                     lag(value, 2) OVER (PARTITION BY source ORDER BY ts) AS lv
+              FROM d
+            ), m AS (
+              SELECT source, ts,
+                     CASE WHEN count(lv) OVER wl >= 1
+                          THEN max(lv) OVER wl END AS lft,
+                     CASE WHEN count(value) OVER wr >= 2
+                          THEN max(value) OVER wr END AS rgt
+              FROM l
+              WINDOW wl AS (PARTITION BY source ORDER BY t
+                            RANGE BETWEEN 259199999999 PRECEDING AND CURRENT ROW),
+                     wr AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+            )
+            SELECT source, ts, round(rgt - lft, 6) AS dd FROM m
+        """,
+        "regularize_hourly": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     round(avg(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), d AS (
+              SELECT source, epoch_us(CAST(h AS TIMESTAMP)) AS t, v FROM r
+            ), del AS (
+              SELECT source, t - lag(t) OVER (PARTITION BY source ORDER BY t) AS dd
+              FROM d
+            ), cnt AS (
+              SELECT source, dd, count(*) AS n FROM del
+              WHERE dd IS NOT NULL GROUP BY 1, 2
+            ), md AS (
+              SELECT source, dd FROM (
+                SELECT source, dd,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n DESC, dd ASC) AS rn
+                FROM cnt
+              ) WHERE rn = 1
+            ), b AS (
+              SELECT source, min(t) AS mn, max(t) AS mx FROM d GROUP BY source
+            ), sp AS (
+              SELECT b.source, unnest(generate_series(b.mn, b.mx, md.dd)) AS t
+              FROM b JOIN md USING (source)
+            )
+            SELECT sp.source, make_timestamp(sp.t) AS ts, d.v AS value
+            FROM sp LEFT JOIN d ON d.source = sp.source AND d.t = sp.t
+        """,
+        "pipenet_chain": _DEDUP_CTE + """
+            , m AS (
+              SELECT source, ts,
+                     CASE WHEN count(value) OVER w >= 5
+                          THEN avg(value) OVER w END AS sm
+              FROM d
+              WINDOW w AS (PARTITION BY source ORDER BY ts
+                           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            )
+            SELECT source, ts,
+                   CASE WHEN sm IS NULL THEN NULL
+                        ELSE CAST(sm > 140.0 OR sm < 60.0 AS DOUBLE) END AS label
+            FROM m
+        """,
+        "customized_detector": _DEDUP_CTE + """
+            , s AS (
+              SELECT source, avg(value) AS mu, stddev_samp(value) AS sd
+              FROM d GROUP BY source
+            )
+            SELECT d.source, d.ts,
+                   CASE WHEN d.value IS NULL THEN 0.0
+                        ELSE CAST(abs(d.value - s.mu) > 2 * s.sd AS DOUBLE) END AS label
+            FROM d JOIN s USING (source)
         """,
     }
