@@ -1,0 +1,72 @@
+"""Physical-plan shape guards: the scale properties the engine is built
+around, asserted on the optimized plans so a regression (extra shuffle,
+broadcast falling back to sort-merge, partial aggregation lost) fails
+CI instead of surfacing as a 100x slowdown at cluster scale."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import series_df
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_exchanges(plan: str) -> int:
+    # count shuffle exchanges only (not broadcast exchanges)
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_rolling_agg_single_exchange(spark):
+    from adtk_spark.functions.windows import rolling_agg
+
+    df = series_df(spark, list(range(50)))
+    out = rolling_agg(df, 5, "mean", out_col="m")
+    out = rolling_agg(out, 7, "median", center=True, out_col="md")
+    plan = plan_of(out)
+    # two rolling ops over the same (source, ts) ordering must share ONE
+    # shuffle — window specs are aligned on unix_micros(ts) for this
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_detector_predict_is_broadcast_join(spark):
+    from adtk_spark.operators.detectors import quantile_ad
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(quantile_ad(df, low=0.1, high=0.9))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rollup_has_mapside_partial_aggregation(spark):
+    from adtk_spark.plans.tiers import rollup_raw
+
+    df = series_df(spark, list(range(50)))
+    t1m = rollup_raw(df.withColumnRenamed("ts", "ts"), "1m")
+    plan = plan_of(t1m)
+    # partial_* before the exchange = map-side combine is in effect
+    pre_exchange = plan.split("Exchange hashpartitioning")[-1]
+    assert "partial_count" in pre_exchange and "partial_min" in pre_exchange, plan
+    assert count_exchanges(plan) == 1, plan
+
+
+def test_mixed_double_rolling_no_extra_shuffle(spark):
+    from adtk_spark.functions.windows import double_rolling_agg
+
+    df = series_df(spark, list(range(50)))
+    out = double_rolling_agg(df, ("3D", 2), agg="mean", center=False,
+                             diff="l1", out_col="d")
+    # time-left/int-right composes three window ops over one shuffle
+    assert count_exchanges(plan_of(out)) == 1
+
+
+def test_scan_is_column_pruned(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from adtk_spark.operators.corpus import token_count
+
+    plan = plan_of(token_count(docs))
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "text" in m.group(1) and "lang" not in m.group(1), plan
