@@ -714,6 +714,40 @@ def q_customized_detector(spark, sf_dir):
     return out.select("source", "ts", "label")
 
 
+def q_regression_ad(spark, sf_dir):
+    """RegressionAD fit_detect: OLS residual -> upper-IQR rule on the
+    magnitude (side='both')."""
+    from adtk_spark.operators.hd import regression_ad
+
+    w = _wide_pair(spark, sf_dir)
+    return regression_ad(w, target="b", features=["a"], c=3.0).select(
+        "source", "ts", "label")
+
+
+def q_pca_ad(spark, sf_dir):
+    """PcaAD fit_detect: closed-form k=1 reconstruction error ->
+    two-sided IQR rule (oracle uses the rotation-invariant principal
+    axis of the 2x2 covariance)."""
+    from adtk_spark.operators.hd import pca_ad
+
+    w = _wide_pair(spark, sf_dir)
+    return pca_ad(w, ["a", "b"], k=1, c=5.0).select("source", "ts", "label")
+
+
+def q_customized_transformer(spark, sf_dir):
+    """CustomizedTransformer1D with a user pandas diff function — the
+    oracle is value - lag(value)."""
+    from adtk_spark.operators.custom import customized_transformer
+
+    def pd_diff(s):
+        return s - s.shift(1)
+
+    s = _series(spark, sf_dir)
+    out = customized_transformer(s, pd_diff)
+    return out.select("source", "ts",
+                      F.round("transformed", 6).alias("t_diff"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: tiered rollup + PersistAD on the 1h tier, sf0.001."""
     sf_dir = "/root/testdata/sf0.001"
@@ -782,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regularize_hourly": q_regularize_hourly,
         "pipenet_chain": q_pipenet_chain,
         "customized_detector": q_customized_detector,
+        "regression_ad": q_regression_ad,
+        "pca_ad": q_pca_ad,
+        "customized_transformer": q_customized_transformer,
     }
 
 
@@ -1813,6 +1850,61 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sm IS NULL THEN NULL
                         ELSE CAST(sm > 140.0 OR sm < 60.0 AS DOUBLE) END AS label
             FROM m
+        """,
+        "regression_ad": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), f AS (
+              SELECT regr_slope(b, a) AS sl, regr_intercept(b, a) AS ic FROM w
+            ), r AS (
+              SELECT w.ts, abs(w.b - (f.ic + f.sl * w.a)) AS mag FROM w, f
+            ), bnd AS (
+              SELECT quantile_cont(mag, 0.75)
+                       + 3.0 * (quantile_cont(mag, 0.75) - quantile_cont(mag, 0.25)) AS hi
+              FROM r
+            )
+            SELECT 'all' AS source, r.ts,
+                   CAST(r.mag > bnd.hi AS DOUBLE) AS label
+            FROM r, bnd
+        """,
+        "pca_ad": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), s AS (
+              SELECT avg(a) AS ma, avg(b) AS mb,
+                     0.5 * atan2(2 * covar_pop(a, b),
+                                 var_pop(a) - var_pop(b)) AS th
+              FROM w
+            ), e AS (
+              SELECT w.ts,
+                     (w.a - s.ma) * (w.a - s.ma)
+                       + (w.b - s.mb) * (w.b - s.mb)
+                       - (cos(s.th) * (w.a - s.ma) + sin(s.th) * (w.b - s.mb))
+                         * (cos(s.th) * (w.a - s.ma) + sin(s.th) * (w.b - s.mb)) AS err
+              FROM w, s
+            ), bnd AS (
+              SELECT quantile_cont(err, 0.25) AS q1, quantile_cont(err, 0.75) AS q3
+              FROM e
+            )
+            SELECT 'all' AS source, e.ts,
+                   CAST(e.err > bnd.q3 + 5.0 * (bnd.q3 - bnd.q1)
+                        OR e.err < bnd.q1 - 5.0 * (bnd.q3 - bnd.q1) AS DOUBLE) AS label
+            FROM e, bnd
+        """,
+        "customized_transformer": _DEDUP_CTE + """
+            SELECT source, ts,
+                   round(value - lag(value) OVER (PARTITION BY source ORDER BY ts), 6) AS t_diff
+            FROM d
         """,
         "customized_detector": _DEDUP_CTE + """
             , s AS (
