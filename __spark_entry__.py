@@ -105,6 +105,40 @@ def q_rollup_1h_2level(spark, sf_dir):
     )
 
 
+def q_rollup_sliding_5m(spark, sf_dir):
+    """Sliding continuous aggregate: 5-minute window stepping every
+    minute, computed FROM the tumbling 1m tier via one RANGE window
+    frame (plans/tiers.py rollup_sliding) — never from raw. Oracle
+    reproduces the same two-level computation with a DuckDB RANGE
+    frame. vsum stays DECIMAL(38,9) until the final cast so the
+    sliding sums are order-independent."""
+    from adtk_spark.plans.tiers import rollup_sliding
+
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            _dsum().alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    sl = rollup_sliding(m1, width_secs=300, step_secs=60, quantile=0.5)
+    return sl.select(
+        "source", "bucket_ts", "w_cnt",
+        F.round("w_min", 6).alias("w_min"),
+        F.round("w_max", 6).alias("w_max"),
+        F.round(F.col("w_sum").cast("double"), 6).alias("w_sum"),
+        F.round("w_q", 6).alias("w_q"),
+        F.round("w_mean", 6).alias("w_mean"),
+    )
+
+
 def q_threshold_ad(spark, sf_dir):
     from adtk_spark.operators.detectors import threshold_ad
 
@@ -765,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_2level": q_rollup_1h_2level,
+        "rollup_sliding_5m": q_rollup_sliding_5m,
         "threshold_ad": q_threshold_ad,
         "quantile_ad": q_quantile_ad,
         "iqr_ad": q_iqr_ad,
@@ -1014,6 +1049,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
                    round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
+        """,
+        "rollup_sliding_5m": f"""
+            WITH m AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                     count(value) AS cnt, min(value) AS vmin, max(value) AS vmax,
+                     {_DSUM_SQL} AS vsum,
+                     CAST({_DSUM_SQL} AS DOUBLE) / count(value) AS mean
+              FROM events GROUP BY 1, 2
+            ), m2 AS (SELECT *, epoch(bucket_ts) AS e FROM m)
+            SELECT source, bucket_ts,
+                   sum(cnt) OVER w AS w_cnt,
+                   round(min(vmin) OVER w, 6) AS w_min,
+                   round(max(vmax) OVER w, 6) AS w_max,
+                   round(CAST(sum(vsum) OVER w AS DOUBLE), 6) AS w_sum,
+                   round(quantile_cont(mean, 0.5) OVER w, 6) AS w_q,
+                   round(CAST(sum(vsum) OVER w AS DOUBLE) / (sum(cnt) OVER w), 6) AS w_mean
+            FROM m2
+            WINDOW w AS (PARTITION BY source ORDER BY e
+                         RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
         """,
         "threshold_ad": """
             SELECT event_id, event_type AS source, ts, value,

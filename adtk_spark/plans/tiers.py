@@ -20,10 +20,10 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.windows import exact_quantile_agg
+from ..functions.windows import _interp_sorted, exact_quantile_agg, sorted_frame_arr
 
 TIER_INTERVALS = {"1m": "minute", "1h": "hour", "1d": "day"}
 TIER_ORDER = ["raw", "1m", "1h", "1d"]
@@ -99,6 +99,65 @@ def tier_series(tier: DataFrame, stat: str = "mean",
     """A tier as a detector-ready long series (source, ts, value)."""
     return tier.select(source_col, F.col("bucket_ts").alias("ts"),
                        F.col(stat).alias("value"))
+
+
+def rollup_sliding(
+    tier: DataFrame,
+    width_secs: int,
+    step_secs: int,
+    quantile: float | None = None,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Trailing sliding-window continuous aggregate over a tumbling tier.
+
+    For every tier bucket t, aggregates all finer buckets in the window
+    ``(t - width_secs, t]`` — e.g. ``width_secs=300, step_secs=60`` on
+    the 1m tier is a 5-minute window sliding every minute (the north
+    star's "tumbling/sliding window rollups ... as continuous
+    aggregates"). Algebraic stats merge exactly from the tier partials
+    (sum of sums, min of mins, count of counts); ``quantile`` (if set)
+    is the exact type-7 quantile of the window's `mean` points, same
+    per-tier series semantics as ``rollup_up``.
+
+    Scale: computed FROM the tumbling tier, never from raw — input
+    cardinality is already compacted by ``width/step``× vs raw, and the
+    plan is one shuffle on ``source`` + a time-sorted RANGE frame of at
+    most ``width_secs/step_secs`` rows, vs the ``F.window(slide)``
+    explode idiom which multiplies raw rows by the overlap factor
+    before the shuffle. Frame memory is bounded by the window width,
+    independent of history length.
+    """
+    if width_secs % step_secs:
+        raise ValueError("width_secs must be a multiple of step_secs")
+    epoch = F.unix_timestamp(F.col("bucket_ts")).cast("long")
+    win = (
+        Window.partitionBy(source_col)
+        .orderBy(epoch)
+        .rangeBetween(-(width_secs - step_secs), 0)
+    )
+    cols = [
+        F.col(source_col),
+        F.col("bucket_ts"),
+        F.sum("cnt").over(win).alias("w_cnt"),
+        F.min("vmin").over(win).alias("w_min"),
+        F.max("vmax").over(win).alias("w_max"),
+        F.sum("vsum").over(win).alias("w_sum"),
+    ]
+    if quantile is None:
+        out = tier.select(*cols)
+    else:
+        # one sorted frame buffer behind a projection boundary, then
+        # interpolate — all window nodes share the (source, epoch)
+        # sort, so Catalyst plans a single exchange+sort
+        out = (
+            tier.select(*cols, sorted_frame_arr("mean", win).alias("_arr"))
+            .withColumn("w_q", _interp_sorted(F.col("_arr"), quantile))
+            .drop("_arr")
+        )
+    return out.withColumn(
+        "w_mean", F.col("w_sum").cast("double") / F.col("w_cnt")
+    )
 
 
 def salt_partials(

@@ -70,3 +70,16 @@ def test_scan_is_column_pruned(spark):
     plan = plan_of(token_count(docs))
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "text" in m.group(1) and "lang" not in m.group(1), plan
+
+
+def test_rollup_sliding_single_exchange_single_window(spark):
+    from adtk_spark.plans.tiers import rollup_raw, rollup_sliding
+
+    df = series_df(spark, list(range(200)), freq_hours=0.01)
+    sl = rollup_sliding(rollup_raw(df, "1m"), 300, 60, quantile=0.5)
+    plan = plan_of(sl)
+    # the tier groupBy shuffles on (source, bucket); the sliding frame
+    # re-shuffles on source — and ALL five frame functions (sum/min/max/
+    # sum/collect_list) must share ONE Window node over that single sort
+    assert count_exchanges(plan) == 2, plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 1, plan

@@ -61,3 +61,57 @@ def test_tiers_detector_on_rolled_series(spark):
     labels = persist_ad(hourly, window=3, c=3.0, min_periods=2)
     hot = labels.where((F.col("source") == "src0") & (F.col("label") == 1.0))
     assert hot.count() >= 1  # the injected 6h burst fires the detector
+
+
+def test_rollup_sliding_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    from adtk_spark.plans.tiers import rollup_sliding
+
+    rng = np.random.RandomState(0)
+    ts = pd.date_range("2024-01-01", periods=300, freq="17s")
+    pdf = pd.DataFrame(
+        {"source": ["a"] * 300 + ["b"] * 300, "ts": list(ts) * 2,
+         "value": rng.rand(600)}
+    )
+    t1m = rollup_raw(spark.createDataFrame(pdf), "1m")
+    out = (
+        rollup_sliding(t1m, width_secs=300, step_secs=60, quantile=0.5)
+        .orderBy("source", "bucket_ts")
+        .toPandas()
+    )
+    for src in ("a", "b"):
+        m = (
+            pdf[pdf.source == src].set_index("ts").resample("1min")["value"]
+            .agg(["count", "min", "max", "sum", "mean"])
+        )
+        roll = m.rolling("5min")
+        got = out[out.source == src]
+        assert (got.w_cnt.values == roll["count"].sum().values).all()
+        assert np.allclose(got.w_sum.values, roll["sum"].sum().values)
+        assert np.allclose(got.w_min.values, roll["min"].min().values)
+        assert np.allclose(got.w_max.values, roll["max"].max().values)
+        assert np.allclose(
+            got.w_q.values, m["mean"].rolling(5, min_periods=1).median().values
+        )
+        assert np.allclose(
+            got.w_mean.values,
+            (roll["sum"].sum() / roll["count"].sum()).values,
+        )
+
+
+def test_rollup_sliding_gap_respects_time_width(spark):
+    # a missing bucket must narrow the window by TIME, not by row count
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("A", t0 + dt.timedelta(minutes=m), 1.0) for m in (0, 1, 2, 10, 11)]
+    t1m = rollup_raw(spark.createDataFrame(rows, "source string, ts timestamp, value double"), "1m")
+    from adtk_spark.plans.tiers import rollup_sliding
+
+    out = {
+        r["bucket_ts"].minute: r["w_cnt"]
+        for r in rollup_sliding(t1m, 300, 60).collect()
+    }
+    assert out == {0: 1, 1: 2, 2: 3, 10: 1, 11: 2}
