@@ -60,3 +60,65 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     main(["--catalog", cat, "--cores", "4"])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["refresh"]["processed"] == 0
+
+
+def test_streaming_persist_ad_matches_batch(spark, tmp_path):
+    """Fit PersistAD bounds batch-side, score the same series as a
+    3-chunk stream, and demand point parity with the batch detector —
+    including across chunk boundaries, which only state carry-over can
+    satisfy."""
+    import math
+
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import persist_ad_detect, persist_ad_fit
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.stateful import streaming_persist_ad
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 3000, n_sources=6, seed=31,
+                                  span_secs=5400, start="2025-02-01 00:00:00"))
+    ).cache()
+    W, MP = 7, 4
+    bounds = persist_ad_fit(raw, window=W, c=3.0, min_periods=MP)
+    batch = {
+        (r["source"], r["ts"]): r["label"]
+        for r in persist_ad_detect(raw, bounds, window=W,
+                                   min_periods=MP).collect()
+    }
+
+    # arrivals split by event-time terciles (in-order delivery contract)
+    lo, hi = raw.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.333) p1",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.667) p2",
+    ).first()
+    from pyspark.sql import functions as F
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [raw.where(mic <= lo), raw.where((mic > lo) & (mic <= hi)),
+              raw.where(mic > hi)]
+
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in chunks:
+        ch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src_dir)
+        labeled = streaming_persist_ad(stream, bounds, window=W,
+                                       min_periods=MP)
+        q = (labeled.writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == set(batch)
+    n_anom = 0
+    for k, g in got.items():
+        b = batch[k]
+        if b is None or (isinstance(b, float) and math.isnan(b)):
+            assert g is None or math.isnan(g), k
+        else:
+            assert g == b, (k, g, b)
+            n_anom += int(b == 1.0)
+    assert n_anom > 0  # the comparison is not vacuous
+    raw.unpersist()
