@@ -139,6 +139,28 @@ def q_rollup_sliding_5m(spark, sf_dir):
     )
 
 
+def q_sketch_tier_1h(spark, sf_dir):
+    """Sketch-carrying tier chain raw -> 1m -> 1h (plans/tiers.py
+    rollup_raw_sketch / rollup_up_sketch): drives t-digest construction
+    and merge under the driver. The oracle checks the exact algebraic
+    columns against a direct 1h rollup from raw. Excluded on purpose:
+    vq/vdigest (approximate, rank error O(1/delta) — no SQL equivalent;
+    golden-tested in tests/test_sketch.py) and vsum (the sketch path
+    keeps production double sums whose re-aggregation order is not
+    hash-stable; the DECIMAL(38,9) oracle variant is covered by
+    rollup_1h_2level)."""
+    from adtk_spark.plans.tiers import rollup_raw_sketch, rollup_up_sketch
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    t1h = rollup_up_sketch(rollup_raw_sketch(ev, "1m"), "1h")
+    return t1h.select(
+        "source", "bucket_ts", "cnt",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
 def q_threshold_ad(spark, sf_dir):
     from adtk_spark.operators.detectors import threshold_ad
 
@@ -800,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": q_rollup_1m,
         "rollup_1h_2level": q_rollup_1h_2level,
         "rollup_sliding_5m": q_rollup_sliding_5m,
+        "sketch_tier_1h": q_sketch_tier_1h,
         "threshold_ad": q_threshold_ad,
         "quantile_ad": q_quantile_ad,
         "iqr_ad": q_iqr_ad,
@@ -1068,6 +1091,12 @@ def oracle_sql() -> dict[str, str]:
             FROM m2
             WINDOW w AS (PARTITION BY source ORDER BY e
                          RANGE BETWEEN 240 PRECEDING AND CURRENT ROW)
+        """,
+        "sketch_tier_1h": """
+            SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt, round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax
+            FROM events GROUP BY 1, 2
         """,
         "threshold_ad": """
             SELECT event_id, event_type AS source, ts, value,

@@ -160,6 +160,89 @@ def rollup_sliding(
     )
 
 
+def rollup_raw_sketch(
+    df: DataFrame,
+    tier: str = "1m",
+    quantile: float = 0.5,
+    delta: int = 200,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-level rollup carrying a mergeable t-digest of the bucket's
+    raw value distribution (functions/sketch.py).
+
+    This is the 100 TB scale path for *raw-distribution* quantiles at
+    coarse tiers: the exact chain (``rollup_raw``/``rollup_up``) defines
+    ``vq`` over the finer tier's mean points, and recovering the true
+    raw quantile at 1d would otherwise re-scan raw. Here every tier row
+    stores <= ``delta`` centroids (~3 KB) that coarser tiers re-merge
+    algebraically, so the 1d raw quantile costs one pass over the 1h
+    rows — never a raw re-scan. ``vq`` is the digest estimate
+    (rank error O(1/delta)); cnt/min/max/sum/mean stay exact.
+    """
+    from ..functions.sketch import digest_of_sorted_arr, digest_quantile
+
+    trunc = TIER_INTERVALS[tier]
+    v = F.col(value_col)
+    agged = df.groupBy(
+        source_col, F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts")
+    ).agg(
+        F.count(v).alias("cnt"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+        F.sum(v).alias("vsum"),
+        F.collect_list(v).alias("_vals"),
+    )
+    return (
+        agged.withColumn("vdigest", digest_of_sorted_arr(F.col("_vals"), delta))
+        .drop("_vals")
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
+        .withColumn(
+            "vq",
+            digest_quantile(F.col("vdigest"), quantile,
+                            F.col("vmin"), F.col("vmax")),
+        )
+    )
+
+
+def rollup_up_sketch(
+    finer: DataFrame,
+    tier: str,
+    quantile: float = 0.5,
+    delta: int = 200,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Re-aggregate a sketch-carrying tier: algebraic stats merge
+    exactly; digests merge by concat + one vectorized re-compress, so
+    ``vq`` estimates the *raw* distribution's quantile at every level
+    without touching raw again."""
+    from ..functions.sketch import digest_quantile, merge_digests
+
+    trunc = TIER_INTERVALS[tier]
+    agged = finer.groupBy(
+        source_col, F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts")
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").alias("vsum"),
+        F.collect_list("vdigest").alias("_ds"),
+    )
+    return (
+        agged.withColumn("vdigest", merge_digests(F.col("_ds"), delta))
+        .drop("_ds")
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
+        .withColumn(
+            "vq",
+            digest_quantile(F.col("vdigest"), quantile,
+                            F.col("vmin"), F.col("vmax")),
+        )
+    )
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",
