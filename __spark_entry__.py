@@ -660,6 +660,43 @@ def q_regression_residual(spark, sf_dir):
     return out.select("source", "ts", F.round("residual", 6).alias("resid"))
 
 
+def q_seasonal_ad(spark, sf_dir):
+    """SeasonalAD end-to-end (decomposition residual -> IQR rule ->
+    label) on the lerp-filled hourly series — same input as
+    seasonal_resid, now oracling the full detector."""
+    from adtk_spark.operators.detectors import seasonal_ad
+    from adtk_spark.plans.gapfill import interpolate_linear, time_spine
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.avg("value").alias("value"))
+    filled = interpolate_linear(time_spine(h1, "1 hour"), out_col="v")
+    filled = filled.select("source", "ts", F.col("v").alias("value"))
+    out = seasonal_ad(filled, freq=24, c=3.0)
+    return out.select("source", "ts", "label")
+
+
+def q_outlier_zscore(spark, sf_dir):
+    """OutlierDetector (hd.py) with a deterministic z-score callable
+    standing in for sklearn fit_predict: -1 where |z| > 2.5 on either
+    feature. Proves the pluggable grouped-map wrapper under the driver;
+    the oracle replays the same rule with stddev_samp."""
+    import numpy as np
+
+    from adtk_spark.operators.hd import outlier_detector
+
+    w = _wide_pair(spark, sf_dir)
+
+    def zrule(sub):
+        z = (sub - sub.mean()) / sub.std(ddof=1)
+        return np.where((z.abs() > 2.5).any(axis=1), -1, 1)
+
+    out = outlier_detector(w, zrule, ["a", "b"])
+    return out.select("source", "ts", "label")
+
+
 def q_salted_rollup_1m(spark, sf_dir):
     """Two-phase salted rollup must equal the plain 1m aggregate (the
     oracle computes the direct GROUP BY). Values go through
@@ -877,6 +914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regression_ad": q_regression_ad,
         "pca_ad": q_pca_ad,
         "customized_transformer": q_customized_transformer,
+        "seasonal_ad": q_seasonal_ad,
+        "outlier_zscore": q_outlier_zscore,
     }
 
 
@@ -1710,6 +1749,84 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
                    round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
             FROM events GROUP BY 1, 2
+        """,
+        "seasonal_ad": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS h,
+                     avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), bounds AS (
+              SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
+            ), spine AS (
+              SELECT source, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM bounds
+            ), j AS (
+              SELECT s.source, s.ts, r.v, epoch_us(s.ts) AS t
+              FROM spine s LEFT JOIN r ON r.source = s.source AND r.h = s.ts
+            ), f AS (
+              SELECT source, ts, t,
+                     CASE
+                       WHEN v IS NOT NULL THEN v
+                       WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt <> pt
+                         THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                       WHEN pv IS NOT NULL THEN pv
+                     END AS v
+              FROM (
+                SELECT source, ts, v, t,
+                       last_value(v IGNORE NULLS) OVER wp AS pv,
+                       last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+                       first_value(v IGNORE NULLS) OVER wn AS nv,
+                       first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+                FROM j
+                WINDOW wp AS (PARTITION BY source ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wn AS (PARTITION BY source ORDER BY ts
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              )
+            ), pat AS (
+              SELECT source,
+                     (row_number() OVER (PARTITION BY source ORDER BY ts) - 1) % 24 AS phase,
+                     v
+              FROM f
+            ), seas AS (
+              SELECT source, phase, avg(v) AS seasonal FROM pat GROUP BY 1, 2
+            ), d0 AS (
+              SELECT source, min(t) AS datum FROM f GROUP BY source
+            ), resid AS (
+              SELECT f.source, f.ts, f.v - s.seasonal AS rd
+              FROM f
+              JOIN d0 ON d0.source = f.source
+              JOIN seas s ON s.source = f.source
+                AND s.phase = ((f.t - d0.datum) / 3600000000) % 24
+            ), iqr AS (
+              SELECT source,
+                     quantile_cont(abs(rd), 0.75)
+                       + 3.0 * (quantile_cont(abs(rd), 0.75)
+                                - quantile_cont(abs(rd), 0.25)) AS hi
+              FROM resid GROUP BY source
+            )
+            SELECT r.source, r.ts,
+                   CASE WHEN r.rd IS NULL THEN NULL
+                        ELSE CAST(abs(r.rd) > i.hi AS DOUBLE) END AS label
+            FROM resid r JOIN iqr i ON i.source = r.source
+        """,
+        "outlier_zscore": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), m AS (
+              SELECT avg(a) AS ma, stddev_samp(a) AS sa,
+                     avg(b) AS mb, stddev_samp(b) AS sb
+              FROM w
+            )
+            SELECT 'all' AS source, w.ts,
+                   CAST(abs((w.a - m.ma) / m.sa) > 2.5
+                        OR abs((w.b - m.mb) / m.sb) > 2.5 AS DOUBLE) AS label
+            FROM w, m
         """,
         "seasonal_resid": """
             WITH r AS (
