@@ -62,6 +62,62 @@ class TierCatalog:
         self._store(m)
         return snap_id
 
+    def commit_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        buckets: int = 64,
+        bucket_col: str = "source",
+        sort_cols: tuple[str, ...] = ("source", "bucket_ts"),
+    ) -> str:
+        """Read-optimized compaction: materialize the tier's current
+        state as a bucketed, sorted metastore table.
+
+        Why: a plain parquet scan carries no partitioning info, so every
+        detector pass over a stored tier pays a full-table Exchange to
+        cluster by source before its window functions. A bucketed scan
+        reports HashPartitioning(bucket_col) and satisfies the Window's
+        distribution outright — zero Exchange, only an in-partition sort
+        (guarded by tests/test_catalog_resume.py plan assertions). At
+        100 TB that deletes the single biggest shuffle of every scoring
+        job. On Iceberg this maps onto the ``bucket(N, source)``
+        partition transform plus sorted data-file compaction.
+
+        The bucketed table is a *view of the last commit* (snapshot
+        union would discard the bucketing); re-run after new commits.
+        Returns the metastore table name.
+        """
+        # unique per catalog root so parallel test catalogs don't collide
+        import hashlib
+
+        suffix = hashlib.md5(self.root.encode()).hexdigest()[:8]
+        name = f"{table}_bucketed_{suffix}"
+        path = os.path.join(self.root, f"{table}_bucketed")
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(buckets, bucket_col)
+            .sortBy(*sort_cols)
+            .mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        m = self._load()
+        m["tables"].setdefault(table, {"snapshots": []})["bucketed"] = {
+            "name": name,
+            "buckets": buckets,
+            "bucket_col": bucket_col,
+            "as_of_snapshot": self.last_snapshot(table),
+        }
+        self._store(m)
+        return name
+
+    def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame | None:
+        """The read-optimized bucketed view, or None if never compacted."""
+        info = self._load()["tables"].get(table, {}).get("bucketed")
+        return spark.table(info["name"]) if info else None
+
     # -- reads -------------------------------------------------------------
     def snapshots(self, table: str) -> list[int]:
         return [s["id"] for s in self._load()["tables"].get(table, {}).get("snapshots", [])]

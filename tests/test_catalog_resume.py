@@ -67,3 +67,41 @@ def test_incremental_refresh_and_resume(spark, tmp_path):
     tables = {r["table"] for r in lin.select("table").distinct().collect()}
     assert {"tier_1m", "tier_1h", "tier_1d"} <= tables
     assert lin.where(F.col("n_rows") <= 0).count() == 0
+
+
+def test_bucketed_compaction_no_exchange(spark, tmp_path):
+    """The read-optimized bucketed tier view: (a) same data as the plain
+    snapshot read, (b) a per-source window pass over it plans ZERO
+    Exchange (the bucketed scan's HashPartitioning satisfies the
+    Window's distribution) vs exactly one on the plain parquet read."""
+    from pyspark.sql import Window
+
+    from adtk_spark.plans.tiers import rollup_raw
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    cat = TierCatalog(str(tmp_path / "cat"))
+    t1m = rollup_raw(
+        token_series(token_corpus(spark, 2000, n_sources=8, seed=9)), "1m")
+    cat.commit(t1m, "tier_1m")
+    name = cat.commit_bucketed(cat.read(spark, "tier_1m").drop("snap"),
+                               "tier_1m", buckets=8)
+    try:
+        bkt = cat.read_bucketed(spark, "tier_1m")
+        plain = cat.read(spark, "tier_1m").drop("snap")
+
+        key = lambda r: (r["source"], r["bucket_ts"], r["cnt"], r["vsum"])
+        assert {key(r) for r in bkt.collect()} == {key(r) for r in plain.collect()}
+
+        w = Window.partitionBy("source").orderBy("bucket_ts").rowsBetween(-5, -1)
+        proj = [F.col("source"), F.col("bucket_ts"),
+                F.avg("mean").over(w).alias("r")]
+        plan_bkt = bkt.select(*proj)._jdf.queryExecution() \
+            .executedPlan().toString()
+        plan_plain = plain.select(*proj)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan_bkt.count("Exchange") == 0
+        assert "Bucketed: true" in plan_bkt
+        assert plan_plain.count("Exchange") == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
