@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _split_schema(s: str) -> list[str]:
+    """Split a simpleString field list on top-level commas only
+    (nested struct/array/map types contain commas of their own)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        depth += ch in "<(["
+        depth -= ch in ">)]"
+        cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 class TierCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -108,15 +125,38 @@ class TierCatalog:
             "name": name,
             "buckets": buckets,
             "bucket_col": bucket_col,
+            "sort_cols": list(sort_cols),
+            "path": path,
+            "schema": df.schema.simpleString()[7:-1],  # strip struct<...>
             "as_of_snapshot": self.last_snapshot(table),
         }
         self._store(m)
         return name
 
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame | None:
-        """The read-optimized bucketed view, or None if never compacted."""
+        """The read-optimized bucketed view, or None if never compacted.
+
+        Metastore registrations are per-session (in-memory catalog), so
+        a fresh session re-registers the external bucketed table from
+        the manifest — the data files and their bucket-id file naming
+        are on disk, which is all the bucketed scan needs."""
         info = self._load()["tables"].get(table, {}).get("bucketed")
-        return spark.table(info["name"]) if info else None
+        if not info:
+            return None
+        name = info["name"]
+        if not spark.catalog.tableExists(name):
+            cols = ", ".join(
+                f"`{c.split(':')[0]}` {c.split(':', 1)[1]}"
+                for c in _split_schema(info["schema"])
+            )
+            sort = ", ".join(f"`{c}`" for c in info["sort_cols"])
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY (`{info['bucket_col']}`) SORTED BY ({sort}) "
+                f"INTO {info['buckets']} BUCKETS "
+                f"LOCATION '{info['path']}'"
+            )
+        return spark.table(name)
 
     # -- reads -------------------------------------------------------------
     def snapshots(self, table: str) -> list[int]:

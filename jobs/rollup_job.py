@@ -40,6 +40,10 @@ def main(argv=None):
                    help="drop 1m buckets older than N days from the latest (0=keep all)")
     p.add_argument("--compress", action="store_true",
                    help="write compressed payload blocks for the 1m tier")
+    p.add_argument("--compact-buckets", type=int, default=0,
+                   help="materialize each tier as a bucketed, sorted "
+                        "read-optimized table with N buckets (detector "
+                        "reads then plan zero Exchange)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -75,6 +79,15 @@ def main(argv=None):
             payloads = compress_tier(t1m, stat="mean")
             report["payload_snapshot"] = catalog.commit(
                 payloads, "tier_1m_payloads", {"stat": "mean"})
+
+    if args.compact_buckets > 0:
+        compacted = {}
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            t = read_tier_latest(catalog, spark, tier)
+            if t is not None:
+                compacted[tier] = catalog.commit_bucketed(
+                    t, tier, buckets=args.compact_buckets)
+        report["compacted"] = compacted
 
     if args.retention_days_1m > 0:
         t1m = read_tier_latest(catalog, spark, "tier_1m")

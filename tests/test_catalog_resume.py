@@ -103,5 +103,16 @@ def test_bucketed_compaction_no_exchange(spark, tmp_path):
         assert plan_bkt.count("Exchange") == 0
         assert "Bucketed: true" in plan_bkt
         assert plan_plain.count("Exchange") == 1
+
+        # metastore registrations are per-session: a fresh catalog
+        # object must self-register the external bucketed table from
+        # the manifest (simulated by dropping the session's table)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        cat2 = TierCatalog(str(tmp_path / "cat"))
+        bkt2 = cat2.read_bucketed(spark, "tier_1m")
+        plan2 = bkt2.select(*proj)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan2.count("Exchange") == 0
+        assert {key(r) for r in bkt2.collect()} == {key(r) for r in plain.collect()}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
