@@ -96,3 +96,56 @@ def test_sketch_plan_single_shuffle(spark):
     plan = rollup_up_sketch(rollup_raw_sketch(raw, "1m"), "1h") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3  # gen roundrobin + one per tier
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rank_interval_dist(sorted_vals, est, q):
+    """Distance from q to the rank interval of est (duplicates make the
+    rank an interval, not a point)."""
+    n = len(sorted_vals)
+    lo = np.searchsorted(sorted_vals, est, "left") / n
+    hi = np.searchsorted(sorted_vals, est, "right") / n
+    return 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+             min_size=1, max_size=2000),
+    st.sampled_from([0.05, 0.25, 0.5, 0.75, 0.95]),
+)
+def test_digest_rank_error_bound_property(vals, q):
+    """For ANY finite input multiset, the digest's quantile estimate
+    lands within 0.05 + 1/n rank of the true quantile: 0.05 is 10x the
+    t-digest O(1/delta) term at delta=200, and 1/n is the unavoidable
+    rank quantum of interpolating between n discrete order statistics
+    (e.g. [0,0,1] at q=0.75 interpolates to 0.75, whose empirical rank
+    is 2/3 — off by 1/12 < 1/n)."""
+    v = np.asarray(vals, dtype=float)
+    sv = np.sort(v)
+    m, w = compress(v, np.ones_like(v), 200)
+    est = digest_quantile_np(m, w, q, sv[0], sv[-1])
+    assert _rank_interval_dist(sv, est, q) <= 0.05 + 1.0 / len(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+             min_size=8, max_size=1500),
+    st.integers(min_value=2, max_value=12),
+)
+def test_digest_merge_rank_error_bound_property(vals, n_chunks):
+    """Merging chunked digests preserves the rank-error bound — the
+    property the tier chain relies on at every re-aggregation level."""
+    v = np.asarray(vals, dtype=float)
+    sv = np.sort(v)
+    parts = [c for c in np.array_split(v, n_chunks) if len(c)]
+    ms, ws = zip(*(compress(c, np.ones_like(c), 200) for c in parts))
+    m, w = compress(np.concatenate(ms), np.concatenate(ws), 200)
+    assert w.sum() == pytest.approx(len(v))
+    for q in (0.25, 0.5, 0.9):
+        est = digest_quantile_np(m, w, q, sv[0], sv[-1])
+        assert _rank_interval_dist(sv, est, q) <= 0.06 + 1.0 / len(v)
