@@ -66,13 +66,29 @@ class TierCatalog:
         os.replace(tmp, self._manifest_path)
 
     # -- writes ------------------------------------------------------------
-    def commit(self, df: DataFrame, table: str, meta: dict | None = None) -> int:
-        """Write df as a new snapshot of ``table``; returns snapshot id."""
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        meta: dict | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Write df as a new snapshot of ``table``; returns snapshot id.
+
+        ``partition_by`` hive-partitions the snapshot's files on the
+        given (materialized) columns — e.g. a ``day`` column derived
+        from ``bucket_ts`` — so retention cutoffs and time-ranged reads
+        prune whole directories at the scan (``PartitionFilters`` in the
+        plan, never opening old files). The Iceberg analogue is the
+        ``days(bucket_ts)`` partition transform."""
         m = self._load()
         t = m["tables"].setdefault(table, {"snapshots": []})
         snap_id = (t["snapshots"][-1]["id"] + 1) if t["snapshots"] else 1
         path = os.path.join(self.root, table, f"snap={snap_id}")
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         t["snapshots"].append(
             {"id": snap_id, "committed_at": time.time(), "meta": meta or {}}
         )

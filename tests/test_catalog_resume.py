@@ -116,3 +116,36 @@ def test_bucketed_compaction_no_exchange(spark, tmp_path):
         assert {key(r) for r in bkt2.collect()} == {key(r) for r in plain.collect()}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_partitioned_commit_prunes_retention_scan(spark, tmp_path):
+    """Day-partitioned tier snapshots: a retention cutoff reaches the
+    scan as a PartitionFilter (directories pruned, old files never
+    opened) and the kept rows match an unpartitioned filter."""
+    from adtk_spark.plans.tiers import retention_filter, rollup_raw
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    cat = TierCatalog(str(tmp_path / "cat"))
+    t1m = rollup_raw(
+        token_series(token_corpus(spark, 3000, n_sources=4, seed=13,
+                                  span_secs=4 * 86400)), "1m"
+    ).withColumn("day", F.to_date("bucket_ts"))
+    cat.commit(t1m, "tier_1m", partition_by=["day"])
+
+    stored = cat.read(spark, "tier_1m").drop("snap")
+    cutoff = t1m.agg(F.max("bucket_ts")).first()[0]
+    import datetime as dt
+
+    keep_after = (cutoff - dt.timedelta(days=2)).date()
+    kept = stored.where(F.col("day") >= F.lit(keep_after))
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the day filter must be IN the partition filters, not a data filter
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf
+
+    want = {(r["source"], r["bucket_ts"]) for r in retention_filter(
+        t1m, dt.datetime.combine(keep_after, dt.time())).collect()}
+    got = {(r["source"], r["bucket_ts"]) for r in kept.collect()}
+    assert got == want and len(got) > 0
