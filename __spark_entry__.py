@@ -365,6 +365,20 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over the exact n-gram Jaccard dup pairs:
+    every doc maps to the min doc id of its duplicate component (the
+    canonical survivor of a dedup pass). Spark runs min-label
+    propagation to a fixed point (operators/corpus.py dedup_groups);
+    the oracle computes the same transitive closure with a recursive
+    CTE."""
+    from adtk_spark.operators.corpus import dedup_groups, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    return dedup_groups(pairs, docs)
+
+
 def q_lang_id(spark, sf_dir):
     from adtk_spark.operators.corpus import lang_id
 
@@ -916,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customized_transformer": q_customized_transformer,
         "seasonal_ad": q_seasonal_ad,
         "outlier_zscore": q_outlier_zscore,
+        "dedup_groups": q_dedup_groups,
     }
 
 
@@ -1352,6 +1367,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, ts, value FROM p
             WHERE pos < round_even(round_even(n / 3.0, 0) * 2 * 0.7, 0)
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), ex AS (
+              SELECT id, unnest(g) AS g FROM sh
+            ), sizes AS (
+              SELECT id, count(*) AS n FROM ex GROUP BY id
+            ), p0 AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM p0
+              JOIN sizes na ON na.id = id_a
+              JOIN sizes nb ON nb.id = id_b
+              WHERE shared / (na.n + nb.n - shared) >= 0.3
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.id
+            )
+            SELECT id AS doc_id, min(lbl) AS group_id
+            FROM reach GROUP BY id
         """,
         "ngram_jaccard": """
             WITH sh AS (

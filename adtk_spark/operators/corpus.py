@@ -469,3 +469,64 @@ def fingerprint(
         F.col("_fp").alias("fingerprints"),
         F.size("_fp").alias("n_fingerprints"),
     )
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets the minimum doc id of its duplicate component as ``group_id``
+    (the canonical representative a dedup pipeline keeps).
+
+    Min-label propagation to a fixed point: each round propagates the
+    current label across the symmetric edge set and takes the per-node
+    minimum; the loop's only driver-side work is the convergence count
+    (each round is one distributed join+groupBy job — the same shape
+    GraphX/GraphFrames iterate). Labels are persisted per round and the
+    previous round unpersisted, so the plan lineage stays one round
+    deep. Rounds needed = component diameter; near-dup components are
+    shallow (stars around popular templates), and ``max_iter`` bounds
+    pathological chains — for planet-scale graphs swap in the
+    large-star/small-star variant (same per-round plan, O(log n)
+    rounds).
+
+    If ``docs`` is given, singleton documents (no duplicate edges)
+    appear with ``group_id = their own id``; otherwise only paired docs
+    are returned.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    nodes = edges.select(F.col("src").alias("id"))
+    if docs is not None:
+        nodes = nodes.union(docs.select(F.col(id_col).alias("id")))
+    labels = nodes.distinct().select("id", F.col("id").alias("group_id")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "group_id"
+        )
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("group_id").alias("group_id"))
+            .persist()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias(id_col), "group_id")
+    return out

@@ -270,3 +270,27 @@ def test_extract_audio_features_real_wav_decode(spark):
     x, rate = wav_decode(payload)
     assert feats["wav0"]["rms"] == pytest.approx(
         float(np.sqrt(np.mean(x * x))), abs=1e-12)
+
+
+def test_dedup_groups_connected_components(spark):
+    """Min-label propagation over dup pairs: two components (one a
+    3-edge chain, so convergence needs >1 round), plus a singleton that
+    only appears when docs are passed."""
+    from adtk_spark.operators.corpus import dedup_groups
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("d", "e"),   # chain: all -> b
+         ("x", "y")],                           # pair: both -> x
+        "id_a string, id_b string")
+    docs = spark.createDataFrame([("b",), ("c",), ("d",), ("e",),
+                                  ("x",), ("y",), ("solo",)],
+                                 "doc_id string")
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup_groups(pairs, docs).collect()}
+    assert got == {"b": "b", "c": "b", "d": "b", "e": "b",
+                   "x": "x", "y": "x", "solo": "solo"}
+
+    got_pairs_only = {r["doc_id"]: r["group_id"]
+                      for r in dedup_groups(pairs).collect()}
+    assert "solo" not in got_pairs_only
+    assert got_pairs_only["e"] == "b"
