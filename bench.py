@@ -129,13 +129,19 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
     qs = entrymod.queries()
     out = {}
-    # best-of-2 per query: the sandbox shows noisy-neighbor bursts of
-    # 10-20 s that can land on any single measurement (a round-1 driver
-    # run recorded +15 s on four trivially-cheap queries that a quiet
-    # re-run does in <2 s); min-of-2 makes one burst non-fatal
+    # best-of-2 per query, plus a third try when BOTH measurements look
+    # burst-hit: the sandbox shows noisy-neighbor bursts of 10-20 s that
+    # can land on any single measurement (a round-1 driver run recorded
+    # +15 s on four trivially-cheap queries a quiet re-run does in <2 s,
+    # and one degraded round-2 run caught a 17 s burst on both tries of
+    # one query). min-of-2 makes one burst non-fatal; the conditional
+    # third try makes back-to-back bursts non-fatal without lengthening
+    # quiet runs.
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for attempt in range(3):
+            if attempt == 2 and best <= 5.0:
+                break
             t0 = time.time()
             materialize(qs[name](spark, sf_dir))
             best = min(best, time.time() - t0)
