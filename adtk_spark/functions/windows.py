@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 from typing import Any, Callable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
@@ -445,11 +446,30 @@ def _diff_col(lexprs: dict, rexprs: dict, diff) -> Column:
             return F.sqrt((r - l) * (r - l))
         raise ValueError(f"unsupported diff: {diff!r}")
     if callable(diff):
-        raise NotImplementedError(
-            "callable diff over multi-output aggs (quantile lists/hist): "
-            "the reference passes pandas row slices; compose two "
-            "rolling_agg calls and a grouped-map UDF instead"
-        )
+        # reference parity (_transformer_1d.py:620-626): for DataFrame
+        # rolling outputs the callable receives the per-row slice as a
+        # pandas Series. Here the multi-output columns travel as one
+        # array per side through an Arrow-batched UDF and are rebuilt
+        # into Series indexed by the output names (e.g. 'q0.25').
+        larr = F.array(*[lexprs[k] for k in keys])
+        rarr = F.array(*[rexprs[k] for k in keys])
+
+        @F.pandas_udf("double")
+        def _d(ls: pd.Series, rs: pd.Series) -> pd.Series:
+            out = []
+            for lv, rv in zip(ls, rs):
+                if lv is None or rv is None:
+                    out.append(float("nan"))
+                    continue
+                # gated (min_periods) outputs arrive as NULL elements;
+                # pandas rolling hands the callable NaNs there
+                out.append(diff(
+                    pd.Series(np.asarray(lv, dtype=float), index=keys),
+                    pd.Series(np.asarray(rv, dtype=float), index=keys),
+                ))
+            return pd.Series(out, dtype="float64")
+
+        return _d(larr, rarr)
     # vector output: elementwise combine, NULL-propagating (skipna=False)
     if diff == "l1":
         c = None

@@ -279,9 +279,28 @@ def frame_sample(media: DataFrame, every_k: int = 8) -> DataFrame:
     )
 
 
-def resize_stub(*_args, **_kw):
-    raise NotImplementedError(
-        "interpolating resize needs a real image library (PIL/cv2), "
-        "absent in this container; resize_nearest is the dependency-free "
-        "path, or wire a library through extract_features(decode_fn=...)"
-    )
+def resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize in pure numpy (2D grayscale or HxWx3), using the
+    half-pixel-center sample grid (the OpenCV/PIL convention). float64
+    intermediate; uint8 inputs round back to uint8."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if arr.ndim == 3:
+        wy, wx = wy[..., None], wx[..., None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.round(out).astype(np.uint8) if arr.dtype == np.uint8 else out
+
+
+def resize_stub(*args, **kw):
+    """Backward-compat alias from round 1, now implemented for real."""
+    return resize_bilinear(*args, **kw)

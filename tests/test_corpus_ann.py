@@ -109,7 +109,7 @@ def test_multimodal_plumbing(spark):
     from adtk_spark.operators.multimodal import (
         extract_features,
         frame_sample,
-        resize_stub,
+        resize_bilinear,
         synthetic_media,
     )
 
@@ -124,8 +124,16 @@ def test_multimodal_plumbing(spark):
     assert {r["doc_id"]: r["px_mean"] for r in rows} == again
     fs = frame_sample(media, every_k=8)
     assert fs.count() > 0 and fs.where(F.col("frame_idx") % 8 != 0).count() == 0
-    with pytest.raises(NotImplementedError):
-        resize_stub()
+    # bilinear resize (pure numpy): identity at same size, exact
+    # constant preservation, and exact midpoint interpolation on 1x2
+    import numpy as np
+
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    assert np.array_equal(resize_bilinear(img, 8, 6), img)
+    const = np.full((5, 5, 3), 77, dtype=np.uint8)
+    assert np.array_equal(resize_bilinear(const, 11, 3), np.full((3, 11, 3), 77))
+    two = np.array([[0.0, 10.0]])
+    assert resize_bilinear(two, 4, 1)[0].tolist() == [0.0, 2.5, 7.5, 10.0]
 
 
 def test_minhash_hot_bucket_cap(spark):

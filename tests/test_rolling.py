@@ -204,3 +204,32 @@ def test_double_rolling_callable_diff_mixed(spark):
     out = double_rolling_agg(df, ("3D", 2), agg="mean", center=False,
                              diff=lambda l, r: r - l, out_col="d")
     assert_series(out, "d", _pandas_double_mixed(vals, "3D", 2, diff="diff"))
+
+
+def test_double_rolling_callable_diff_multi_output(spark):
+    """callable diff over a multi-output agg (quantile list): the
+    callable receives per-row Series slices, matching the reference's
+    DataFrame-rolling branch (_transformer_1d.py:620-626)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = [0, 1, 2, 3, NAN, 5, 6, 7, 8, 9]
+    df = series_df(spark, vals)
+    fn = lambda l, r: float((r - l).abs().sum())
+    out = double_rolling_agg(df, 3, agg="quantile",
+                             agg_params={"q": [0.25, 0.75]}, center=True,
+                             diff=fn, out_col="d")
+
+    s = pd.Series(vals, index=pd.date_range("2017-01-01", periods=10,
+                                            freq="24h"), dtype="float64")
+    # reference center=True frames: left = 3 rows ending at t-1,
+    # right = 3 rows starting at t
+    left = s.rolling(3).quantile(0.25).shift(1).to_frame("a").assign(
+        b=s.rolling(3).quantile(0.75).shift(1))
+    right = s[::-1].rolling(3).quantile(0.25)[::-1].to_frame("a").assign(
+        b=s[::-1].rolling(3).quantile(0.75)[::-1])
+    exp = []
+    for i in range(len(s)):
+        v = fn(left.iloc[i], right.iloc[i])
+        exp.append(None if np.isnan(v) else v)
+    assert_series(out, "d", exp)
