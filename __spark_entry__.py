@@ -379,6 +379,35 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The full training-data filter chain as ONE query — exact dedup
+    -> near-dup connected-components canonical selection -> quality
+    gate -> token counts for the survivors. This is the composition a
+    real corpus pipeline runs; each stage is individually oracled
+    elsewhere, and the oracle here replays the whole chain."""
+    from adtk_spark.operators.corpus import (
+        dedup_exact,
+        dedup_groups,
+        doc_quality,
+        ngram_jaccard_pairs,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep = dedup_exact(docs).select(F.col("keep_id").alias("doc_id"))
+    d1 = docs.join(keep, "doc_id")
+    groups = dedup_groups(ngram_jaccard_pairs(d1, shingle_n=3, threshold=0.3), d1)
+    canon = groups.where(F.col("doc_id") == F.col("group_id")).select("doc_id")
+    d2 = d1.join(canon, "doc_id")
+    q = doc_quality(d2)
+    surv = q.where((F.col("stopword_ratio") <= 0.6) & (F.col("n_words") >= 5))
+    return (
+        surv.select("doc_id")
+        .join(token_count(d2), "doc_id")
+        .select("doc_id", "n_ws_tokens")
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from adtk_spark.operators.corpus import lang_id
 
@@ -931,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_ad": q_seasonal_ad,
         "outlier_zscore": q_outlier_zscore,
         "dedup_groups": q_dedup_groups,
+        "corpus_pipeline": q_corpus_pipeline,
     }
 
 
@@ -1400,6 +1430,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        "corpus_pipeline": """
+            WITH RECURSIVE keeps AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ), d1 AS (
+              SELECT d.* FROM documents d JOIN keeps USING (doc_id)
+            ), sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM d1
+            ), ex AS (
+              SELECT id, unnest(g) AS g FROM sh
+            ), sizes AS (
+              SELECT id, count(*) AS n FROM ex GROUP BY id
+            ), p0 AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM p0
+              JOIN sizes na ON na.id = id_a
+              JOIN sizes nb ON nb.id = id_b
+              WHERE shared / (na.n + nb.n - shared) >= 0.3
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM d1
+              UNION
+              SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.id
+            ), canon AS (
+              SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) = id
+            ), q AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in','is')))
+                       / len(string_split(text, ' ')) AS sr,
+                     len(string_split(text, ' ')) AS nw
+              FROM d1 JOIN canon USING (doc_id)
+            )
+            SELECT doc_id, nw AS n_ws_tokens
+            FROM q WHERE sr <= 0.6 AND nw >= 5
         """,
         "ngram_jaccard": """
             WITH sh AS (
