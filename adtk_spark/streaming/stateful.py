@@ -68,6 +68,23 @@ def _trailing_agg(windows: np.ndarray, agg: str) -> np.ndarray:
     return np.nansum(windows, axis=1)
 
 
+def streaming_threshold_ad(stream: DataFrame, low=None, high=None, **kw) -> DataFrame:
+    """ThresholdAD on a stream: the batch operator is a pure projection,
+    so it applies to a streaming DataFrame unchanged (stateless)."""
+    from ..operators.detectors import threshold_ad
+
+    return threshold_ad(stream, low, high, **kw)
+
+
+def streaming_bounds_ad(stream: DataFrame, bounds: DataFrame, **kw) -> DataFrame:
+    """QuantileAD / IQR-AD predict on a stream: batch-fitted per-source
+    bounds applied via a stream-static broadcast join (the fit stays a
+    batch aggregation; predict is stateless row-at-a-time)."""
+    from ..operators.detectors import apply_bounds
+
+    return apply_bounds(stream, bounds, **kw)
+
+
 def streaming_persist_ad(
     stream: DataFrame,
     bounds: DataFrame,

@@ -122,3 +122,32 @@ def test_streaming_persist_ad_matches_batch(spark, tmp_path):
             n_anom += int(b == 1.0)
     assert n_anom > 0  # the comparison is not vacuous
     raw.unpersist()
+
+
+def test_streaming_bounds_ad_stream_static_join(spark, tmp_path):
+    """Stateless streaming predict: batch-fitted IQR bounds applied to
+    a file stream via the stream-static broadcast join; labels match
+    the batch detector exactly."""
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import apply_bounds, iqr_ad_fit
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.stateful import streaming_bounds_ad
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 1200, n_sources=5, seed=51)))
+    bounds = iqr_ad_fit(raw, c=1.5)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    raw.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "source string, ts timestamp, value double").parquet(src)
+    q = (streaming_bounds_ad(stream, bounds)
+         .writeStream.outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out).start())
+    q.awaitTermination()
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["source"], r["ts"]): r["label"]
+            for r in apply_bounds(raw, bounds).collect()}
+    assert got == want
+    assert sum(1 for v in got.values() if v == 1.0) > 0
