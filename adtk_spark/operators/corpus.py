@@ -471,6 +471,68 @@ def fingerprint(
     )
 
 
+def _cc_alternating_stars(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): O(log n) rounds on ANY graph shape, vs the label
+    propagation's O(diameter). Each round is two groupBy jobs over the
+    edge list; the fixed point leaves every node attached directly to
+    its component minimum.
+
+    Node ids are compared lexically (string ids) — any total order
+    works for the algorithm.
+    """
+    spark = edges.sparkSession
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; connect strictly-larger neighbors to
+        # the neighborhood minimum (including the center)
+        sym = e.union(e.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        grouped = sym.groupBy("src").agg(
+            F.collect_set("dst").alias("nbrs"))
+        m = F.array_min(F.array_insert(F.col("nbrs"), 1, F.col("src")))
+        out = grouped.select(
+            F.explode(F.filter("nbrs", lambda v: v > F.col("src"))).alias("src"),
+            m.alias("dst"),
+        )
+        return out.where(F.col("src") != F.col("dst")).distinct()
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # direct each edge large -> small, group by the large end,
+        # connect all small neighbors (and the center) to the minimum
+        directed = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        grouped = directed.groupBy("src").agg(
+            F.collect_set("dst").alias("nbrs"))
+        m = F.array_min(F.col("nbrs"))
+        out = grouped.select(
+            F.explode(F.array_insert(F.col("nbrs"), 1, F.col("src"))).alias("src"),
+            m.alias("dst"),
+        )
+        return out.where(F.col("src") != F.col("dst")).distinct()
+
+    # localCheckpoint (not persist): persist truncates execution but the
+    # LOGICAL plan still nests every previous round (the edge set is
+    # referenced several times per round, so the plan tree grows
+    # exponentially and planning itself OOMs after ~10 rounds);
+    # localCheckpoint replaces the plan with a scan of the materialized
+    # RDD — constant-size plans regardless of round count
+    e = (edges.where(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        new = small_star(large_star(e)).localCheckpoint(eager=True)
+        changed = (new.exceptAll(e).limit(1).count()
+                   + e.exceptAll(new).limit(1).count())
+        e = new
+        if changed == 0:
+            break
+    # fixed point: (node -> component min) for every non-root node
+    return e
+
+
 def dedup_groups(
     pairs: DataFrame,
     docs: DataFrame | None = None,
@@ -479,22 +541,26 @@ def dedup_groups(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 20,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: every document
     gets the minimum doc id of its duplicate component as ``group_id``
     (the canonical representative a dedup pipeline keeps).
 
-    Min-label propagation to a fixed point: each round propagates the
-    current label across the symmetric edge set and takes the per-node
-    minimum; the loop's only driver-side work is the convergence count
-    (each round is one distributed join+groupBy job — the same shape
-    GraphX/GraphFrames iterate). Labels are persisted per round and the
-    previous round unpersisted, so the plan lineage stays one round
-    deep. Rounds needed = component diameter; near-dup components are
-    shallow (stars around popular templates), and ``max_iter`` bounds
-    pathological chains — for planet-scale graphs swap in the
-    large-star/small-star variant (same per-round plan, O(log n)
-    rounds).
+    Two algorithms, same result:
+
+    - ``algorithm="label"`` (default): min-label propagation to a fixed
+      point — one join+groupBy job per round, rounds = component
+      diameter. Near-dup components are shallow (stars around popular
+      templates), so this usually converges in 2-3 rounds.
+    - ``algorithm="stars"``: alternating large-star/small-star
+      (Kiveris et al., SoCC'14) — O(log n) rounds on ANY graph shape;
+      the planet-scale choice when components may be long chains.
+
+    Labels/edges are persisted per round and the previous round
+    unpersisted, so the plan lineage stays one round deep; the loop's
+    only driver-side work is the convergence check (each round is a
+    distributed job — the same shape GraphX/GraphFrames iterate).
 
     If ``docs`` is given, singleton documents (no duplicate edges)
     appear with ``group_id = their own id``; otherwise only paired docs
@@ -506,8 +572,25 @@ def dedup_groups(
     nodes = edges.select(F.col("src").alias("id"))
     if docs is not None:
         nodes = nodes.union(docs.select(F.col(id_col).alias("id")))
-    labels = nodes.distinct().select("id", F.col("id").alias("group_id")).persist()
-    labels.count()
+
+    if algorithm == "stars":
+        star = _cc_alternating_stars(edges, max_iter)
+        lbl = star.groupBy("src").agg(F.min("dst").alias("_g"))
+        return (
+            nodes.distinct()
+            .join(lbl, nodes["id"] == lbl["src"], "left")
+            .select(
+                F.col("id").alias(id_col),
+                F.coalesce("_g", "id").alias("group_id"),
+            )
+        )
+    if algorithm != "label":
+        raise ValueError("algorithm must be 'label' or 'stars'")
+
+    # localCheckpoint per round: see _cc_alternating_stars — persist
+    # alone leaves the logical plan nesting across rounds
+    labels = (nodes.distinct().select("id", F.col("id").alias("group_id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "group_id"
@@ -516,7 +599,7 @@ def dedup_groups(
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("group_id").alias("group_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")
@@ -524,7 +607,6 @@ def dedup_groups(
             .where(F.col("n.group_id") != F.col("o.group_id"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break

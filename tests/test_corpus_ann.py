@@ -302,3 +302,31 @@ def test_dedup_groups_connected_components(spark):
                       for r in dedup_groups(pairs).collect()}
     assert "solo" not in got_pairs_only
     assert got_pairs_only["e"] == "b"
+
+
+def test_dedup_groups_stars_matches_label_propagation(spark):
+    """The O(log n) alternating-stars CC must produce identical groups
+    to label propagation — checked on a seeded random graph plus a
+    40-node chain (the shape where label propagation needs 40 rounds
+    but stars needs O(log 40))."""
+    import random
+
+    from adtk_spark.operators.corpus import dedup_groups
+
+    rng = random.Random(17)
+    nodes = [f"n{i:03d}" for i in range(60)]
+    edges = [tuple(sorted(rng.sample(nodes, 2))) for _ in range(45)]
+    chain = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(39)]
+    pairs = spark.createDataFrame(sorted(set(edges)) + chain,
+                                  "id_a string, id_b string")
+    docs = spark.createDataFrame(
+        [(n,) for n in nodes + [f"c{i:03d}" for i in range(40)] + ["lone"]],
+        "doc_id string")
+
+    lab = {r["doc_id"]: r["group_id"]
+           for r in dedup_groups(pairs, docs, max_iter=64).collect()}
+    stars = {r["doc_id"]: r["group_id"]
+             for r in dedup_groups(pairs, docs, algorithm="stars",
+                                   max_iter=64).collect()}
+    assert stars == lab
+    assert stars["c039"] == "c000" and stars["lone"] == "lone"
