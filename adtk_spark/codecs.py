@@ -39,8 +39,12 @@ def _varint_encode(u: np.ndarray) -> bytes:
     if len(u) == 0:
         return b""
     u = u.astype(np.uint64)
-    bits = 64 - np.frompyfunc(lambda x: int(x).bit_length(), 1, 1)(u).astype(np.int64).clip(1, 64)
-    nbytes = ((64 - bits - 1) // 7 + 1).clip(1, 10)
+    # LEB128 length = ceil(bit_length/7): vectorized via 9 threshold
+    # compares (a frompyfunc bit_length here was the codec's only
+    # per-value Python call — 5x the whole encode cost)
+    nbytes = np.ones(len(u), dtype=np.int64)
+    for s in range(7, 64, 7):
+        nbytes += u >= (np.uint64(1) << np.uint64(s))
     offsets = np.zeros(len(u) + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     buf = np.zeros(offsets[-1], dtype=np.uint8)
