@@ -557,10 +557,13 @@ def dedup_groups(
       (Kiveris et al., SoCC'14) — O(log n) rounds on ANY graph shape;
       the planet-scale choice when components may be long chains.
 
-    Labels/edges are persisted per round and the previous round
-    unpersisted, so the plan lineage stays one round deep; the loop's
-    only driver-side work is the convergence check (each round is a
-    distributed job — the same shape GraphX/GraphFrames iterate).
+    Each round cuts lineage with ``localCheckpoint`` so the logical
+    plan stays one round deep; the loop's only driver-side work is the
+    convergence check (each round is a distributed job — the same shape
+    GraphX/GraphFrames iterate). localCheckpoint blocks are
+    executor-local: on clusters where executor loss mid-job matters,
+    set ``spark.sparkContext.setCheckpointDir`` and swap in
+    ``checkpoint()`` for fault-tolerant lineage cuts.
 
     If ``docs`` is given, singleton documents (no duplicate edges)
     appear with ``group_id = their own id``; otherwise only paired docs

@@ -151,3 +151,45 @@ def test_streaming_bounds_ad_stream_static_join(spark, tmp_path):
             for r in apply_bounds(raw, bounds).collect()}
     assert got == want
     assert sum(1 for v in got.values() if v == 1.0) > 0
+
+
+def test_streaming_persist_ad_mean_agg(spark, tmp_path):
+    """Non-default agg parity: the streaming scorer's trailing-mean path
+    matches the batch detector point-for-point in a 2-chunk stream."""
+    import math
+
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import persist_ad_detect, persist_ad_fit
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.stateful import streaming_persist_ad
+    from pyspark.sql import functions as F
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 1500, n_sources=4, seed=61)))
+    bounds = persist_ad_fit(raw, window=5, c=2.0, min_periods=3, agg="mean")
+    mid = raw.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.5) m").first()["m"]
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in (raw.where(mic <= mid), raw.where(mic > mid)):
+        ch.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src)
+        q = (streaming_persist_ad(stream, bounds, window=5, min_periods=3,
+                                  agg="mean")
+             .writeStream.outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["source"], r["ts"]): r["label"]
+            for r in persist_ad_detect(raw, bounds, window=5, min_periods=3,
+                                       agg="mean").collect()}
+    assert set(got) == set(want)
+    for k, g in got.items():
+        w = want[k]
+        if w is None or (isinstance(w, float) and math.isnan(w)):
+            assert g is None or math.isnan(g), k
+        else:
+            assert abs(g - w) < 1e-12, k
