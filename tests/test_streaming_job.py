@@ -193,3 +193,36 @@ def test_streaming_persist_ad_mean_agg(spark, tmp_path):
             assert g is None or math.isnan(g), k
         else:
             assert abs(g - w) < 1e-12, k
+
+
+def test_stream_job_cli(spark, tmp_path, capsys):
+    """The streaming spark-submit entry: drains the source via
+    availableNow (rollup + stateful scoring), and a rerun with no new
+    files resumes from checkpoints processing nothing new."""
+    import json
+
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from jobs.stream_job import main
+
+    raw = token_series(token_corpus(spark, 1200, n_sources=6, seed=71))
+    src = str(tmp_path / "src")
+    raw.write.mode("overwrite").parquet(src)
+    cat = TierCatalog(str(tmp_path / "cat"))
+    cat.commit(raw, "raw")
+
+    out = str(tmp_path / "out")
+    main(["--source", src, "--out", out,
+          "--score-bounds-from", str(tmp_path / "cat"),
+          "--window", "5", "--min-periods", "3", "--cores", "4"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["t1m_rows"] > 0
+    assert rep["label_rows"] == raw.count()
+
+    # rerun, nothing new: checkpoint resume, counts unchanged
+    main(["--source", src, "--out", out,
+          "--score-bounds-from", str(tmp_path / "cat"),
+          "--window", "5", "--min-periods", "3", "--cores", "4"])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["t1m_rows"] == rep["t1m_rows"]
+    assert rep2["label_rows"] == rep["label_rows"]
