@@ -45,13 +45,33 @@ def refresh_tiers(
     quantile: float = 0.5,
     *,
     series_of=None,
+    sketch: bool = False,
+    delta: int = 200,
 ) -> dict:
     """Roll every unprocessed raw snapshot into the 1m/1h/1d tiers.
 
     ``series_of``: optional fn(DataFrame) -> (source, ts, value) long
     series; defaults to the token-corpus n_tok series.
+
+    ``sketch=True`` switches to the t-digest-carrying rollups
+    (plans/tiers.py rollup_raw_sketch / rollup_up_sketch): every tier
+    row then stores a mergeable digest and ``vq`` estimates the RAW
+    distribution's quantile, while restatement/watermark semantics are
+    identical — restated buckets rebuild their digests from the scoped
+    raw windows, so incremental refresh never degrades sketch accuracy.
     """
     from ..sources.tokens import token_series
+
+    if sketch:
+        from .tiers import rollup_raw_sketch, rollup_up_sketch
+
+        def r_raw(df, tier, q):
+            return rollup_raw_sketch(df, tier, q, delta)
+
+        def r_up(df, tier, q):
+            return rollup_up_sketch(df, tier, q, delta)
+    else:
+        r_raw, r_up = rollup_raw, rollup_up
 
     series_of = series_of or token_series
     wm = catalog.get_watermark(WATERMARK_KEY)
@@ -80,7 +100,7 @@ def refresh_tiers(
     )
 
     stats = {}
-    t1m = rollup_raw(scoped, "1m", quantile)
+    t1m = r_raw(scoped, "1m", quantile)
     snap_1m = commit_with_lineage(catalog, spark, t1m, "tier_1m",
                                   {"raw_watermark": last})
     stats["tier_1m"] = snap_1m
@@ -106,7 +126,7 @@ def refresh_tiers(
             ),
             how="leftsemi",
         )
-        out = rollup_up(scoped_finer, tier, quantile)
+        out = r_up(scoped_finer, tier, quantile)
         stats[table] = commit_with_lineage(catalog, spark, out, table,
                                            {"raw_watermark": last})
 

@@ -40,6 +40,9 @@ def main(argv=None):
                    help="drop 1m buckets older than N days from the latest (0=keep all)")
     p.add_argument("--compress", action="store_true",
                    help="write compressed payload blocks for the 1m tier")
+    p.add_argument("--sketch", action="store_true",
+                   help="carry mergeable t-digest columns through the "
+                        "tiers (vq = raw-distribution quantile estimate)")
     p.add_argument("--compact-buckets", type=int, default=0,
                    help="materialize each tier as a bucketed, sorted "
                         "read-optimized table with N buckets (detector "
@@ -71,7 +74,8 @@ def main(argv=None):
                                               "seed": args.seed})
         report["ingested_snapshot"] = snap
 
-    report["refresh"] = refresh_tiers(catalog, spark, quantile=args.quantile)
+    report["refresh"] = refresh_tiers(catalog, spark, quantile=args.quantile,
+                                      sketch=args.sketch)
 
     if args.compress:
         t1m = read_tier_latest(catalog, spark, "tier_1m")

@@ -83,3 +83,47 @@ def test_rollup_sliding_single_exchange_single_window(spark):
     # sum/collect_list) must share ONE Window node over that single sort
     assert count_exchanges(plan) == 2, plan
     assert len(re.findall(r"\bWindow\b", plan)) == 1, plan
+
+
+def test_incremental_refresh_with_sketch(spark, tmp_path):
+    """sketch=True through the incremental refresher: restated buckets
+    rebuild digests, the latest-wins 1d read matches a from-scratch
+    exact chain on algebraic columns, and vq estimates the raw-bucket
+    quantile within digest rank error."""
+    import numpy as np
+
+    from adtk_spark.plans.incremental import (
+        WATERMARK_KEY,
+        read_tier_latest,
+        refresh_tiers,
+    )
+    from adtk_spark.plans.tiers import rollup_raw, rollup_up
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    cat = TierCatalog(str(tmp_path / "cat"))
+    c1 = token_corpus(spark, 1500, n_sources=4, seed=81, span_secs=2 * 86400)
+    c2 = token_corpus(spark, 900, n_sources=4, seed=82, span_secs=2 * 86400)
+    cat.commit(c1, "raw")
+    assert refresh_tiers(cat, spark, sketch=True)["processed"] == 1
+    cat.commit(c2, "raw")
+    assert refresh_tiers(cat, spark, sketch=True)["processed"] == 1
+    assert refresh_tiers(cat, spark, sketch=True)["processed"] == 0
+
+    got = {(r["source"], r["bucket_ts"]): r
+           for r in read_tier_latest(cat, spark, "tier_1d").collect()}
+    full = token_series(cat.read(spark, "raw").drop("snap"))
+    exact = rollup_up(rollup_up(rollup_raw(full, "1m"), "1h"), "1d")
+    want = {(r["source"], r["bucket_ts"]): r for r in exact.collect()}
+    assert set(got) == set(want)
+    raw_pdf = full.toPandas()
+    raw_pdf["day"] = raw_pdf["ts"].dt.floor("D")
+    for k, g in got.items():
+        x = want[k]
+        assert g["cnt"] == x["cnt"] and g["vmin"] == x["vmin"]
+        assert g["vsum"] == pytest.approx(x["vsum"], rel=1e-12)
+        assert len(g["vdigest"]["means"]) <= 200
+        sv = np.sort(raw_pdf[(raw_pdf["source"] == k[0])
+                             & (raw_pdf["day"] == k[1])]["value"].to_numpy())
+        rank = np.searchsorted(sv, g["vq"]) / len(sv)
+        assert abs(rank - 0.5) < 0.05, k
