@@ -330,3 +330,50 @@ def test_dedup_groups_stars_matches_label_propagation(spark):
                                    max_iter=64).collect()}
     assert stars == lab
     assert stars["c039"] == "c000" and stars["lone"] == "lone"
+
+
+def test_embedding_dedup_groups_composition(spark):
+    """Embedding near-dup pairs feed the same CC grouping operator —
+    the modality-agnostic survivor-selection composition."""
+    from adtk_spark.operators.ann import embedding_dup_pairs, ivf_fit
+    from adtk_spark.operators.corpus import dedup_groups
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centers = ivf_fit(emb, n_lists=4, sample=200)
+    pairs = embedding_dup_pairs(emb, centers, threshold=0.95)
+    groups = dedup_groups(pairs, emb.select("vec_id"), id_col="vec_id")
+    got = {r["vec_id"]: r["group_id"] for r in groups.collect()}
+    assert len(got) == emb.count()
+    # every canonical id is its own group representative
+    for gid in set(got.values()):
+        assert got[gid] == gid
+    # pairs imply same group
+    for r in pairs.collect():
+        assert got[r["id_a"]] == got[r["id_b"]]
+
+
+def test_model_persistence_roundtrip(spark, tmp_path):
+    """Durable fit/predict split: fitted bounds committed to the
+    catalog, read back by a fresh catalog object, and applied with
+    label parity — the train-once / score-later loop the streaming
+    scorer also consumes."""
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import persist_ad_detect, persist_ad_fit
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 1000, n_sources=4, seed=91)))
+    bounds = persist_ad_fit(raw, window=5, c=3.0, min_periods=3)
+    cat = TierCatalog(str(tmp_path / "cat"))
+    cat.commit(bounds, "model_persist_ad", {"window": 5, "c": 3.0})
+
+    cat2 = TierCatalog(str(tmp_path / "cat"))  # fresh handle (new job)
+    loaded = cat2.read(spark, "model_persist_ad").drop("snap")
+    want = {(r["source"], r["ts"]): r["label"]
+            for r in persist_ad_detect(raw, bounds, window=5,
+                                       min_periods=3).collect()}
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in persist_ad_detect(raw, loaded, window=5,
+                                      min_periods=3).collect()}
+    assert got == want
