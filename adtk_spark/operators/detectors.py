@@ -579,3 +579,37 @@ def seasonal_ad(
     bounds = iqr_ad_fit(resid, c=(None, c), source_col=source_col, value_col="_mag")
     return _compound_detect(resid, bounds, side, source_col=source_col,
                             diff_col="_diff", mag_col="_mag", out_col=out_col)
+
+
+def require_fit(model: DataFrame, *, source_col: str = "source") -> DataFrame:
+    """Strict fit validation — parity with the reference's RuntimeError
+    on a training series too short for the model's window
+    (tests/test_few_shot_fit.py; e.g. PersistAD(window=10).fit(10-point
+    series) raises).
+
+    In a distributed job one short source must NOT kill the other 10^6
+    sources, so the fit functions return NULL/NaN bounds for unfittable
+    sources and predict degrades to NULL labels there. Single-series
+    (reference-style) users call ``require_fit(bounds)`` to opt back
+    into the strict contract: raises RuntimeError naming the sources
+    whose fit produced no usable model, else returns the model
+    unchanged.
+    """
+    checks = []
+    if "_n_valid" in model.columns:
+        checks.append(F.col("_n_valid") == 0)
+    for c in ("abs_high", "intercept"):
+        if c in model.columns:
+            checks.append(F.col(c).isNull() | F.isnan(F.col(c)))
+    if not checks:
+        return model
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond | c
+    bad = [r[0] for r in model.where(cond).select(source_col).limit(10).collect()]
+    if bad:
+        raise RuntimeError(
+            f"model fit failed for source(s) {bad}: training series too "
+            "short for the window (no valid training statistic)"
+        )
+    return model

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 from .detectors import _as_double, _side_sign_label, iqr_ad_fit, threshold_label
 
 
+def _require_feature_cols(df: DataFrame, features: list[str]) -> None:
+    """Train/test consistency guard — parity with the reference's
+    ValueError when a predict-time frame lacks the columns the model was
+    trained on (tests/test_inconsistent_train_test.py; extra or
+    reordered columns are fine, missing ones are not)."""
+    missing = [c for c in features if c not in df.columns]
+    if missing:
+        raise ValueError(
+            "The model was trained by a pandas DataFrame with columns "
+            f"{list(features)}, but these are missing from the input: "
+            f"{missing}"
+        )
+
+
 def _any_null(cols: list[str]) -> Column:
     expr = F.lit(False)
     for c in cols:
@@ -65,6 +79,7 @@ def regression_residual(
     source_col: str = "source",
     out_col: str = "residual",
 ) -> DataFrame:
+    _require_feature_cols(df, [target] + features)
     joined = df.join(F.broadcast(model), on=source_col, how="left")
     pred = F.col("intercept")
     for i, c in enumerate(features):
@@ -159,6 +174,7 @@ def pca_projection(
 ) -> DataFrame:
     """PcaProjection (_transformer_hd.py:211-223): first k PC scores;
     NULL rows (any NULL feature) yield NULL scores."""
+    _require_feature_cols(df, features)
     joined = df.join(F.broadcast(model), on=source_col, how="left")
     nulls = _any_null(features)
     cols = [
@@ -175,6 +191,7 @@ def pca_reconstruction(
     """PcaReconstruction (_transformer_hd.py:226-266):
     inverse_transform(transform(x)) = mu + sum_j score_j * component_j,
     one reconstructed column per feature. NULL rows stay NULL."""
+    _require_feature_cols(df, features)
     joined = df.join(F.broadcast(model), on=source_col, how="left")
     nulls = _any_null(features)
     scores = [_pc_score(features, j) for j in range(k)]
@@ -198,6 +215,7 @@ def pca_reconstruction_error(
     reconstruction error = ||x_c||^2 - sum_j score_j^2 for orthonormal
     components (algebraically identical to reconstructing and summing
     squared deltas, but needs no second matrix product)."""
+    _require_feature_cols(df, features)
     joined = df.join(F.broadcast(model), on=source_col, how="left")
     nulls = _any_null(features)
     sq_norm = None
