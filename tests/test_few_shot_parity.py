@@ -107,3 +107,59 @@ def test_inconsistent_train_test_columns(spark):
         fn(ok, pca, ["A", "B"]).collect()
         with pytest.raises(ValueError, match="The model was trained by"):
             fn(not_ok, pca, ["A", "B"])
+
+
+QUANTILE_BOUND_CASES = [
+    (dict(low=None, high=None), (-math.inf, math.inf)),
+    (dict(low=0.1, high=None), (1.0, math.inf)),
+    (dict(low=None, high=0.9), (-math.inf, 9.0)),
+    (dict(low=0.1, high=0.9), (1.0, 9.0)),
+]
+
+IQR_BOUND_CASES = [
+    (3.0, (2.5 - 15, 7.5 + 15)),
+    (2.0, (2.5 - 10, 7.5 + 10)),
+    ((2, 4), (2.5 - 10, 7.5 + 20)),
+    ((2, None), (2.5 - 10, math.inf)),
+    ((None, 4), (-math.inf, 7.5 + 20)),
+    (None, (-math.inf, math.inf)),
+]
+
+
+def test_fitted_bound_attributes(spark):
+    """Reference tests/test_attribute.py: the fitted abs_low_/abs_high_
+    values on [0..10] — here the bounds-table columns."""
+    from adtk_spark.operators.detectors import iqr_ad_fit, quantile_ad_fit
+
+    s = series_df(spark, list(range(11)))
+    for kw, (lo, hi) in QUANTILE_BOUND_CASES:
+        r = quantile_ad_fit(s, **kw).where("source = 'A'").first()
+        assert (r["abs_low"], r["abs_high"]) == (lo, hi), kw
+    for c, (lo, hi) in IQR_BOUND_CASES:
+        c_arg = c if not isinstance(c, tuple) else c
+        r = iqr_ad_fit(s, c=c_arg).where("source = 'A'").first()
+        assert (r["abs_low"], r["abs_high"]) == (lo, hi), c
+
+
+def test_fitted_seasonal_attributes(spark):
+    """Reference tests/test_attribute.py seasonal cases: detected freq
+    and the fitted phase pattern (with and without trend removal)."""
+    from adtk_spark.operators.transformers import seasonal_fit
+
+    def pattern(df, src="A"):
+        rows = df.where(F.col("source") == src).orderBy("phase").collect()
+        return rows[0]["freq"], [round(r["seasonal"], 9) for r in rows]
+
+    base = [0.0, 1.0, 2.0, 1.0] * 10
+    s = series_df(spark, base)
+    assert pattern(seasonal_fit(s, freq=4)) == (4, [0, 1, 2, 1])
+    assert pattern(seasonal_fit(s, freq=8)) == (8, [0, 1, 2, 1, 0, 1, 2, 1])
+    assert pattern(seasonal_fit(s)) == (4, [0, 1, 2, 1])  # ACF detect
+
+    trended = list(np.array(base) + np.arange(40) / 10)
+    f, pat = pattern(seasonal_fit(series_df(spark, trended), trend=True))
+    assert f == 4 and pat == [-1, 0, 1, 0]
+
+    steep = list(np.array(base) + np.arange(40))
+    f, pat = pattern(seasonal_fit(series_df(spark, steep), trend=True, freq=8))
+    assert f == 8 and pat == [-1, 0, 1, 0, -1, 0, 1, 0]
