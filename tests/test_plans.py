@@ -127,3 +127,40 @@ def test_incremental_refresh_with_sketch(spark, tmp_path):
                              & (raw_pdf["day"] == k[1])]["value"].to_numpy())
         rank = np.searchsorted(sv, g["vq"]) / len(sv)
         assert abs(rank - 0.5) < 0.05, k
+
+
+def test_streaming_score_plan_is_stateful_not_join(spark):
+    """The stateful scorer plans FlatMapGroupsInPandasWithState over ONE
+    exchange on source — no per-batch join of history."""
+    from adtk_spark.operators.detectors import persist_ad_fit
+    from adtk_spark.streaming.stateful import streaming_persist_ad
+
+    raw = series_df(spark, list(range(30)))
+    bounds = persist_ad_fit(raw, window=3, min_periods=2)
+    stream = spark.readStream.format("rate").load().selectExpr(
+        "cast(value as string) as source", "timestamp as ts",
+        "cast(value as double) as value")
+    labeled = streaming_persist_ad(stream, bounds, window=3, min_periods=2)
+    plan = labeled._jdf.queryExecution().analyzed().toString()
+    assert "flatMapGroupsWithState" in plan or "FlatMapGroupsInPandasWithState" in plan, plan
+
+
+def test_multivariate_predict_is_broadcast(spark):
+    """PCA/regression predict: the tiny model table must broadcast —
+    the big frame never shuffles at predict time."""
+    from adtk_spark.operators.hd import (
+        pca_fit,
+        pca_reconstruction_error,
+        regression_residual,
+        regression_residual_fit,
+    )
+
+    rows = [("all", float(i), float(i), float(2 * i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "source string, ts double, A double, B double")
+    reg = regression_residual_fit(df, target="A", features=["B"])
+    plan = plan_of(regression_residual(df, reg, target="A", features=["B"]))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+    pca = pca_fit(df, ["A", "B"], k=1)
+    plan = plan_of(pca_reconstruction_error(df, pca, ["A", "B"]))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
