@@ -122,6 +122,47 @@ def minhash_signature(
     ])
 
 
+def _lsh_banded(
+    docs: DataFrame, n_hashes: int, bands: int, shingle_n: int,
+    *, id_col: str, text_col: str, portable: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared shingle -> signature -> (id, band, bucket) construction
+    for minhash_lsh_pairs and lsh_bucket_stats — ONE definition so the
+    stats describe exactly the buckets the pair job will build (the two
+    had drifted copies in round 1, and a portable pair job read stats
+    computed with a different bucket key)."""
+    rows_per_band = n_hashes // bands
+    sig = (
+        _with_shingles(docs.select(id_col, text_col), text_col=text_col,
+                       n=shingle_n, out="sh")
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes,
+                                             portable=portable))
+        .drop(text_col)
+    )
+
+    # The banded table carries only (id, band, bucket) — 20 bytes/row —
+    # through the explode and the bucket self-join; the (wide) shingle
+    # arrays are joined back only for the surviving candidate pairs.
+    def band_key(b: int) -> Column:
+        concat = F.concat_ws(",", *[
+            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+            for r in range(rows_per_band)
+        ])
+        # portable: the raw signature string IS the bucket key (a SQL
+        # oracle reproduces string_agg exactly); default hashes it down
+        # to 8 bytes for the shuffle
+        return concat if portable else F.xxhash64(concat)
+
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    return sig, banded
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 32,
@@ -148,34 +189,9 @@ def minhash_lsh_pairs(
     almost always near-identical boilerplate better handled by exact
     dedup first. Use ``lsh_bucket_stats`` to count what a cap drops.
     """
-    rows_per_band = n_hashes // bands
-    sig = (
-        _with_shingles(docs.select(id_col, text_col), text_col=text_col,
-                       n=shingle_n, out="sh")
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes,
-                                             portable=portable))
-        .drop(text_col)
-    )
-    # The banded table carries only (id, band, bucket) — 20 bytes/row —
-    # through the explode and the bucket self-join; the (wide) shingle
-    # arrays are joined back only for the surviving candidate pairs.
-    def band_key(b: int) -> Column:
-        concat = F.concat_ws(",", *[
-            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-            for r in range(rows_per_band)
-        ])
-        # portable: the raw signature string IS the bucket key (a SQL
-        # oracle reproduces string_agg exactly); default hashes it down
-        # to 8 bytes for the shuffle
-        return concat if portable else F.xxhash64(concat)
-
-    banded = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    sig, banded = _lsh_banded(docs, n_hashes, bands, shingle_n,
+                              id_col=id_col, text_col=text_col,
+                              portable=portable)
     if max_bucket is not None:
         hot = (banded.groupBy("band", "bucket").agg(F.count("*").alias("_n"))
                .where(F.col("_n") > max_bucket).drop("_n"))
@@ -215,28 +231,17 @@ def lsh_bucket_stats(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    portable: bool = False,
 ) -> DataFrame:
     """Bucket-size distribution for a minhash_lsh_pairs run: one row per
     oversized (band, bucket) with its cardinality — what a ``max_bucket``
-    cap would drop. Run (and log) this before a big LSH job."""
-    rows_per_band = n_hashes // bands
-    sig = (
-        _with_shingles(docs.select(id_col, text_col), text_col=text_col,
-                       n=shingle_n, out="sh")
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    )
-    banded = sig.select(
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ])).alias("bucket"),
-            )
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select("bb.band", "bb.bucket")
+    cap would drop. Run (and log) this before a big LSH job with the
+    SAME parameters (incl. ``portable``) — it shares the banding
+    construction with minhash_lsh_pairs, so the buckets reported are
+    exactly the buckets that run will build."""
+    _, banded = _lsh_banded(docs, n_hashes, bands, shingle_n,
+                            id_col=id_col, text_col=text_col,
+                            portable=portable)
     return (banded.groupBy("band", "bucket").agg(F.count("*").alias("n_docs"))
             .where(F.col("n_docs") > max_bucket))
 

@@ -134,9 +134,15 @@ def regularize(
         F.col("_sp_src").alias(source_col), F.col("_sp_ts").alias(ts_col),
         *[c for c in df.columns if c not in (source_col, ts_col)],
     )
+    # pass-through = every row whose source has NO inferable freq: a
+    # NULL freq row OR no freqs row at all (a source with a single
+    # point produces no delta, so infer_freq emits nothing for it — a
+    # leftsemi against the NULL rows alone would silently DROP it)
     no_freq = df.join(
-        F.broadcast(freqs.where(F.col("freq_micros").isNull()).select(source_col)),
-        source_col, "leftsemi",
+        F.broadcast(
+            freqs.where(F.col("freq_micros").isNotNull()).select(source_col)
+        ),
+        source_col, "left_anti",
     )
     return on_grid.unionByName(no_freq)
 

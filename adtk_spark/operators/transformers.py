@@ -255,6 +255,14 @@ def seasonal_transform(
             .drop(*drop_cols)
             for f in freqs
         ]
+        # sources absent from the model surface freq = NULL after the
+        # left join; keep their rows with a NULL residual (matching the
+        # trend=False path) instead of silently dropping them
+        parts.append(
+            out.where(F.col("freq").isNull())
+            .withColumn(out_col, F.lit(None).cast("double"))
+            .drop(*drop_cols)
+        )
         part = parts[0]
         for p in parts[1:]:
             part = part.unionByName(p)

@@ -65,6 +65,21 @@ def refresh_tiers(
     if sketch:
         from .tiers import rollup_raw_sketch, rollup_up_sketch
 
+        # switching sketch on over a catalog that already holds
+        # pre-sketch tier snapshots would merge restated (digest) rows
+        # with historical rows that have no vdigest — NULL digests crash
+        # the merge UDF, and skipping them would silently drop history
+        # from the quantile estimate. Demand an explicit restatement.
+        existing = catalog.read(spark, "tier_1m")
+        if existing is not None and "vdigest" not in existing.columns:
+            raise ValueError(
+                "sketch=True on a catalog whose existing tier snapshots "
+                "have no vdigest column: restate the tiers first (new "
+                "catalog root, or reset the watermark and re-rollup) — "
+                "mixing sketchless history into digest merges would "
+                "corrupt the quantile estimates"
+            )
+
         def r_raw(df, tier, q):
             return rollup_raw_sketch(df, tier, q, delta)
 

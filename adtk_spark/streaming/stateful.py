@@ -43,20 +43,32 @@ _SUPPORTED_AGGS = ("median", "mean", "min", "max", "sum")
 def _bounds_map(bounds: DataFrame, source_col: str) -> dict[str, tuple[float, float]]:
     """Collect the tiny per-source model table (one row per source) into
     a plain dict closed over by the stateful function — the streaming
-    analogue of the batch broadcast join (detectors.apply_bounds)."""
+    analogue of the batch broadcast join (detectors.apply_bounds).
+
+    NULL fitted bounds (a source whose training series was too short —
+    see detectors.require_fit) become NaN, so that source's stream rows
+    degrade to NaN labels instead of killing the query."""
     return {
-        r[source_col]: (float(r["abs_low"]), float(r["abs_high"]))
+        r[source_col]: (
+            float(r["abs_low"]) if r["abs_low"] is not None else math.nan,
+            float(r["abs_high"]) if r["abs_high"] is not None else math.nan,
+        )
         for r in bounds.select(source_col, "abs_low", "abs_high").collect()
     }
+
+
+# registered once at import: filterwarnings inside the hot function
+# would append two entries to the global filter list per (source, batch)
+# call in long-lived reused Python workers
+import warnings as _warnings
+
+_warnings.filterwarnings("ignore", message=".*All-NaN slice.*")
+_warnings.filterwarnings("ignore", message=".*[Mm]ean of empty slice.*")
 
 
 def _trailing_agg(windows: np.ndarray, agg: str) -> np.ndarray:
     # all-NaN head windows are expected (NaN-padded tail); the result is
     # masked by the min_periods check, so the numpy warning is noise
-    import warnings
-
-    warnings.filterwarnings("ignore", message=".*All-NaN slice.*")
-    warnings.filterwarnings("ignore", message=".*[Mm]ean of empty slice.*")
     if agg == "median":
         return np.nanmedian(windows, axis=1)
     if agg == "mean":
@@ -143,8 +155,12 @@ def streaming_persist_ad(
                 flag &= diff > 0
             elif side == "negative":
                 flag &= diff < 0
-            label = np.where(np.isnan(mag) | math.isnan(lo), np.nan,
-                             flag.astype(float))
+            # NaN in EITHER bound (unknown source, or a fitted bound
+            # that is NULL because the source was unfittable) -> NaN
+            # labels, matching the batch three-valued join semantics
+            label = np.where(
+                np.isnan(mag) | math.isnan(lo) | math.isnan(hi),
+                np.nan, flag.astype(float))
             out = pdf[[ts_col, value_col]].copy()
             out.insert(0, source_col, key[0])
             out[out_col] = label

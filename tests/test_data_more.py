@@ -101,3 +101,41 @@ def test_regularize_mode_fills_gaps_and_drops_offgrid(spark):
     assert (base + 4 * h, None) in out                       # gap -> NULL row
     assert all(ts.minute == 0 for ts, _ in out)              # off-grid dropped
     assert len(out) == 10
+
+
+def test_regularize_keeps_single_point_sources(spark):
+    """A source with one row has no inferable freq (no delta) — it must
+    pass through regularize/validate_series untouched, not vanish
+    (round-2 review finding: the pass-through branch only matched
+    sources with an explicit NULL-freq row)."""
+    import datetime as dt
+
+    from adtk_spark.operators.data import regularize, validate_series
+
+    rows = [("a", dt.datetime(2020, 1, 1, 0, 0, 0), 1.0),
+            ("a", dt.datetime(2020, 1, 1, 1, 0, 0), 2.0),
+            ("lonely", dt.datetime(2020, 6, 1), 42.0)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = regularize(df)
+    got = {(r["source"], r["ts"], r["value"]) for r in out.collect()}
+    assert ("lonely", dt.datetime(2020, 6, 1), 42.0) in got
+    assert len([1 for s, _, _ in got if s == "a"]) == 2
+    v = validate_series(df, check_freq=True)
+    assert v.where("source = 'lonely'").count() == 1
+
+
+def test_seasonal_transform_trend_unknown_source(spark):
+    """trend=True predict on a source absent from the model keeps the
+    rows with NULL residual (round-2 review finding: they were dropped
+    by the per-freq union)."""
+    from adtk_spark.operators.transformers import seasonal_fit, seasonal_transform
+    from tests.conftest import series_df
+
+    train = series_df(spark, [0.0, 1.0, 2.0, 1.0] * 10, sources=("A",))
+    model = seasonal_fit(train, freq=4, trend=True)
+    test = series_df(spark, [0.0, 1.0, 2.0, 1.0] * 3, sources=("A", "GHOST"))
+    out = seasonal_transform(test, model, trend=True)
+    ghost = out.where("source = 'GHOST'").collect()
+    assert len(ghost) == 12
+    assert all(r["residual"] is None for r in ghost)
+    assert out.where("source = 'A' and residual is not null").count() > 0

@@ -226,3 +226,22 @@ def test_stream_job_cli(spark, tmp_path, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["t1m_rows"] == rep["t1m_rows"]
     assert rep2["label_rows"] == rep["label_rows"]
+
+
+def test_bounds_map_null_bounds_degrade_to_nan(spark):
+    """An unfittable source's NULL bounds must become NaN in the
+    streaming scorer's model map (NaN labels downstream), not a
+    TypeError that kills the query (round-2 review finding)."""
+    import math
+
+    from adtk_spark.operators.detectors import persist_ad_fit
+    from adtk_spark.streaming.stateful import _bounds_map
+    from tests.conftest import series_df
+
+    # source with 3 points cannot fill a window of 10 -> NULL abs_high
+    short = series_df(spark, [1.0, 2.0, 3.0], sources=("S",))
+    ok = series_df(spark, [float(i % 7) for i in range(40)], sources=("L",))
+    bounds = persist_ad_fit(short.unionByName(ok), window=10)
+    m = _bounds_map(bounds, "source")
+    assert math.isnan(m["S"][1])
+    assert not math.isnan(m["L"][1])
