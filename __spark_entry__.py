@@ -379,6 +379,25 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join (operators/joins.py): every event row picks the most
+    recent hourly rollup of its source at-or-before its timestamp —
+    implemented as union + one running-last window pass (one shuffle,
+    zero join nodes; a theta join would expand O(|L| x |R|) per
+    source). Oracle: DuckDB's native ASOF JOIN."""
+    from adtk_spark.operators.joins import asof_join
+
+    ev = _series(spark, sf_dir)
+    hourly = ev.groupBy(
+        "source", F.date_trunc("hour", F.col("ts")).alias("ts")
+    ).agg(F.round(F.avg("value"), 6).alias("havg"))
+    out = asof_join(ev, hourly)
+    return out.select(
+        "source", "ts", F.round("value", 6).alias("value"),
+        "havg", F.col("ts_r").alias("hour_ts"),
+    )
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The full training-data filter chain as ONE query — exact dedup
     -> near-dup connected-components canonical selection -> quality
@@ -961,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlier_zscore": q_outlier_zscore,
         "dedup_groups": q_dedup_groups,
         "corpus_pipeline": q_corpus_pipeline,
+        "asof_join": q_asof_join,
     }
 
 
@@ -1430,6 +1450,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_type AS source, ts, value
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                    FROM events)
+              WHERE _rn = 1
+            ), h AS (
+              SELECT source, date_trunc('hour', ts) AS ts,
+                     round(avg(value), 6) AS havg
+              FROM l GROUP BY 1, 2
+            )
+            SELECT l.source, l.ts, round(l.value, 6) AS value,
+                   h.havg, h.ts AS hour_ts
+            FROM l ASOF LEFT JOIN h
+              ON l.source = h.source AND l.ts >= h.ts
         """,
         "corpus_pipeline": """
             WITH RECURSIVE keeps AS (

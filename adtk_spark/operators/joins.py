@@ -1,0 +1,101 @@
+"""Time-series joins Spark lacks natively: as-of alignment.
+
+The reference aligns series by pandas index (`pd.concat(..., axis=1)`,
+src/adtk/_base.py:137) — only meaningful when both series share one
+DatetimeIndex. At engine scale two feeds rarely share timestamps, so
+the canonical alignment is the AS-OF join: each left row picks the most
+recent right row at-or-before its timestamp (kdb's `aj`, DuckDB's
+``ASOF JOIN``, pandas ``merge_asof``).
+
+Spark has no native as-of join. A naive theta join
+(``l.ts >= r.ts`` + row_number) explodes to O(|L| x |R|) per source
+before pruning. This implementation is the union + running-last trick:
+
+    union(left-tagged, right-tagged)
+    -> ONE window pass per source ordered by (ts, right-first)
+    -> last(right_col, ignorenulls) carries the newest right values
+    -> keep the left rows
+
+One shuffle on the source key, linear work, no join node at all —
+the same plan shape as a rolling aggregate, so it scales like one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "source",
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_secs: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``ts <= left.ts`` per ``on`` key (``direction='backward'``; ties on
+    equal timestamps match, like ``merge_asof(allow_exact_matches=True)``).
+    ``direction='forward'`` attaches the smallest ``ts >= left.ts``.
+
+    ``right_cols``: right columns to carry (default: all but key/ts).
+    ``tolerance_secs``: NULL the carried values when the matched right
+    row is further than this from the left timestamp.
+    The matched right timestamp is always emitted as ``{ts_col}{suffix}``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (on, ts_col)]
+    clash = [c for c in right_cols if c in left.columns]
+    out_names = {c: (c + suffix if c in clash else c) for c in right_cols}
+
+    l_tag = left.select(
+        "*", F.lit(0).alias("_r"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c])
+          for c in right_cols],
+        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(ts_col + suffix),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_r"),
+        *[F.col(c).alias(out_names[c]) for c in right_cols],
+        F.col(ts_col).alias(ts_col + suffix),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
+          if c not in (on, ts_col)],
+    ).select(*l_tag.columns)  # align column order for the union
+
+    # right rows sort BEFORE left rows at equal ts (backward: an exact
+    # match is visible); forward reverses the scan direction
+    asc = direction == "backward"
+    order = [F.col(ts_col).asc() if asc else F.col(ts_col).desc(),
+             F.col("_r").desc()]
+    w = (Window.partitionBy(on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = [F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
+               for c in right_cols]
+    carried_ts = F.last(ts_col + suffix, ignorenulls=True).over(w) \
+        .alias(ts_col + suffix)
+    u = l_tag.unionByName(r_tag)
+    out = u.select(
+        *[c for c in left.columns], "_r",
+        *carried, carried_ts,
+    ).where(F.col("_r") == 0).drop("_r")
+
+    if tolerance_secs is not None:
+        lt = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        rt = F.unix_micros(F.col(ts_col + suffix).cast("timestamp"))
+        gap = F.abs(lt - rt) / 1e6
+        keep = gap <= F.lit(float(tolerance_secs))
+        out = out.select(
+            *[c for c in left.columns],
+            *[F.when(keep, F.col(out_names[c])).alias(out_names[c])
+              for c in right_cols],
+            F.when(keep, F.col(ts_col + suffix)).alias(ts_col + suffix),
+        )
+    return out
