@@ -398,6 +398,28 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized range join (operators/joins.py interval_join): every
+    series point inside an anomalous event interval, matched via an
+    equi-join on (source, hour bucket) + residual BETWEEN filter — the
+    raw BETWEEN theta join Spark would otherwise plan is O(|P| x |I|).
+    Oracle: the plain BETWEEN join, fine at sf0.01."""
+    from adtk_spark.operators.events import to_events
+    from adtk_spark.operators.joins import interval_join
+
+    s = _series(spark, sf_dir)
+    labels = s.withColumn(
+        "label",
+        F.when(F.col("value").isNull(), F.lit(None)).otherwise(
+            (F.col("value") > 150).cast("double")
+        ),
+    )
+    iv = to_events(labels, merge_consecutive=True)
+    out = interval_join(s, iv, bucket="hour")
+    return out.select("source", "ts", F.round("value", 6).alias("value"),
+                      "start_ts", "end_ts")
+
+
 def q_corpus_pipeline(spark, sf_dir):
     """The full training-data filter chain as ONE query — exact dedup
     -> near-dup connected-components canonical selection -> quality
@@ -981,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "corpus_pipeline": q_corpus_pipeline,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
     }
 
 
@@ -1296,6 +1319,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT source, min(ts) AS start_ts, max(ts) AS end_ts
             FROM fl GROUP BY source, grp
+        """,
+        "interval_join": _DEDUP_CTE + """
+            , l AS (
+              SELECT source, ts,
+                     CASE WHEN value IS NULL THEN NULL
+                          ELSE CAST(value > 150.0 AS DOUBLE) END AS label,
+                     row_number() OVER (PARTITION BY source ORDER BY ts) AS rn
+              FROM d
+            ), fl AS (
+              SELECT source, ts,
+                     rn - row_number() OVER (PARTITION BY source ORDER BY rn) AS grp
+              FROM l WHERE label = 1
+            ), ev AS (
+              SELECT source, min(ts) AS start_ts, max(ts) AS end_ts
+              FROM fl GROUP BY source, grp
+            )
+            SELECT d.source, d.ts, round(d.value, 6) AS value,
+                   e.start_ts, e.end_ts
+            FROM d JOIN ev e
+              ON d.source = e.source
+             AND d.ts BETWEEN e.start_ts AND e.end_ts
         """,
         "standard_scale": _DEDUP_CTE + """
             SELECT source, ts,

@@ -1,4 +1,5 @@
-"""Time-series joins Spark lacks natively: as-of alignment.
+"""Time-series joins Spark lacks natively: as-of alignment and
+point-in-interval (range) matching.
 
 The reference aligns series by pandas index (`pd.concat(..., axis=1)`,
 src/adtk/_base.py:137) — only meaningful when both series share one
@@ -24,6 +25,66 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str = "source",
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Range join: each point row joins every interval containing its
+    timestamp (``start <= ts <= end``) within the ``on`` key.
+
+    A raw BETWEEN predicate gives Spark a theta join — broadcast
+    nested-loop or cartesian, O(|P| x |I|) per source. This is the
+    standard bucketized range join instead: every interval explodes to
+    the coarse time buckets it spans, points carry their single bucket,
+    and the match becomes an EQUI-join on (key, bucket) + a residual
+    BETWEEN filter. Each point matches a given interval at most once
+    (only in the point's own bucket), so no dedup pass is needed.
+
+    ``bucket`` sets the granularity (a `date_trunc` unit): choose it
+    near the typical interval length — too coarse inflates candidate
+    pairs, too fine explodes long intervals into many rows. An interval
+    spanning k buckets emits k rows; pathological month-long intervals
+    at 'minute' granularity are the skew case to avoid.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    step = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    b_start = F.unix_timestamp(F.date_trunc(bucket, F.col(start_col)))
+    b_end = F.unix_timestamp(F.date_trunc(bucket, F.col(end_col)))
+    iv = intervals.select(
+        F.col(on), F.col(start_col), F.col(end_col),
+        F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
+    )
+    pt = points.withColumn(
+        "_b", F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))))
+    hits = (
+        pt.join(iv, on=[on, "_b"], how="inner")
+        .where((F.col(ts_col) >= F.col(start_col))
+               & (F.col(ts_col) <= F.col(end_col)))
+        .drop("_b")
+    )
+    if how == "inner":
+        return hits
+    # left: points with no containing interval appear once with NULLs
+    unmatched = (
+        points.join(hits.select(*points.columns).distinct(),
+                    on=points.columns, how="left_anti")
+        .select(
+            "*",
+            F.lit(None).cast(dict(intervals.dtypes)[start_col]).alias(start_col),
+            F.lit(None).cast(dict(intervals.dtypes)[end_col]).alias(end_col),
+        )
+    )
+    return hits.unionByName(unmatched)
 
 
 def asof_join(

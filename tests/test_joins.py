@@ -64,3 +64,49 @@ def test_asof_join_tolerance_and_plan(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_interval_join_brute_force_parity(spark):
+    """Bucketized range join vs the O(P x I) brute-force answer on
+    random data: identical pair sets for inner and left modes,
+    including intervals spanning many buckets, nested overlaps, and
+    unmatched points."""
+    import numpy as np
+
+    from adtk_spark.operators.joins import interval_join
+
+    rng = np.random.RandomState(11)
+    t0 = dt.datetime(2022, 1, 1)
+    prows = [("s%d" % (i % 3), t0 + dt.timedelta(seconds=int(rng.randint(0, 40000))),
+              float(i)) for i in range(120)]
+    irows = [("s%d" % (i % 3),
+              t0 + dt.timedelta(seconds=int(a := rng.randint(0, 35000))),
+              t0 + dt.timedelta(seconds=int(a + rng.randint(60, 12000))))
+             for i in range(25)]
+    pts = spark.createDataFrame(prows, "source string, ts timestamp, value double")
+    ivs = spark.createDataFrame(irows, "source string, start_ts timestamp, end_ts timestamp")
+
+    want = {(s, t, a, b) for s, t, _ in prows for s2, a, b in irows
+            if s == s2 and a <= t <= b}
+    got = {(r["source"], r["ts"], r["start_ts"], r["end_ts"])
+           for r in interval_join(pts, ivs).collect()}
+    assert got == want
+
+    left = interval_join(pts, ivs, how="left").collect()
+    matched_pts = {(s, t) for s, t, _, _ in want}
+    got_nulls = {(r["source"], r["ts"]) for r in left if r["start_ts"] is None}
+    assert got_nulls == {(s, t) for s, t, _ in prows} - matched_pts
+    assert len(left) == len(want) + len(got_nulls)
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    from adtk_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([("a", dt.datetime(2020, 1, 1), 1.0)],
+                                "source string, ts timestamp, value double")
+    ivs = spark.createDataFrame(
+        [("a", dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2))],
+        "source string, start_ts timestamp, end_ts timestamp")
+    plan = interval_join(pts, ivs)._jdf.queryExecution() \
+        .executedPlan().toString().split("== Initial")[0]
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
