@@ -938,6 +938,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return persist_ad(h1, window=24, c=3.0, min_periods=12)
 
 
+def q_tier_route_2h(spark, sf_dir):
+    """Tier routing (plans/router.py route_rollup): a 2-hour-resolution
+    query is served from the 1h tier — the coarsest materialized tier
+    whose width divides 7200 — which is itself a 2-level continuous
+    aggregate (raw -> 1m -> 1h). The oracle aggregates raw directly
+    into floor-epoch 2h buckets; the routed, thrice-re-aggregated
+    answer must be point-identical (the mergeability identity routing
+    rests on). DECIMAL(38,9) sums keep all three levels
+    order-independent."""
+    from adtk_spark.plans.router import route_rollup
+
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            _dsum().alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    h1 = (
+        m1.groupBy("source", F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts"))
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+            F.sum("vsum").alias("vsum"),
+        )
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    routed = route_rollup({"1m": m1, "1h": h1}, 7200)
+    return routed.select(
+        "source", "bucket_ts", "cnt",
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+        F.round(F.col("vsum").cast("double"), 6).alias("vsum"),
+        F.round("mean", 6).alias("mean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rollup_1m": q_rollup_1m,
@@ -1004,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
+        "tier_route_2h": q_tier_route_2h,
     }
 
 
@@ -1190,6 +1236,16 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS vmax,
                    round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
                    round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS vavg
+            FROM events GROUP BY 1, 2
+        """,
+        "tier_route_2h": f"""
+            SELECT event_type AS source,
+                   make_timestamp((CAST(FLOOR(epoch(ts)) AS BIGINT)
+                                   - CAST(FLOOR(epoch(ts)) AS BIGINT) % 7200) * 1000000) AS bucket_ts,
+                   count(value) AS cnt, round(min(value), 6) AS vmin,
+                   round(max(value), 6) AS vmax,
+                   round(CAST({_DSUM_SQL} AS DOUBLE), 6) AS vsum,
+                   round(CAST({_DSUM_SQL} AS DOUBLE) / count(value), 6) AS mean
             FROM events GROUP BY 1, 2
         """,
         "rollup_1h_2level": f"""

@@ -1,0 +1,122 @@
+"""Tier routing: answer a resolution query from the coarsest tier that
+can serve it, never from raw.
+
+The reference has no storage layer; this is the continuous-aggregate
+engine's query-time half (TimescaleDB's real-time aggregate planner /
+Grafana's auto-downsample): a request "give me R-second buckets of
+(cnt, min, max, sum, mean) over [start, end)" is served by re-merging
+the coarsest materialized tier whose bucket width divides R — the
+algebraic stats merge exactly (sum of sums, min of mins, count of
+counts; mean = vsum/cnt), so the routed answer is point-identical to
+aggregating raw, at a fraction of the scan cost (contract query
+``tier_route_2h`` proves the identity against a raw-side DuckDB oracle).
+
+Scale notes:
+- The time-range predicate lands on ``bucket_ts`` BEFORE the re-agg, so
+  on a TierCatalog layout (hive-partitioned by date(bucket_ts)) it
+  prunes whole partitions; the shuffle that follows sees only tier rows
+  in range — already width/point_interval× smaller than raw.
+- Output cardinality = sources × range/R; groupBy keys are
+  (source, window start), same bounded-per-key shape as rollup_up.
+- When R equals the tier width the route is a pure filter+project (no
+  shuffle at all) — the common dashboard case of asking a tier for
+  itself.
+- All tier widths here divide into each other and into the UTC epoch
+  grid (session timezone is pinned UTC in session.py), so floor-epoch
+  windows align exactly with date_trunc tier buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.windows import exact_quantile_agg
+
+#: seconds per bucket of each materialized tier
+TIER_WIDTH_SECS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+_ALGEBRAIC = ("cnt", "vmin", "vmax", "vsum")
+
+
+def pick_tier(
+    resolution_secs: int,
+    available: dict | None = None,
+    *,
+    start=None,
+) -> str | None:
+    """The coarsest tier whose width divides ``resolution_secs``.
+
+    ``available`` optionally maps tier name -> earliest covered
+    ``bucket_ts`` (a retention ledger, e.g. from TierCatalog); a tier
+    whose coverage starts after ``start`` is skipped, so a query into
+    history that retention has already evicted from the fine tiers
+    routes to a coarser one that still holds it. Returns None when no
+    tier qualifies (caller falls back to raw)."""
+    names = TIER_WIDTH_SECS if available is None else available
+    best, best_w = None, 0
+    for name in names:
+        w = TIER_WIDTH_SECS[name]
+        if resolution_secs % w:
+            continue
+        if (available is not None and start is not None
+                and available[name] is not None and available[name] > start):
+            continue
+        if w > best_w:
+            best, best_w = name, w
+    return best
+
+
+def route_rollup(
+    tiers: dict[str, DataFrame],
+    resolution_secs: int,
+    start=None,
+    end=None,
+    quantile: float | None = None,
+    *,
+    source_col: str = "source",
+    available: dict | None = None,
+) -> DataFrame:
+    """Serve an R-second rollup over [start, end) from the coarsest
+    qualifying tier in ``tiers`` (as built by ``build_tiers`` /
+    TierCatalog reads: columns source, bucket_ts, cnt, vmin, vmax,
+    vsum, mean).
+
+    ``quantile`` (if set) adds ``vq`` = exact type-7 quantile of the
+    serving tier's ``mean`` points per output window — the same
+    per-tier series semantics as ``rollup_up``. Raises KeyError when no
+    tier divides R (the caller should then aggregate raw via
+    ``rollup_raw``-style floor-epoch windows — routing exists precisely
+    to avoid that scan, so it is an explicit decision, not a silent
+    fallback).
+    """
+    name = pick_tier(resolution_secs, available, start=start)
+    if name is None or name not in tiers:
+        raise KeyError(
+            f"no materialized tier divides resolution={resolution_secs}s "
+            f"(have {sorted(tiers)}); aggregate from raw explicitly")
+    t = tiers[name]
+    if start is not None:
+        t = t.where(F.col("bucket_ts") >= F.lit(start))
+    if end is not None:
+        t = t.where(F.col("bucket_ts") < F.lit(end))
+
+    if TIER_WIDTH_SECS[name] == resolution_secs and quantile is None:
+        # exact-width fast path: filter + project, no shuffle
+        return t.select(source_col, "bucket_ts", *_ALGEBRAIC, "mean")
+
+    epoch = F.unix_timestamp(F.col("bucket_ts")).cast("long")
+    win = F.timestamp_seconds(
+        (epoch - F.pmod(epoch, F.lit(resolution_secs)))
+    ).alias("bucket_ts")
+    aggs = [
+        F.sum("cnt").alias("cnt"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").alias("vsum"),
+    ]
+    if quantile is not None:
+        aggs.append(exact_quantile_agg(F.col("mean"), quantile).alias("vq"))
+    out = t.groupBy(source_col, win).agg(*aggs)
+    return out.withColumn(
+        "mean", F.col("vsum").cast("double") / F.col("cnt"))

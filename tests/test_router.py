@@ -1,0 +1,113 @@
+"""Tier router (plans/router.py): routed answers must be point-identical
+to aggregating raw at the same resolution, the tier choice must be the
+coarsest divisor, and retention must steer routing away from evicted
+fine tiers."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from adtk_spark.plans.router import TIER_WIDTH_SECS, pick_tier, route_rollup
+from adtk_spark.plans.tiers import build_tiers
+from tests.test_plans import count_exchanges, plan_of
+
+T0 = dt.datetime(2017, 1, 1)
+
+
+def _raw(spark, n=600, step_secs=13):
+    rows = [
+        (src, T0 + dt.timedelta(seconds=step_secs * i + off),
+         float((i * 7 + off) % 101) - 50.0)
+        for src, off in (("A", 0), ("B", 5))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "source string, ts timestamp, value double")
+
+
+def _direct(raw, res):
+    epoch = F.unix_timestamp("ts").cast("long")
+    return (
+        raw.groupBy(
+            "source",
+            F.timestamp_seconds(epoch - F.pmod(epoch, F.lit(res))).alias("bucket_ts"),
+        )
+        .agg(F.count("value").alias("cnt"), F.min("value").alias("vmin"),
+             F.max("value").alias("vmax"), F.sum("value").alias("vsum"))
+        .withColumn("mean", F.col("vsum") / F.col("cnt"))
+    )
+
+
+def _cmp(routed, direct):
+    a = {(r["source"], r["bucket_ts"]): r for r in routed.collect()}
+    b = {(r["source"], r["bucket_ts"]): r for r in direct.collect()}
+    assert set(a) == set(b) and a
+    for k, ra in a.items():
+        rb = b[k]
+        assert ra["cnt"] == rb["cnt"], k
+        assert ra["vmin"] == rb["vmin"] and ra["vmax"] == rb["vmax"], k
+        assert abs(ra["vsum"] - rb["vsum"]) < 1e-6, k
+        assert abs(ra["mean"] - rb["mean"]) < 1e-9, k
+
+
+def test_pick_tier_coarsest_divisor():
+    assert pick_tier(900) == "1m"          # 15 min: 1h doesn't divide
+    assert pick_tier(7200) == "1h"         # 2 h
+    assert pick_tier(7 * 86400) == "1d"    # 1 week
+    assert pick_tier(60) == "1m"
+    assert pick_tier(90) is None           # nothing divides -> raw fallback
+
+
+def test_pick_tier_respects_retention():
+    avail = {"1m": dt.datetime(2017, 1, 2), "1h": dt.datetime(2016, 1, 1)}
+    # 1h divides 7200 and covers the old start; 1m doesn't cover it
+    assert pick_tier(7200, avail, start=dt.datetime(2016, 6, 1)) == "1h"
+    # 900s can only come from 1m, but 1m is evicted before the start
+    assert pick_tier(900, avail, start=dt.datetime(2016, 6, 1)) is None
+    assert pick_tier(900, avail, start=dt.datetime(2017, 1, 3)) == "1m"
+
+
+def test_route_matches_raw_at_each_resolution(spark):
+    raw = _raw(spark)
+    tiers = build_tiers(raw)
+    for res in (900, 7200):
+        _cmp(route_rollup(tiers, res), _direct(raw, res))
+
+
+def test_route_time_range_filter(spark):
+    raw = _raw(spark)
+    tiers = build_tiers(raw)
+    start, end = T0 + dt.timedelta(minutes=10), T0 + dt.timedelta(minutes=40)
+    routed = route_rollup(tiers, 900, start, end)
+    direct = _direct(raw.where((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))), 900)
+    _cmp(routed, direct)
+
+
+def test_exact_width_fast_path_no_shuffle(spark):
+    raw = _raw(spark)
+    tiers = {k: df.localCheckpoint() for k, df in build_tiers(raw).items()}
+    plan = plan_of(route_rollup(tiers, 3600))
+    assert count_exchanges(plan) == 0, plan
+    got = {(r["source"], r["bucket_ts"]): r["cnt"]
+           for r in route_rollup(tiers, 3600).collect()}
+    want = {(r["source"], r["bucket_ts"]): r["cnt"] for r in _direct(raw, 3600).collect()}
+    assert got == want
+
+
+def test_route_quantile_matches_tier_means(spark):
+    import numpy as np
+
+    raw = _raw(spark)
+    tiers = build_tiers(raw)
+    routed = route_rollup(tiers, 900, quantile=0.5)
+    means = tiers["1m"].collect()
+    by_win = {}
+    for r in means:
+        e = int(r["bucket_ts"].timestamp())
+        by_win.setdefault((r["source"], e - e % 900), []).append(r["mean"])
+    for r in routed.collect():
+        k = (r["source"], int(r["bucket_ts"].timestamp()))
+        assert abs(r["vq"] - float(np.quantile(by_win[k], 0.5))) < 1e-9, k
+
+
+def test_all_tier_widths_registered():
+    assert set(TIER_WIDTH_SECS) == {"1m", "1h", "1d"}
