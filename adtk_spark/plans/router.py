@@ -120,3 +120,43 @@ def route_rollup(
     out = t.groupBy(source_col, win).agg(*aggs)
     return out.withColumn(
         "mean", F.col("vsum").cast("double") / F.col("cnt"))
+
+
+def route_from_catalog(
+    spark,
+    catalog,
+    tables: dict[str, str],
+    resolution_secs: int,
+    start=None,
+    end=None,
+    quantile: float | None = None,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Route against STORED tiers: ``tables`` maps tier name ("1m", …)
+    to its TierCatalog table. The catalog's retention ledger
+    (``set_retention``/``get_retention``) is the availability map, so a
+    query whose ``start`` predates a fine tier's vacuum cutoff routes to
+    a coarser tier that still holds that history. Only the chosen
+    tier's table is read (one scan; with a day-partitioned commit the
+    [start, end) predicate prunes its partitions); prefers the
+    read-optimized bucketed view when one exists."""
+    available = {t: catalog.get_retention(tbl) for t, tbl in tables.items()}
+    name = pick_tier(resolution_secs, available, start=start)
+    if name is None:
+        raise KeyError(
+            f"no stored tier both divides resolution={resolution_secs}s and "
+            f"covers start={start} (retention: {available}); aggregate from "
+            f"raw explicitly")
+    from .incremental import read_tier_latest
+
+    # bucketed compaction is already a latest-wins materialization;
+    # otherwise resolve bucket restatements across snapshots
+    df = catalog.read_bucketed(spark, tables[name])
+    if df is None:
+        df = read_tier_latest(catalog, spark, tables[name])
+    if df is None:
+        raise KeyError(f"tier table {tables[name]!r} has no committed snapshots")
+    return route_rollup({name: df}, resolution_secs, start, end, quantile,
+                        source_col=source_col,
+                        available={name: available[name]})

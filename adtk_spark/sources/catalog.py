@@ -198,6 +198,27 @@ class TierCatalog:
         ids = [i for i in self.snapshots(table) if i > snapshot_id]
         return self._read_ids(spark, table, ids)
 
+    # -- retention ledger ---------------------------------------------------
+    def set_retention(self, table: str, keep_after) -> None:
+        """Record the retention cutoff a vacuum/retention pass enforced
+        on ``table`` (earliest ``bucket_ts`` still guaranteed present).
+        Routing (plans/router.py) consults this ledger so a query into
+        evicted history is served by a coarser tier that still holds it
+        — the Iceberg analogue is snapshot expiry + partition-drop
+        metadata."""
+        m = self._load()
+        m["tables"].setdefault(table, {"snapshots": []})["keep_after"] = (
+            keep_after.isoformat() if hasattr(keep_after, "isoformat")
+            else str(keep_after))
+        self._store(m)
+
+    def get_retention(self, table: str):
+        """Earliest retained bucket_ts, or None if never vacuumed."""
+        import datetime as _dt
+
+        v = self._load()["tables"].get(table, {}).get("keep_after")
+        return _dt.datetime.fromisoformat(v) if v else None
+
     # -- processing state (resume watermarks) ------------------------------
     def get_watermark(self, key: str) -> int:
         return int(self._load()["state"].get(key, 0))

@@ -111,3 +111,34 @@ def test_route_quantile_matches_tier_means(spark):
 
 def test_all_tier_widths_registered():
     assert set(TIER_WIDTH_SECS) == {"1m", "1h", "1d"}
+
+
+def test_route_from_catalog_retention_steering(spark, tmp_path):
+    import pytest
+
+    from adtk_spark.plans.router import route_from_catalog
+    from adtk_spark.sources.catalog import TierCatalog
+
+    raw = _raw(spark)
+    tiers = build_tiers(raw)
+    cat = TierCatalog(str(tmp_path / "cat"))
+    for name in ("1m", "1h"):
+        cat.commit(tiers[name], f"tier_{name}")
+    tables = {"1m": "tier_1m", "1h": "tier_1h"}
+
+    # full history intact: routed 2h == raw 2h
+    _cmp(route_from_catalog(spark, cat, tables, 7200), _direct(_raw(spark), 7200))
+
+    # vacuum the 1m tier after minute 30: an old-start 2h query must
+    # come from 1h; an old-start 15m query has no serving tier left
+    cut = T0 + dt.timedelta(minutes=30)
+    cat.set_retention("tier_1m", cut)
+    assert cat.get_retention("tier_1m") == cut
+    out = route_from_catalog(spark, cat, tables, 7200, start=T0)
+    _cmp(out, _direct(_raw(spark), 7200))
+    with pytest.raises(KeyError, match="retention"):
+        route_from_catalog(spark, cat, tables, 900, start=T0)
+    # ...but the same 15m query starting after the cutoff is fine
+    late = route_from_catalog(spark, cat, tables, 900, start=cut)
+    raw_late = _raw(spark).where(F.col("ts") >= F.lit(cut))
+    _cmp(late, _direct(raw_late, 900))
