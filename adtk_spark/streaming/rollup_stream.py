@@ -55,3 +55,33 @@ def run_available_now(agg: DataFrame, out_dir: str, checkpoint: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def run_into_catalog(agg: DataFrame, catalog, table: str, checkpoint: str) -> None:
+    """Drain the stream into the TierCatalog: each non-empty micro-batch
+    of watermark-finalized 1m buckets commits ONE catalog snapshot —
+    the Iceberg streaming-write contract (one snapshot per epoch), which
+    makes streamed buckets immediately visible to every batch consumer
+    (``read_tier_latest``, incremental refresh, the tier router) with
+    no separate ingest directory to reconcile.
+
+    Failure contract: the stream checkpoint and the catalog manifest
+    are separate stores, so a crash between sink and checkpoint write
+    can replay an epoch into a *second* snapshot holding the same
+    buckets. That is exactly a bucket restatement: ``read_tier_latest``
+    resolves (source, bucket_ts) to the newest snapshot, so replays are
+    idempotent to readers — same at-least-once-commit + latest-wins-read
+    pairing the batch incremental refresher uses."""
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        catalog.commit(batch_df, table, meta={"stream_epoch": int(epoch_id)})
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_commit)
+        .start()
+    )
+    q.awaitTermination()

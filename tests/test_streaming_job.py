@@ -42,6 +42,56 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert closed <= g
 
 
+def test_streaming_into_catalog_routes(spark, tmp_path):
+    """Stream -> catalog snapshots -> latest-wins read -> tier router:
+    each drained micro-batch commits one snapshot, and the routed answer
+    over the streamed tier matches a batch rollup of the same raw data
+    at the same resolution."""
+    import datetime as dt
+
+    from adtk_spark.plans.incremental import read_tier_latest
+    from adtk_spark.plans.router import route_rollup
+    from adtk_spark.plans.tiers import salt_partials
+    from adtk_spark.sources.catalog import TierCatalog
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.rollup_stream import (
+        run_into_catalog,
+        streaming_rollup_1m,
+    )
+
+    src = str(tmp_path / "raw_stream")
+    ckpt = str(tmp_path / "ckpt")
+    cat = TierCatalog(str(tmp_path / "cat"))
+    c1 = token_series(token_corpus(spark, 1200, n_sources=6, seed=41,
+                                   span_secs=1800, start="2025-03-01 00:00:00"))
+    hb = token_series(token_corpus(spark, 5, n_sources=1, seed=42,
+                                   span_secs=60, start="2025-03-01 02:00:00"))
+    for arrival in (c1, hb):
+        arrival.write.mode("append").parquet(src)
+        run_into_catalog(streaming_rollup_1m(spark, src), cat, "tier_1m", ckpt)
+
+    assert len(cat.snapshots("tier_1m")) >= 1
+    meta = cat._load()["tables"]["tier_1m"]["snapshots"][0]["meta"]
+    assert "stream_epoch" in meta
+
+    tier = read_tier_latest(cat, spark, "tier_1m")
+    cutoff = dt.datetime(2025, 3, 1, 1, 0)
+    routed = route_rollup({"1m": tier}, 900, end=cutoff)
+    batch = salt_partials(spark.read.parquet(src), "1m")
+    e = F.unix_timestamp("bucket_ts").cast("long")
+    direct = (
+        batch.where(F.col("bucket_ts") < F.lit(cutoff))
+        .groupBy("source", F.timestamp_seconds(e - F.pmod(e, F.lit(900))).alias("bucket_ts"))
+        .agg(F.sum("cnt").alias("cnt"), F.min("vmin").alias("vmin"),
+             F.max("vmax").alias("vmax"), F.sum("vsum").alias("vsum"))
+    )
+    a = {(r["source"], r["bucket_ts"]): (r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 6))
+         for r in routed.collect()}
+    b2 = {(r["source"], r["bucket_ts"]): (r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 6))
+         for r in direct.collect()}
+    assert a == b2 and a
+
+
 def test_rollup_job_cli(spark, tmp_path, capsys):
     import json
 
