@@ -122,6 +122,86 @@ def route_rollup(
         "mean", F.col("vsum").cast("double") / F.col("cnt"))
 
 
+def rollup_at(
+    raw: DataFrame,
+    resolution_secs: int,
+    start=None,
+    end=None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The explicit raw fallback for resolutions no tier divides
+    (e.g. 90 s): floor-epoch tumbling rollup straight off the raw
+    series, same output schema as ``route_rollup``. This is the scan
+    routing exists to avoid — callers reach it deliberately via
+    ``pick_tier(...) is None``, never as a silent downgrade."""
+    v = F.col(value_col)
+    if start is not None:
+        raw = raw.where(F.col(ts_col) >= F.lit(start))
+    if end is not None:
+        raw = raw.where(F.col(ts_col) < F.lit(end))
+    epoch = F.unix_timestamp(F.col(ts_col)).cast("long")
+    win = F.timestamp_seconds(
+        epoch - F.pmod(epoch, F.lit(resolution_secs))).alias("bucket_ts")
+    return (
+        raw.groupBy(source_col, win)
+        .agg(F.count(v).alias("cnt"), F.min(v).alias("vmin"),
+             F.max(v).alias("vmax"), F.sum(v).alias("vsum"))
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+
+
+def route_rollup_sketch(
+    tiers: dict[str, DataFrame],
+    resolution_secs: int,
+    start=None,
+    end=None,
+    quantile: float = 0.5,
+    delta: int = 200,
+    *,
+    source_col: str = "source",
+    available: dict | None = None,
+) -> DataFrame:
+    """Route over SKETCH-carrying tiers (``rollup_raw_sketch`` /
+    ``rollup_up_sketch`` output): algebraic stats merge exactly and the
+    per-window ``vq`` re-merges the serving tier's t-digests, so the
+    routed answer estimates the RAW value distribution's quantile at
+    the requested resolution (rank error O(1/delta)) — without the
+    coarser-tier caveat of quantile-of-means, and still never touching
+    raw. Same tier-choice rule as ``route_rollup``."""
+    from ..functions.sketch import digest_quantile, merge_digests
+
+    name = pick_tier(resolution_secs, available, start=start)
+    if name is None or name not in tiers:
+        raise KeyError(
+            f"no sketch tier divides resolution={resolution_secs}s "
+            f"(have {sorted(tiers)}); use rollup_raw_sketch on raw")
+    t = tiers[name]
+    if start is not None:
+        t = t.where(F.col("bucket_ts") >= F.lit(start))
+    if end is not None:
+        t = t.where(F.col("bucket_ts") < F.lit(end))
+    epoch = F.unix_timestamp(F.col("bucket_ts")).cast("long")
+    win = F.timestamp_seconds(
+        epoch - F.pmod(epoch, F.lit(resolution_secs))).alias("bucket_ts")
+    agged = t.groupBy(source_col, win).agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+        F.sum("vsum").alias("vsum"),
+        F.collect_list("vdigest").alias("_ds"),
+    )
+    return (
+        agged.withColumn("vdigest", merge_digests(F.col("_ds"), delta))
+        .drop("_ds")
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+        .withColumn("vq", digest_quantile(F.col("vdigest"), quantile,
+                                          F.col("vmin"), F.col("vmax")))
+    )
+
+
 def route_from_catalog(
     spark,
     catalog,

@@ -113,6 +113,39 @@ def test_all_tier_widths_registered():
     assert set(TIER_WIDTH_SECS) == {"1m", "1h", "1d"}
 
 
+def test_rollup_at_matches_direct(spark):
+    from adtk_spark.plans.router import rollup_at
+
+    raw = _raw(spark)
+    assert pick_tier(90) is None  # the case rollup_at exists for
+    _cmp(rollup_at(raw, 90), _direct(raw, 90))
+    start, end = T0 + dt.timedelta(minutes=3), T0 + dt.timedelta(minutes=30)
+    bounded = raw.where((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+    _cmp(rollup_at(raw, 90, start, end), _direct(bounded, 90))
+
+
+def test_route_sketch_raw_distribution_quantile(spark):
+    from adtk_spark.plans.router import route_rollup_sketch
+    from adtk_spark.plans.tiers import rollup_raw_sketch, rollup_up_sketch
+    from tests.test_sketch import rank_of
+
+    raw = _raw(spark)
+    s1m = rollup_raw_sketch(raw, "1m")
+    s1h = rollup_up_sketch(s1m, "1h")
+    routed = route_rollup_sketch({"1m": s1m, "1h": s1h}, 7200, quantile=0.5)
+    # algebraic columns stay exact through the sketch path
+    _cmp(routed.drop("vq", "vdigest"), _direct(raw, 7200))
+    # vq estimates the RAW distribution per 2h window within rank error
+    by_win = {}
+    for r in raw.collect():
+        e = int(r["ts"].timestamp())
+        by_win.setdefault((r["source"], e - e % 7200), []).append(r["value"])
+    for r in routed.collect():
+        k = (r["source"], int(r["bucket_ts"].timestamp()))
+        sv = sorted(by_win[k])
+        assert abs(rank_of(sv, r["vq"]) - 0.5) < 0.03, k
+
+
 def test_route_from_catalog_retention_steering(spark, tmp_path):
     import pytest
 
