@@ -64,7 +64,10 @@ def interval_join(
         F.col(on), F.col(start_col), F.col(end_col),
         F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
     )
-    pt = points.withColumn(
+    # row id so the left-outer path can find unmatched points without
+    # comparing data columns (plain column equality is not NULL-safe —
+    # a matched point with a NULL column would also count as unmatched)
+    pt = points.withColumn("_pid", F.monotonically_increasing_id()).withColumn(
         "_b", F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))))
     hits = (
         pt.join(iv, on=[on, "_b"], how="inner")
@@ -73,18 +76,18 @@ def interval_join(
         .drop("_b")
     )
     if how == "inner":
-        return hits
+        return hits.drop("_pid")
     # left: points with no containing interval appear once with NULLs
     unmatched = (
-        points.join(hits.select(*points.columns).distinct(),
-                    on=points.columns, how="left_anti")
+        pt.drop("_b")
+        .join(hits.select("_pid"), on="_pid", how="left_anti")
         .select(
             "*",
             F.lit(None).cast(dict(intervals.dtypes)[start_col]).alias(start_col),
             F.lit(None).cast(dict(intervals.dtypes)[end_col]).alias(end_col),
         )
     )
-    return hits.unionByName(unmatched)
+    return hits.unionByName(unmatched).drop("_pid")
 
 
 def asof_join(

@@ -99,6 +99,26 @@ def test_interval_join_brute_force_parity(spark):
     assert len(left) == len(want) + len(got_nulls)
 
 
+def test_interval_join_left_with_null_columns(spark):
+    """A matched point carrying a NULL data column must appear exactly
+    once in how='left' output (regression: non-null-safe anti-join
+    double-counted it as both matched and unmatched)."""
+    from adtk_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", dt.datetime(2022, 1, 1, 0, 30), None),
+         ("a", dt.datetime(2022, 1, 1, 5, 0), None)],
+        "source string, ts timestamp, value double")
+    ivs = spark.createDataFrame(
+        [("a", dt.datetime(2022, 1, 1, 0, 0), dt.datetime(2022, 1, 1, 1, 0))],
+        "source string, start_ts timestamp, end_ts timestamp")
+    out = interval_join(pts, ivs, how="left").collect()
+    assert len(out) == 2
+    by_ts = {r["ts"]: r for r in out}
+    assert by_ts[dt.datetime(2022, 1, 1, 0, 30)]["start_ts"] is not None
+    assert by_ts[dt.datetime(2022, 1, 1, 5, 0)]["start_ts"] is None
+
+
 def test_interval_join_plan_is_equi_join(spark):
     from adtk_spark.operators.joins import interval_join
 
