@@ -47,6 +47,10 @@ def main(argv=None):
                    help="materialize each tier as a bucketed, sorted "
                         "read-optimized table with N buckets (detector "
                         "reads then plan zero Exchange)")
+    p.add_argument("--route", default=None,
+                   help="serve a rollup query from the coarsest dividing "
+                        "tier: RES_SECS[,START_ISO[,END_ISO]] — prints the "
+                        "serving tier and row count in the report")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -104,6 +108,29 @@ def main(argv=None):
             report["retention_snapshot"] = catalog.commit(
                 kept, "tier_1m_retained", {"keep_after": str(keep_after)})
             report["retention_kept_rows"] = kept.count()
+            # ledger: 1m history older than the cutoff is no longer
+            # guaranteed — the router must serve it from coarser tiers
+            catalog.set_retention("tier_1m", keep_after)
+
+    if args.route:
+        import datetime as dt
+
+        from adtk_spark.plans.router import pick_tier, route_from_catalog
+
+        parts = args.route.split(",")
+        res = int(parts[0])
+        start = (dt.datetime.fromisoformat(parts[1])
+                 if len(parts) > 1 and parts[1] else None)
+        end = (dt.datetime.fromisoformat(parts[2])
+               if len(parts) > 2 and parts[2] else None)
+        tables = {"1m": "tier_1m", "1h": "tier_1h", "1d": "tier_1d"}
+        avail = {t: catalog.get_retention(tbl) for t, tbl in tables.items()}
+        routed = route_from_catalog(spark, catalog, tables, res, start, end)
+        report["route"] = {
+            "resolution_secs": res,
+            "served_by": pick_tier(res, avail, start=start),
+            "rows": routed.count(),
+        }
 
     report["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(report))

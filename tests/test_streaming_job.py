@@ -110,6 +110,14 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     main(["--catalog", cat, "--cores", "4"])
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["refresh"]["processed"] == 0
+    # routed query against the catalog the job maintains: 2h resolution
+    # must come from the 1h tier, 1m resolution from the 1m tier
+    main(["--catalog", cat, "--cores", "4", "--route", "7200"])
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep3["route"]["served_by"] == "1h" and rep3["route"]["rows"] > 0
+    main(["--catalog", cat, "--cores", "4", "--route", "60"])
+    rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep4["route"]["served_by"] == "1m" and rep4["route"]["rows"] > 0
 
 
 def test_streaming_persist_ad_matches_batch(spark, tmp_path):
