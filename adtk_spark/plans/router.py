@@ -230,9 +230,13 @@ def route_from_catalog(
             f"raw explicitly")
     from .incremental import read_tier_latest
 
-    # bucketed compaction is already a latest-wins materialization;
-    # otherwise resolve bucket restatements across snapshots
-    df = catalog.read_bucketed(spark, tables[name])
+    # the bucketed compaction is a latest-wins materialization *as of*
+    # one snapshot — only serve it while it is still current, else fall
+    # back to the snapshot union (correctness beats the saved Exchange)
+    df = None
+    as_of = catalog.bucketed_as_of(tables[name])
+    if as_of is not None and as_of == catalog.last_snapshot(tables[name]):
+        df = catalog.read_bucketed(spark, tables[name])
     if df is None:
         df = read_tier_latest(catalog, spark, tables[name])
     if df is None:

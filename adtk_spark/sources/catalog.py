@@ -149,6 +149,12 @@ class TierCatalog:
         self._store(m)
         return name
 
+    def bucketed_as_of(self, table: str) -> int | None:
+        """Snapshot id the bucketed view was compacted at, or None if
+        never compacted. Current iff equal to ``last_snapshot(table)``."""
+        info = self._load()["tables"].get(table, {}).get("bucketed")
+        return info.get("as_of_snapshot") if info else None
+
     def read_bucketed(self, spark: SparkSession, table: str) -> DataFrame | None:
         """The read-optimized bucketed view, or None if never compacted.
 

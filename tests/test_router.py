@@ -109,6 +109,31 @@ def test_route_quantile_matches_tier_means(spark):
         assert abs(r["vq"] - float(np.quantile(by_win[k], 0.5))) < 1e-9, k
 
 
+def test_route_skips_stale_bucketed_view(spark, tmp_path):
+    """After a post-compaction commit, routing must fall back to the
+    snapshot union instead of serving the stale bucketed view."""
+    from adtk_spark.plans.router import route_from_catalog
+    from adtk_spark.sources.catalog import TierCatalog
+
+    raw = _raw(spark, n=120)
+    t1h = build_tiers(raw)["1h"]
+    cat = TierCatalog(str(tmp_path / "cat"))
+    cat.commit(t1h, "tier_1h")
+    cat.commit_bucketed(t1h, "tier_1h", buckets=4)
+    assert cat.bucketed_as_of("tier_1h") == cat.last_snapshot("tier_1h")
+    n1 = route_from_catalog(spark, cat, {"1h": "tier_1h"}, 3600).count()
+
+    # restate: second snapshot doubles one bucket's counts
+    restated = t1h.limit(1).withColumn("cnt", F.col("cnt") * 2)
+    cat.commit(restated, "tier_1h")
+    assert cat.bucketed_as_of("tier_1h") != cat.last_snapshot("tier_1h")
+    routed = route_from_catalog(spark, cat, {"1h": "tier_1h"}, 3600)
+    assert routed.count() == n1  # latest-wins, no duplicate buckets
+    key = restated.collect()[0]
+    got = {(r["source"], r["bucket_ts"]): r["cnt"] for r in routed.collect()}
+    assert got[(key["source"], key["bucket_ts"])] == key["cnt"]  # new value served
+
+
 def test_all_tier_widths_registered():
     assert set(TIER_WIDTH_SECS) == {"1m", "1h", "1d"}
 
