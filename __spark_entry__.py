@@ -703,6 +703,23 @@ def q_rolling_hist(spark, sf_dir):
     )
 
 
+def q_rolling_hist_int(spark, sf_dir):
+    """hist with integer bins: rolling_agg derives equal-width edges
+    from the whole-series min/max (one fit-action), reference
+    _transformer_1d.py:306-309. The oracle recomputes the same edges as
+    lo + i*((hi-lo)/3.0) — numpy.linspace's exact association."""
+    from adtk_spark.functions.windows import rolling_agg
+
+    s = _series(spark, sf_dir)
+    out = rolling_agg(s, window=5, agg="hist", agg_params={"bins": 3},
+                      out_col="h")
+    hcols = [c for c in out.columns if c.startswith("h_")]
+    return out.select(
+        "source", "ts",
+        *[F.col(f"`{c}`").alias(f"h{i}") for i, c in enumerate(hcols)],
+    )
+
+
 def q_split_mode3(spark, sf_dir):
     from adtk_spark.operators.data import split_train_test
 
@@ -1050,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "tier_route_2h": q_tier_route_2h,
+        "rolling_hist_int": q_rolling_hist_int,
     }
 
 
@@ -2375,5 +2393,31 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.value IS NULL THEN 0.0
                         ELSE CAST(abs(d.value - s.mu) > 2 * s.sd AS DOUBLE) END AS label
             FROM d JOIN s USING (source)
+        """,
+        # integer hist bins: edges derived from the WHOLE series range,
+        # recomputed here exactly as numpy.linspace associates them
+        # (step = (hi-lo)/3 first, then lo + i*step)
+        "rolling_hist_int": _DEDUP_CTE + """
+            , mm AS (
+              SELECT min(value) AS lo, max(value) AS hi,
+                     (max(value) - min(value)) / 3.0 AS step
+              FROM d
+            )
+            SELECT source, ts,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= mm.lo
+                                          AND value < mm.lo + 1 * mm.step
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h0,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= mm.lo + 1 * mm.step
+                                          AND value < mm.lo + 2 * mm.step
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h1,
+                   CASE WHEN count(value) OVER w >= 5
+                        THEN CAST(count(CASE WHEN value >= mm.lo + 2 * mm.step
+                                          AND value <= mm.hi
+                                        THEN 1 END) OVER w AS DOUBLE) END AS h2
+            FROM d, mm
+            WINDOW w AS (PARTITION BY source ORDER BY ts
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
     }

@@ -133,17 +133,30 @@ def single_row_arr(value_col: str) -> Column:
 
 
 def _interp_sorted(arr: Column, p: float) -> Column:
+    # Type-7 linear interpolation, floating-point-associated EXACTLY like
+    # DuckDB's quantile_cont (Interpolator in quantile.cpp): rank
+    # RN = q*(n-1), and when RN is fractional the result is
+    # lo*(1-frac) + hi*frac (CastInterpolation::Interpolate), NOT the
+    # algebraically-equal lo + (hi-lo)*frac. The two associations differ
+    # by up to 1 ulp, which is enough to flip a downstream round(x, 6)
+    # at a half-way boundary — the r02 rollup_sliding_5m hash flake.
+    # Matching the association makes Spark/DuckDB bit-identical on
+    # identical frame values at any parallelism.
     n = F.size(arr)
     if p <= 0.0:
         return F.element_at(arr, 1).cast("double")
     if p >= 1.0:
         return F.element_at(arr, n).cast("double")
-    pos = (n.cast("double") - 1.0) * F.lit(float(p))  # 0-based fractional rank
+    pos = F.lit(float(p)) * (n.cast("double") - 1.0)  # 0-based fractional rank
     lo_i = F.floor(pos).cast("int")
     frac = pos - lo_i.cast("double")
     lo = F.element_at(arr, lo_i + 1).cast("double")
     hi = F.element_at(arr, F.least(lo_i + 2, n)).cast("double")
-    return F.when(n == 0, F.lit(None)).otherwise(lo + (hi - lo) * frac)
+    return (
+        F.when(n == 0, F.lit(None))
+        .when(frac == 0.0, lo)  # DuckDB returns v[FRN] directly when CRN==FRN
+        .otherwise(lo * (F.lit(1.0) - frac) + hi * frac)
+    )
 
 
 def _quantile_name(q: float) -> str:
@@ -259,9 +272,10 @@ def agg_exprs(
         if isinstance(bins, int):
             raise ValueError(
                 "hist with integer bins needs the whole-series range; "
-                "use operators.transformers.hist_bins(df, n) to derive "
-                "explicit edges first (reference computes them from the "
-                "full series, _transformer_1d.py:306-309)"
+                "rolling_agg derives it automatically (one min/max "
+                "fit-action), or pass explicit edges from "
+                "operators.transformers.hist_bins(df, n) (reference: "
+                "_transformer_1d.py:306-309)"
             )
         out = {}
         for i, name in enumerate(_hist_names(list(bins))):
@@ -301,6 +315,17 @@ def rolling_agg(
             source_col=source_col, ts_col=ts_col, value_col=value_col,
             out_col=out_col or f"{value_col}_roll",
         )
+    if (agg == "hist" and agg_params
+            and isinstance(agg_params.get("bins"), int)):
+        # reference semantics: integer bins means equal-width edges over
+        # the WHOLE series range (_transformer_1d.py:306-309) — a small
+        # fit-action (one min/max aggregation) before the lazy window
+        # plan, mirroring the other fit-then-predict operators
+        from ..operators.transformers import hist_bins
+
+        agg_params = dict(agg_params)
+        agg_params["bins"] = hist_bins(
+            df, agg_params["bins"], value_col=value_col)
     kind, size = parse_window(window)
     lo, hi = _bounds(kind, size, center, closed)
     win = _win(source_col, ts_col, kind, lo, hi)

@@ -88,25 +88,51 @@ def ivf_fit(
     return [list(c) for c in centers]
 
 
+def _dist_sq_to(vec_col: str, c) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), _lit_vec(c),
+                   lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+
+
 def ivf_assign(
     emb: DataFrame, centers: list[list[float]],
     *, vec_col: str = "embedding", out_col: str = "list_id",
 ) -> DataFrame:
     """Assign each row to its nearest centroid (pure expressions)."""
-    def dist_sq(c) -> Column:
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), _lit_vec(c),
-                       lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-
-    best_id, best_d = F.lit(0), dist_sq(centers[0])
+    best_id, best_d = F.lit(0), _dist_sq_to(vec_col, centers[0])
     for j, c in enumerate(centers[1:], start=1):
-        d = dist_sq(c)
+        d = _dist_sq_to(vec_col, c)
         cond = d < best_d
         best_id = F.when(cond, F.lit(j)).otherwise(best_id)
         best_d = F.when(cond, d).otherwise(best_d)
     return emb.withColumn(out_col, best_id)
+
+
+def ivf_assign_multi(
+    emb: DataFrame, centers: list[list[float]], probes: int = 2,
+    *, vec_col: str = "embedding", out_col: str = "list_id",
+) -> DataFrame:
+    """Assign each row to its ``probes`` nearest centroids (one output
+    row per assignment — explode). Pure expressions: build the
+    (dist, list) struct array, array_sort, slice the head.
+
+    Multi-probe assignment is the indexing-side twin of ``ivf_search``'s
+    nprobe: a vector sitting on a cell boundary lands in BOTH adjacent
+    cells, so near-duplicate candidates straddling the boundary still
+    meet in one cell. Costs ``probes``× the candidate-generation rows —
+    the exact verification stays per surviving pair.
+    """
+    cells = F.array(*[
+        F.struct(_dist_sq_to(vec_col, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centers)
+    ])
+    top = F.slice(F.array_sort(cells), 1, min(probes, len(centers)))
+    return (
+        emb.withColumn("_probe", F.explode(F.transform(top, lambda s: s["j"])))
+        .withColumnRenamed("_probe", out_col)
+    )
 
 
 def ivf_search(
@@ -130,19 +156,27 @@ def ivf_search(
 def embedding_dup_pairs(
     emb: DataFrame, centers: list[list[float]], threshold: float = 0.95,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
-    max_cell: int | None = None,
+    max_cell: int | None = None, probes: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates inside one IVF
-    cell (near-dups land in the same cell with high probability), exact
-    cosine verification, id_a < id_b.
+    cell, exact cosine verification, id_a < id_b.
 
-    ``max_cell`` drops cells holding more than that many vectors from
-    candidate generation — the within-cell join is quadratic in cell
-    size, so one degenerate cell (e.g. a big cluster of zero-ish
-    embeddings) would otherwise dominate the whole job. At scale,
-    re-cluster oversized cells with more centroids instead.
+    ``probes`` (default 2): each vector is assigned to its ``probes``
+    nearest cells for candidate generation (``ivf_assign_multi``), so a
+    near-dup pair straddling a cell boundary — the single-probe recall
+    hole — still shares a cell. Pairs meeting in several cells are
+    deduplicated before verification. ``probes=1`` is the classic
+    single-assignment IVF.
+
+    ``max_cell`` drops cells holding more than that many (multi-probe)
+    assignments from candidate generation — the within-cell join is
+    quadratic in cell size, so one degenerate cell (e.g. a big cluster
+    of zero-ish embeddings) would otherwise dominate the whole job. At
+    scale, re-cluster oversized cells with more centroids instead.
     """
-    idx = ivf_assign(emb, centers).select(
+    assign = (ivf_assign_multi(emb, centers, probes) if probes > 1
+              else ivf_assign(emb, centers))
+    idx = assign.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     )
     if max_cell is not None:
@@ -152,9 +186,28 @@ def embedding_dup_pairs(
     a, b = idx.alias("a"), idx.alias("b")
     cand = a.join(b, on=[F.col("a.list_id") == F.col("b.list_id"),
                          F.col("a.id") < F.col("b.id")])
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    if probes > 1:
+        # a pair sharing k probed cells is generated k times: dedup the
+        # NARROW (id_a, id_b) rows, then join the wide vectors back only
+        # for the surviving pairs (same shape as the LSH candidate path —
+        # the dedup shuffle never carries embedding arrays)
+        pairs = (cand.select(F.col("a.id").alias("id_a"),
+                             F.col("b.id").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        vecs = idx.select("id", "v").dropDuplicates(["id"])
+        cand = (
+            pairs.join(vecs.select(F.col("id").alias("id_a"),
+                                   F.col("v").alias("v_a")), "id_a")
+            .join(vecs.select(F.col("id").alias("id_b"),
+                              F.col("v").alias("v_b")), "id_b")
+        )
+    else:
+        cand = cand.select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("v_a"), F.col("b.v").alias("v_b"),
+        )
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
     return (
-        cand.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(cos, 6).alias("cos_sim"))
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

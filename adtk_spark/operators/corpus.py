@@ -527,13 +527,21 @@ def _cc_alternating_stars(edges: DataFrame, max_iter: int) -> DataFrame:
     # RDD — constant-size plans regardless of round count
     e = (edges.where(F.col("src") != F.col("dst")).distinct()
          .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         new = small_star(large_star(e)).localCheckpoint(eager=True)
         changed = (new.exceptAll(e).limit(1).count()
                    + e.exceptAll(new).limit(1).count())
         e = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in max_iter={max_iter} "
+            f"alternating-star rounds; returning here would yield silently "
+            f"wrong group ids — raise max_iter (O(log n) rounds suffice for "
+            f"n nodes)")
     # fixed point: (node -> component min) for every non-root node
     return e
 
@@ -599,6 +607,7 @@ def dedup_groups(
     # alone leaves the logical plan nesting across rounds
     labels = (nodes.distinct().select("id", F.col("id").alias("group_id"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "group_id"
@@ -617,6 +626,13 @@ def dedup_groups(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in max_iter={max_iter} "
+            f"rounds (rounds needed = component diameter); returning the "
+            f"partial labels would be silently wrong — raise max_iter or "
+            f"use algorithm='stars' (O(log n) rounds on any graph shape)")
     out = labels.select(F.col("id").alias(id_col), "group_id")
     return out

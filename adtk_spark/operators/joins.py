@@ -69,6 +69,14 @@ def interval_join(
     # a matched point with a NULL column would also count as unmatched)
     pt = points.withColumn("_pid", F.monotonically_increasing_id()).withColumn(
         "_b", F.unix_timestamp(F.date_trunc(bucket, F.col(ts_col))))
+    if how == "left":
+        # monotonically_increasing_id is only stable within ONE
+        # evaluation of one physical layout; the left path evaluates
+        # `pt` twice (hits + anti-join), and an AQE re-plan or task
+        # retry between the two would renumber rows — silently dropping
+        # or duplicating points. Pin the ids by materializing the
+        # partitions once before branching.
+        pt = pt.localCheckpoint(eager=False)
     hits = (
         pt.join(iv, on=[on, "_b"], how="inner")
         .where((F.col(ts_col) >= F.col(start_col))
@@ -107,9 +115,19 @@ def asof_join(
     ``direction='forward'`` attaches the smallest ``ts >= left.ts``.
 
     ``right_cols``: right columns to carry (default: all but key/ts).
-    ``tolerance_secs``: NULL the carried values when the matched right
-    row is further than this from the left timestamp.
+    ``tolerance_secs``: NULL the carried value columns when the matched
+    right row is further than this from the left timestamp; the matched
+    right timestamp ``{ts_col}{suffix}`` STAYS populated, so "a match
+    existed but was out of tolerance" remains distinguishable from
+    "no match at all" (pandas ``merge_asof`` collapses the two).
     The matched right timestamp is always emitted as ``{ts_col}{suffix}``.
+
+    NULL semantics: ALL carried columns come from the single matched
+    right row, as one ``last(struct, ignorenulls)`` — a struct is
+    non-NULL even when every field is NULL, so a legitimate NULL in the
+    matched row is preserved (and columns can never tear across
+    different right rows, which per-column ``last(..., ignorenulls)``
+    would do).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -117,19 +135,23 @@ def asof_join(
         c for c in right.columns if c not in (on, ts_col)]
     clash = [c for c in right_cols if c in left.columns]
     out_names = {c: (c + suffix if c in clash else c) for c in right_cols}
+    rtypes = dict(right.dtypes)
+    # one match-struct per right row: its fields are the carried values
+    # plus the right timestamp; left placeholder rows carry a NULL struct
+    m_ddl = "struct<" + ",".join(
+        ["_mts:" + rtypes[ts_col]]
+        + [f"{out_names[c]}:{rtypes[c]}" for c in right_cols]) + ">"
 
     l_tag = left.select(
-        "*", F.lit(0).alias("_r"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(out_names[c])
-          for c in right_cols],
-        F.lit(None).cast(dict(right.dtypes)[ts_col]).alias(ts_col + suffix),
-    )
+        "*", F.lit(0).alias("_r"), F.lit(None).cast(m_ddl).alias("_m"))
     r_tag = right.select(
         F.col(on),
         F.col(ts_col),
         F.lit(1).alias("_r"),
-        *[F.col(c).alias(out_names[c]) for c in right_cols],
-        F.col(ts_col).alias(ts_col + suffix),
+        F.struct(
+            F.col(ts_col).alias("_mts"),
+            *[F.col(c).alias(out_names[c]) for c in right_cols],
+        ).cast(m_ddl).alias("_m"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes
           if c not in (on, ts_col)],
     ).select(*l_tag.columns)  # align column order for the union
@@ -141,15 +163,20 @@ def asof_join(
              F.col("_r").desc()]
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
-    carried = [F.last(out_names[c], ignorenulls=True).over(w).alias(out_names[c])
-               for c in right_cols]
-    carried_ts = F.last(ts_col + suffix, ignorenulls=True).over(w) \
-        .alias(ts_col + suffix)
     u = l_tag.unionByName(r_tag)
-    out = u.select(
-        *[c for c in left.columns], "_r",
-        *carried, carried_ts,
-    ).where(F.col("_r") == 0).drop("_r")
+    out = (
+        u.select(
+            *[c for c in left.columns], "_r",
+            F.last("_m", ignorenulls=True).over(w).alias("_m"),
+        )
+        .where(F.col("_r") == 0)
+        .select(
+            *[c for c in left.columns],
+            *[F.col("_m")[out_names[c]].alias(out_names[c])
+              for c in right_cols],
+            F.col("_m")["_mts"].alias(ts_col + suffix),
+        )
+    )
 
     if tolerance_secs is not None:
         lt = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -160,6 +187,6 @@ def asof_join(
             *[c for c in left.columns],
             *[F.when(keep, F.col(out_names[c])).alias(out_names[c])
               for c in right_cols],
-            F.when(keep, F.col(ts_col + suffix)).alias(ts_col + suffix),
+            F.col(ts_col + suffix),
         )
     return out

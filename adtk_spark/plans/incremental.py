@@ -86,6 +86,22 @@ def refresh_tiers(
         def r_up(df, tier, q):
             return rollup_up_sketch(df, tier, q, delta)
     else:
+        # mirror of the guard above: sketch=False over a catalog whose
+        # existing snapshots DO carry vdigest would union snapshot dirs
+        # with mismatched schemas — spark.read.parquet without
+        # mergeSchema infers from a sampled file, so the digest column
+        # can silently disappear (or the read fails nondeterministically
+        # depending on which file is sampled). Same answer: demand an
+        # explicit restatement.
+        existing = catalog.read(spark, "tier_1m")
+        if existing is not None and "vdigest" in existing.columns:
+            raise ValueError(
+                "sketch=False on a catalog whose existing tier snapshots "
+                "carry a vdigest column: restate the tiers first (new "
+                "catalog root, or reset the watermark and re-rollup) — "
+                "appending sketchless snapshots would leave the tier "
+                "directories with mixed schemas and nondeterministic reads"
+            )
         r_raw, r_up = rollup_raw, rollup_up
 
     series_of = series_of or token_series

@@ -51,16 +51,20 @@ def pick_tier(
     ``bucket_ts`` (a retention ledger, e.g. from TierCatalog); a tier
     whose coverage starts after ``start`` is skipped, so a query into
     history that retention has already evicted from the fine tiers
-    routes to a coarser one that still holds it. Returns None when no
-    tier qualifies (caller falls back to raw)."""
+    routes to a coarser one that still holds it. A query with NO
+    ``start`` bound asks for all history, so any tier with a retention
+    cutoff is skipped too — routing it to a vacuumed tier would
+    silently truncate the answer at the cutoff, the exact wrong answer
+    the ledger exists to prevent. Returns None when no tier qualifies
+    (caller falls back to raw)."""
     names = TIER_WIDTH_SECS if available is None else available
     best, best_w = None, 0
     for name in names:
         w = TIER_WIDTH_SECS[name]
         if resolution_secs % w:
             continue
-        if (available is not None and start is not None
-                and available[name] is not None and available[name] > start):
+        if (available is not None and available[name] is not None
+                and (start is None or available[name] > start)):
             continue
         if w > best_w:
             best, best_w = name, w

@@ -41,9 +41,14 @@ _SUPPORTED_AGGS = ("median", "mean", "min", "max", "sum")
 
 
 def _bounds_map(bounds: DataFrame, source_col: str) -> dict[str, tuple[float, float]]:
-    """Collect the tiny per-source model table (one row per source) into
-    a plain dict closed over by the stateful function — the streaming
-    analogue of the batch broadcast join (detectors.apply_bounds).
+    """Collect the per-source model table (one row per source) into a
+    dict, which ``streaming_persist_ad`` then ships as a Spark
+    **broadcast variable** — one torrent-distributed copy per executor,
+    not one pickled closure copy per task. At 10^6 sources the model
+    table is tens of MB; a closure would re-serialize it into every
+    micro-batch task, a broadcast moves it once per executor (the
+    streaming analogue of the batch broadcast join,
+    detectors.apply_bounds).
 
     NULL fitted bounds (a source whose training series was too short —
     see detectors.require_fit) become NaN, so that source's stream rows
@@ -130,11 +135,15 @@ def streaming_persist_ad(
         raise ValueError("side must be 'both', 'positive' or 'negative'")
     w = int(window)
     mp = w if min_periods is None else int(min_periods)
-    bmap = _bounds_map(bounds, source_col)
+    # broadcast, not closure: the stateful function below must not close
+    # over the (possibly large) model dict, or every task of every
+    # micro-batch re-ships it; bmap_bc.value is fetched once per executor
+    bmap_bc = stream.sparkSession.sparkContext.broadcast(
+        _bounds_map(bounds, source_col))
 
     def score(key, pdf_iter, state):
         tail = np.asarray(state.get[0], dtype=float) if state.exists else np.empty(0)
-        lo, hi = bmap.get(key[0], (math.nan, math.nan))
+        lo, hi = bmap_bc.value.get(key[0], (math.nan, math.nan))
         for pdf in pdf_iter:
             pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
             new = pdf[value_col].to_numpy(dtype=float)

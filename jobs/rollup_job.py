@@ -47,6 +47,16 @@ def main(argv=None):
                    help="materialize each tier as a bucketed, sorted "
                         "read-optimized table with N buckets (detector "
                         "reads then plan zero Exchange)")
+    p.add_argument("--lsh-dedup", action="store_true",
+                   help="run MinHash-LSH near-dup detection over the "
+                        "latest raw corpus (tokens rendered as text), "
+                        "commit the pair table, and log what the hot-"
+                        "bucket cap dropped")
+    p.add_argument("--lsh-max-bucket", type=int, default=1000,
+                   help="drop LSH buckets holding more than N docs from "
+                        "candidate generation (bounds join fan-out; "
+                        "dropped buckets are counted in the report)")
+    p.add_argument("--lsh-threshold", type=float, default=0.7)
     p.add_argument("--route", default=None,
                    help="serve a rollup query from the coarsest dividing "
                         "tier: RES_SECS[,START_ISO[,END_ISO]] — prints the "
@@ -96,6 +106,40 @@ def main(argv=None):
                 compacted[tier] = catalog.commit_bucketed(
                     t, tier, buckets=args.compact_buckets)
         report["compacted"] = compacted
+
+    if args.lsh_dedup:
+        from adtk_spark.operators.corpus import lsh_bucket_stats, minhash_lsh_pairs
+
+        # raw is append-only (no per-bucket restatement), so a plain
+        # catalog read — read_tier_latest's latest-wins is for tiers
+        raw = catalog.read(spark, "raw")
+        if raw is not None:
+            # token sequences as whitespace text: word-shingles become
+            # token n-grams, so "near-dup" = overlapping token windows
+            docs = raw.select(
+                "doc_id", F.concat_ws(" ", F.col("tokens")).alias("text"))
+            cap = args.lsh_max_bucket
+            # operational drop report BEFORE the pair job: every
+            # oversized (band, bucket) the cap will exclude, logged so a
+            # 100 TB run documents its recall trade instead of hiding it
+            dropped = lsh_bucket_stats(docs, max_bucket=cap).agg(
+                F.count("*").alias("buckets"),
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("doc_slots"),
+            ).collect()[0]
+            pairs = minhash_lsh_pairs(
+                docs, jaccard_threshold=args.lsh_threshold, max_bucket=cap)
+            snap = catalog.commit(
+                pairs, "lsh_pairs",
+                {"threshold": args.lsh_threshold, "max_bucket": cap})
+            report["lsh"] = {
+                "pairs_snapshot": snap,
+                "n_pairs": pairs.count(),
+                "max_bucket": cap,
+                "dropped_buckets": int(dropped["buckets"]),
+                "dropped_doc_slots": int(dropped["doc_slots"]),
+            }
+            print(json.dumps({"lsh_drop_report": report["lsh"]}),
+                  file=sys.stderr)
 
     if args.retention_days_1m > 0:
         t1m = read_tier_latest(catalog, spark, "tier_1m")

@@ -105,6 +105,35 @@ def test_embedding_dup_pairs(spark, emb):
     assert (3, 99999) in got
 
 
+def test_embedding_dup_pairs_multiprobe_boundary(spark):
+    """A near-dup pair straddling an IVF cell boundary: single-probe
+    assignment puts the two vectors in different cells (never
+    candidates); probes=2 assigns each to both adjacent cells, so the
+    pair meets and is verified."""
+    from adtk_spark.operators.ann import embedding_dup_pairs, ivf_assign
+
+    rows = [(f"L{i}", [-1.0 + 0.01 * i, 1.0]) for i in range(5)]
+    rows += [(f"R{i}", [1.0 - 0.01 * i, 1.0]) for i in range(5)]
+    rows += [("bA", [-0.02, 1.0]), ("bB", [0.02, 1.0])]  # cos ~0.9992
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    centers = [[-1.0, 1.0], [1.0, 1.0]]
+
+    # precondition: the boundary pair really is split across cells
+    assigned = {r["vec_id"]: r["list_id"] for r in ivf_assign(
+        emb.where(F.col("vec_id").isin("bA", "bB")), centers).collect()}
+    assert assigned["bA"] != assigned["bB"]
+
+    one = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        emb, centers, threshold=0.999, probes=1).collect()}
+    two = {(r["id_a"], r["id_b"]) for r in embedding_dup_pairs(
+        emb, centers, threshold=0.999, probes=2).collect()}
+    assert ("bA", "bB") not in one  # the single-probe recall hole
+    assert ("bA", "bB") in two  # multi-probe closes it
+    assert one <= two  # multi-probe only adds candidates
+    # dedup: each within-cluster pair verified once despite 2 shared cells
+    assert len(two) == len({tuple(sorted(p)) for p in two})
+
+
 def test_multimodal_plumbing(spark):
     from adtk_spark.operators.multimodal import (
         extract_features,

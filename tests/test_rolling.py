@@ -70,6 +70,19 @@ def test_rolling_hist(spark):
     assert_series(out, "h_[7, 9]", [NAN, 0, 0, 0, 0, 0, 0, 1, 2, 3])
 
 
+def test_rolling_hist_int_bins(spark):
+    # test_transformer1d.py:186-201 — integer bins derive equal-width
+    # edges from the WHOLE series range (fit-action inside rolling_agg)
+    df = series_df(spark, [0, 1, 2, 3, 4, NAN, 5, 6, 7, 8, 9])
+    out = rolling_agg(
+        df, window=3, agg="hist", agg_params={"bins": 3},
+        center=False, min_periods=1, out_col="h",
+    )
+    assert_series(out, "h_[0.0, 3.0)", [1, 2, 3, 2, 1, 0, 0, 0, 0, 0, 0])
+    assert_series(out, "h_[3.0, 6.0)", [0, 0, 0, 1, 2, 2, 2, 1, 1, 0, 0])
+    assert_series(out, "h_[6.0, 9.0]", [0, 0, 0, 0, 0, 0, 0, 1, 2, 3, 3])
+
+
 def test_rolling_callable_scalar(spark):
     df = series_df(spark, MONO10)
     out = rolling_agg(

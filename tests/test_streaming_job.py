@@ -115,9 +115,30 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     main(["--catalog", cat, "--cores", "4", "--route", "7200"])
     rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep3["route"]["served_by"] == "1h" and rep3["route"]["rows"] > 0
-    main(["--catalog", cat, "--cores", "4", "--route", "60"])
+    # 1m resolution with a start inside the retained window: 1m tier
+    from adtk_spark.sources.catalog import TierCatalog
+
+    cutoff = TierCatalog(cat).get_retention("tier_1m")
+    main(["--catalog", cat, "--cores", "4",
+          "--route", f"60,{cutoff.isoformat()}"])
     rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep4["route"]["served_by"] == "1m" and rep4["route"]["rows"] > 0
+    # unbounded 1m query after retention vacuumed old 1m buckets: no
+    # tier both divides 60s and covers ALL history — the router must
+    # refuse loudly, not silently truncate at the retention cutoff
+    import pytest
+
+    with pytest.raises(KeyError, match="covers start=None"):
+        main(["--catalog", cat, "--cores", "4", "--route", "60"])
+    capsys.readouterr()
+    # LSH near-dup over the raw corpus: pair table committed, and the
+    # hot-bucket cap's drop report logged in the job output
+    main(["--catalog", cat, "--cores", "4", "--lsh-dedup",
+          "--lsh-max-bucket", "50"])
+    rep5 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep5["lsh"]["pairs_snapshot"] >= 1
+    assert {"n_pairs", "max_bucket", "dropped_buckets",
+            "dropped_doc_slots"} <= set(rep5["lsh"])
 
 
 def test_streaming_persist_ad_matches_batch(spark, tmp_path):

@@ -20,14 +20,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    # Fixed 6-DECIMAL-PLACE formatting, matching the driver's
+    # normalization. The r02 lesson: %.6g collapses to 6 *significant*
+    # digits, which masks exactly the last-decimal flips the driver
+    # hashes differently (a 1-ulp engine difference landing on a
+    # round(x, 6) boundary). Integral floats still collapse to int
+    # strings for int/double type tolerance — that cannot mask a flip,
+    # since the flipped neighbor formats differently either way.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if v == 0.0:
+            return "0"  # fold -0.0
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
