@@ -463,6 +463,21 @@ def q_token_count(spark, sf_dir):
     return token_count(docs)
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Self-trained unigram LM average log-prob per document (add-one
+    smoothing) — the CCNet-style perplexity quality filter. Per-token
+    log-probs are quantized to 1e-9 and summed exactly as DECIMAL, so
+    the score is order-independent (hash-stable at any parallelism);
+    the oracle replays the identical quantized arithmetic."""
+    from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts, n, v = lm_unigram_fit(docs)
+    out = lm_unigram_score(docs, counts, n, v)
+    return out.select(
+        "doc_id", "n_words", F.round("avg_logp", 6).alias("avg_logp"))
+
+
 def q_minhash_dedup(spark, sf_dir):
     """MinHash-LSH near-dup pairs with the portable md5-based hash and
     a hot-bucket cap — the oracle replays the exact shingle ->
@@ -1068,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "tier_route_2h": q_tier_route_2h,
         "rolling_hist_int": q_rolling_hist_int,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2419,5 +2435,24 @@ def oracle_sql() -> dict[str, str]:
             FROM d, mm
             WINDOW w AS (PARTITION BY source ORDER BY ts
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        # unigram LM perplexity filter: identical quantize-then-exact-sum
+        # arithmetic on both engines (round(ln, 9) -> DECIMAL(38,9) sum)
+        "lm_perplexity": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), cnt AS (
+              SELECT word, count(*) AS c FROM tok GROUP BY word
+            ), tot AS (
+              SELECT sum(c) AS n, count(*) AS v FROM cnt
+            )
+            SELECT t.doc_id,
+                   count(*) AS n_words,
+                   round(CAST(sum(CAST(round(ln((cnt.c + 1.0) / (tot.n + tot.v)), 9)
+                                       AS DECIMAL(38,9))) AS DOUBLE)
+                         / count(*), 6) AS avg_logp
+            FROM tok t JOIN cnt USING (word), tot
+            GROUP BY t.doc_id
         """,
     }

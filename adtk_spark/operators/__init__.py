@@ -59,6 +59,8 @@ from .corpus import (  # noqa: F401
     doc_quality,
     fingerprint,
     lang_id,
+    lm_unigram_fit,
+    lm_unigram_score,
     lsh_bucket_stats,
     md5_hash64,
     minhash_lsh_pairs,
@@ -71,6 +73,7 @@ from .ann import (  # noqa: F401
     cosine_topk,
     embedding_dup_pairs,
     ivf_assign,
+    ivf_assign_multi,
     ivf_fit,
     ivf_search,
 )

@@ -435,6 +435,75 @@ def lang_id(
     return scored.withColumn("pred_lang", best)
 
 
+def lm_unigram_fit(
+    docs: DataFrame, *, text_col: str = "text", min_count: int = 1,
+) -> tuple[DataFrame, int, int]:
+    """Fit a unigram language model on the corpus: word counts plus the
+    (n_total_tokens, vocab_size) normalizer — the CCNet-style LM used to
+    quality-filter training data by perplexity.
+
+    Returns ``(counts, n_total, vocab)``. The totals are a fit-action
+    (one tiny aggregate), consistent with the engine's fit-then-predict
+    convention; they are always computed from the UNPRUNED counts so
+    smoothing stays proper. ``min_count`` then prunes the counts table
+    that scoring ships: at 100 TB the full vocab is heavy-tailed junk
+    (urls, hashes) — pruning to ``min_count>=5`` typically shrinks it
+    100x, making it broadcastable, while scoring treats pruned words as
+    unseen (count 0 -> the add-one smoothing floor).
+    """
+    w = docs.select(F.explode(_words(text_col)).alias("word"))
+    counts = w.groupBy("word").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"), F.count("*").alias("v")).collect()[0]
+    if min_count > 1:
+        counts = counts.where(F.col("c") >= min_count)
+    return counts, int(tot["n"]), int(tot["v"])
+
+
+def lm_unigram_score(
+    docs: DataFrame,
+    counts: DataFrame,
+    n_total: int,
+    vocab: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+    with_ppl: bool = False,
+) -> DataFrame:
+    """Average unigram log-probability per document (add-one smoothing):
+    ``avg_logp = mean_w ln((c_w + 1) / (n_total + vocab))``; low scores
+    flag gibberish/outlier documents for corpus filtering.
+
+    Determinism at any parallelism: per-token log-probs are quantized to
+    1e-9 and summed EXACTLY as DECIMAL(38,9), so the score — and hence
+    every keep/drop filtering decision downstream — is bit-identical
+    across partition layouts, cluster sizes, and reruns (a plain double
+    sum is order-dependent; re-running the filter could change the
+    corpus). The 1e-9 quantization error is ~1e-9 of a score of O(10) —
+    far below any sensible filter threshold.
+
+    Scale: one explode + one equi-join against the model + one groupBy.
+    ``broadcast_model=True`` (with a ``min_count``-pruned model) keeps
+    the join shuffle-free on the big side; popular-word skew is
+    irrelevant because the build side is per-word.
+    """
+    tok = docs.select(id_col, F.explode(_words(text_col)).alias("word"))
+    model = F.broadcast(counts) if broadcast_model else counts
+    j = tok.join(model, "word", "left")
+    logp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") + 1.0)
+        / F.lit(float(n_total + vocab))
+    )
+    q = F.round(logp, 9).cast("decimal(38,9)")
+    out = j.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        (F.sum(q).cast("double") / F.count("*")).alias("avg_logp"),
+    )
+    if with_ppl:
+        out = out.withColumn("ppl", F.exp(-F.col("avg_logp")))
+    return out
+
+
 def token_count(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -406,3 +406,45 @@ def test_model_persistence_roundtrip(spark, tmp_path):
            for r in persist_ad_detect(raw, loaded, window=5,
                                       min_periods=3).collect()}
     assert got == want
+
+
+def test_lm_unigram_fit_score(spark):
+    import math
+
+    from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c")], "doc_id string, text string")
+    counts, n, v = lm_unigram_fit(docs)
+    assert (n, v) == (5, 3)
+    got = {r["doc_id"]: (r["n_words"], r["avg_logp"]) for r in
+           lm_unigram_score(docs, counts, n, v, with_ppl=False).collect()}
+    # add-one smoothing over N+V=8: p(a)=4/8, p(b)=p(c)=2/8
+    q = lambda p: round(math.log(p), 9)  # noqa: E731 — the 1e-9 grid
+    assert got["d1"][0] == 3
+    assert abs(got["d1"][1] - (2 * q(0.5) + q(0.25)) / 3) < 1e-12
+    assert abs(got["d2"][1] - (q(0.5) + q(0.25)) / 2) < 1e-12
+
+    # min_count pruning: 'b'/'c' fall out of the model and score as
+    # unseen (count 0), but the normalizer keeps the unpruned totals
+    counts2, n2, v2 = lm_unigram_fit(docs, min_count=2)
+    assert (n2, v2) == (5, 3) and counts2.count() == 1
+    got2 = {r["doc_id"]: r["avg_logp"] for r in
+            lm_unigram_score(docs, counts2, n2, v2).collect()}
+    assert abs(got2["d2"] - (q(0.5) + q(1 / 8)) / 2) < 1e-12
+
+
+def test_lm_score_partition_invariant(spark):
+    """The decimal-quantized sum makes avg_logp BIT-identical across
+    partition layouts — the reproducible-filtering guarantee."""
+    from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    counts, n, v = lm_unigram_fit(docs)
+    a = {r["doc_id"]: r["avg_logp"]
+         for r in lm_unigram_score(docs, counts, n, v).collect()}
+    b = {r["doc_id"]: r["avg_logp"]
+         for r in lm_unigram_score(
+             docs.repartition(13), counts, n, v,
+             broadcast_model=False).collect()}
+    assert a == b  # exact equality, not approx
