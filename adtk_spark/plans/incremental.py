@@ -25,10 +25,22 @@ RAW_TABLE = "raw"
 WATERMARK_KEY = "tiers_from_raw"
 
 
-def read_tier_latest(catalog, spark: SparkSession, table: str) -> DataFrame | None:
+def read_tier_latest(
+    catalog, spark: SparkSession, table: str, start=None, end=None,
+) -> DataFrame | None:
     """Committed tier rows with restated buckets resolved to the newest
-    snapshot (latest-wins per (source, bucket))."""
-    df = catalog.read(spark, table)
+    snapshot (latest-wins per (source, bucket)).
+
+    ``start``/``end`` bound ``bucket_ts`` and activate the catalog's
+    manifest zone maps (``TierCatalog.read_range``): snapshot dirs that
+    cannot intersect the range are skipped on the driver before any
+    file is touched. Latest-wins stays correct under pruning because a
+    snapshot restating an in-range bucket necessarily has that bucket
+    inside its own min/max stats, so it is never skipped."""
+    if start is not None or end is not None:
+        df = catalog.read_range(spark, table, start, end)
+    else:
+        df = catalog.read(spark, table)
     if df is None:
         return None
     w = Window.partitionBy("source", "bucket_ts").orderBy(F.desc("snap"))

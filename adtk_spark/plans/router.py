@@ -242,7 +242,10 @@ def route_from_catalog(
     if as_of is not None and as_of == catalog.last_snapshot(tables[name]):
         df = catalog.read_bucketed(spark, tables[name])
     if df is None:
-        df = read_tier_latest(catalog, spark, tables[name])
+        # snapshot-union path: a time-bounded query activates the
+        # manifest zone maps, so out-of-range snapshot dirs are pruned
+        # on the driver before the scan is even planned
+        df = read_tier_latest(catalog, spark, tables[name], start, end)
     if df is None:
         raise KeyError(f"tier table {tables[name]!r} has no committed snapshots")
     return route_rollup({name: df}, resolution_secs, start, end, quantile,

@@ -72,6 +72,7 @@ class TierCatalog:
         table: str,
         meta: dict | None = None,
         partition_by: list[str] | None = None,
+        stats_col: str | None = "auto",
     ) -> int:
         """Write df as a new snapshot of ``table``; returns snapshot id.
 
@@ -80,7 +81,17 @@ class TierCatalog:
         from ``bucket_ts`` — so retention cutoffs and time-ranged reads
         prune whole directories at the scan (``PartitionFilters`` in the
         plan, never opening old files). The Iceberg analogue is the
-        ``days(bucket_ts)`` partition transform."""
+        ``days(bucket_ts)`` partition transform.
+
+        ``stats_col`` records a manifest-level zone map: the committed
+        snapshot's min/max of that column (``"auto"`` = ``bucket_ts``
+        if present, else ``ts``, else nothing). ``read_range`` then
+        skips whole snapshot directories whose range cannot intersect a
+        time-bounded query — pruning that happens on the DRIVER from
+        the manifest alone, before any file is listed or opened
+        (Iceberg's manifest-entry min/max file skipping). The stats
+        scan reads only that column from the just-written files, which
+        parquet serves from footer metadata."""
         m = self._load()
         t = m["tables"].setdefault(table, {"snapshots": []})
         snap_id = (t["snapshots"][-1]["id"] + 1) if t["snapshots"] else 1
@@ -89,11 +100,29 @@ class TierCatalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
-        t["snapshots"].append(
-            {"id": snap_id, "committed_at": time.time(), "meta": meta or {}}
-        )
+        if stats_col == "auto":
+            stats_col = next(
+                (c for c in ("bucket_ts", "ts") if c in df.columns), None)
+        stats = None
+        if stats_col is not None:
+            spark = df.sparkSession
+            row = spark.read.parquet(path).agg(
+                F.min(stats_col).alias("lo"), F.max(stats_col).alias("hi")
+            ).collect()[0]
+            if row["lo"] is not None:
+                stats = {"col": stats_col,
+                         "min": self._iso(row["lo"]),
+                         "max": self._iso(row["hi"])}
+        entry = {"id": snap_id, "committed_at": time.time(), "meta": meta or {}}
+        if stats:
+            entry["stats"] = stats
+        t["snapshots"].append(entry)
         self._store(m)
         return snap_id
+
+    @staticmethod
+    def _iso(v) -> str:
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
     def commit_bucketed(
         self,
@@ -203,6 +232,55 @@ class TierCatalog:
         incremental-refresh cursor."""
         ids = [i for i in self.snapshots(table) if i > snapshot_id]
         return self._read_ids(spark, table, ids)
+
+    def snapshots_in_range(self, table: str, start=None, end=None) -> list[int]:
+        """Snapshot ids whose manifest zone map can intersect
+        [start, end) — driver-side pruning from the manifest alone.
+        Snapshots committed without stats are kept (conservative)."""
+        import datetime as _dt
+
+        def _ts(v):
+            try:
+                return _dt.datetime.fromisoformat(v)
+            except (ValueError, TypeError):
+                return None  # unparseable stats -> keep (conservative)
+
+        out = []
+        for s in self._load()["tables"].get(table, {}).get("snapshots", []):
+            st = s.get("stats")
+            if st is not None:
+                hi, lo = _ts(st["max"]), _ts(st["min"])
+                if start is not None and hi is not None and hi < start:
+                    continue
+                if end is not None and lo is not None and lo >= end:
+                    continue
+            out.append(s["id"])
+        return out
+
+    def read_range(
+        self, spark: SparkSession, table: str, start=None, end=None,
+    ) -> DataFrame | None:
+        """Committed rows with ``stats_col`` in [start, end): snapshot
+        dirs outside the range are skipped entirely (never listed or
+        opened — the scan's InMemoryFileIndex only sees surviving
+        snapshots), then the residual row filter is pushed to the
+        parquet scan of what remains. Latest-wins restatement safety:
+        a snapshot restating an in-range bucket has that bucket inside
+        its own min/max, so it always survives the pruning — skipped
+        snapshots can only hold out-of-range rows."""
+        ids = self.snapshots_in_range(table, start, end)
+        df = self._read_ids(spark, table, ids)
+        if df is None:
+            return None
+        snaps = self._load()["tables"].get(table, {}).get("snapshots", [])
+        cols = {s.get("stats", {}).get("col") for s in snaps if s.get("stats")}
+        col = cols.pop() if len(cols) == 1 else (
+            "bucket_ts" if "bucket_ts" in df.columns else "ts")
+        if start is not None:
+            df = df.where(F.col(col) >= F.lit(start))
+        if end is not None:
+            df = df.where(F.col(col) < F.lit(end))
+        return df
 
     # -- retention ledger ---------------------------------------------------
     def set_retention(self, table: str, keep_after) -> None:

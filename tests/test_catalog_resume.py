@@ -149,3 +149,61 @@ def test_partitioned_commit_prunes_retention_scan(spark, tmp_path):
         t1m, dt.datetime.combine(keep_after, dt.time())).collect()}
     got = {(r["source"], r["bucket_ts"]) for r in kept.collect()}
     assert got == want and len(got) > 0
+
+
+def test_manifest_zone_map_pruning(spark, tmp_path):
+    """commit records min/max(bucket_ts) in the manifest; read_range
+    skips whole snapshot dirs on the driver, and latest-wins restatement
+    survives the pruning."""
+    import datetime as dt
+
+    from adtk_spark.plans.incremental import read_tier_latest
+
+    cat = TierCatalog(str(tmp_path / "zm"))
+    for day in (1, 2, 3):
+        df = spark.createDataFrame(
+            [("s", dt.datetime(2025, 3, day, h), float(h)) for h in range(4)],
+            "source string, bucket_ts timestamp, mean double")
+        cat.commit(df, "t")
+
+    lo, hi = dt.datetime(2025, 3, 2), dt.datetime(2025, 3, 3)
+    assert cat.snapshots_in_range("t", lo, hi) == [2]
+    d2 = cat.read_range(spark, "t", lo, hi)
+    files = d2.inputFiles()
+    assert files and all("snap=2" in f for f in files)  # dirs 1/3 never read
+    assert d2.count() == 4
+    assert cat.read(spark, "t").count() == 12  # unbounded read: everything
+
+    # snapshot 4 restates day-2 hour-0: its stats cover the range, so
+    # range pruning keeps it and latest-wins returns the restated row
+    cat.commit(spark.createDataFrame(
+        [("s", dt.datetime(2025, 3, 2, 0), 99.0)],
+        "source string, bucket_ts timestamp, mean double"), "t")
+    assert cat.snapshots_in_range("t", lo, hi) == [2, 4]
+    latest = read_tier_latest(cat, spark, "t", lo, hi)
+    got = {r["bucket_ts"]: r["mean"] for r in latest.collect()}
+    assert got[dt.datetime(2025, 3, 2, 0)] == 99.0
+    assert len(got) == 4
+
+
+def test_route_from_catalog_prunes_snapshots(spark, tmp_path):
+    """A time-bounded routed query only scans manifest-surviving
+    snapshot dirs of the serving tier."""
+    import datetime as dt
+
+    from adtk_spark.plans.router import route_from_catalog
+
+    cat = TierCatalog(str(tmp_path / "rt"))
+    for day in (1, 2):
+        df = spark.createDataFrame(
+            [("s", dt.datetime(2025, 4, day, 0, m), 1.0 * m, 1, 1.0 * m,
+              1.0 * m, 1.0 * m)
+             for m in range(30)],
+            "source string, bucket_ts timestamp, mean double, cnt long,"
+            " vmin double, vmax double, vsum double")
+        cat.commit(df, "tier_1m")
+    routed = route_from_catalog(
+        spark, cat, {"1m": "tier_1m"}, 60,
+        start=dt.datetime(2025, 4, 2), end=dt.datetime(2025, 4, 3))
+    assert all("snap=2" in f for f in routed.inputFiles())
+    assert routed.count() == 30
