@@ -51,6 +51,35 @@ def read_tier_latest(
     )
 
 
+def compact_tier(catalog, spark: SparkSession, table: str) -> int | None:
+    """Rewrite a tier's live snapshots into ONE compacted snapshot
+    (Iceberg rewrite_data_files): materializes the latest-wins state and
+    commits it, then marks the inputs superseded so every later read
+    unions a single directory instead of one-per-epoch.
+
+    Why it matters at scale: the streaming sink commits a snapshot per
+    drained epoch, so an always-on ingest accumulates thousands of tiny
+    snapshot dirs — the latest-wins window then pays a wider union scan
+    and the row_number dedup sees ever more restatement candidates.
+    Periodic compaction bounds both at one snapshot; the zone-map stats
+    of the compacted snapshot are recorded by ``commit`` as usual, and
+    old files stay on disk for in-flight readers until
+    ``catalog.vacuum(table)``.
+
+    Intended for TIER tables (restatement resolved by latest-wins).
+    Compacting the raw table works but moves all rows above any
+    ``read_since`` watermark, forcing a (restatement-safe) full
+    re-rollup — prefer leaving raw append-only.
+    """
+    ids = catalog.snapshots(table)
+    if len(ids) <= 1:
+        return None
+    latest = read_tier_latest(catalog, spark, table)
+    new_id = catalog.commit(latest, table, {"compaction_of": ids})
+    catalog.mark_superseded(table, ids)
+    return new_id
+
+
 def refresh_tiers(
     catalog,
     spark: SparkSession,

@@ -211,7 +211,10 @@ class TierCatalog:
 
     # -- reads -------------------------------------------------------------
     def snapshots(self, table: str) -> list[int]:
-        return [s["id"] for s in self._load()["tables"].get(table, {}).get("snapshots", [])]
+        """Live (non-superseded) snapshot ids, oldest first."""
+        t = self._load()["tables"].get(table, {})
+        dead = set(t.get("superseded", []))
+        return [s["id"] for s in t.get("snapshots", []) if s["id"] not in dead]
 
     def last_snapshot(self, table: str) -> int | None:
         ids = self.snapshots(table)
@@ -281,6 +284,33 @@ class TierCatalog:
         if end is not None:
             df = df.where(F.col(col) < F.lit(end))
         return df
+
+    # -- maintenance: compaction + snapshot expiry --------------------------
+    def mark_superseded(self, table: str, ids: list[int]) -> None:
+        """Record that ``ids`` have been rewritten into a newer snapshot
+        (Iceberg's rewrite_data_files commit): reads skip them from now
+        on, but their files stay on disk until ``vacuum`` so in-flight
+        readers planned against the old manifest still finish."""
+        m = self._load()
+        t = m["tables"].setdefault(table, {"snapshots": []})
+        t["superseded"] = sorted(set(t.get("superseded", [])) | set(ids))
+        self._store(m)
+
+    def vacuum(self, table: str) -> list[str]:
+        """Delete superseded snapshot directories from disk (Iceberg
+        expire_snapshots + remove_orphan_files). Returns removed paths.
+        Call only after in-flight readers of the old manifest are done —
+        the same grace-period contract as Iceberg snapshot expiry."""
+        import shutil
+
+        t = self._load()["tables"].get(table, {})
+        removed = []
+        for i in t.get("superseded", []):
+            path = os.path.join(self.root, table, f"snap={i}")
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
 
     # -- retention ledger ---------------------------------------------------
     def set_retention(self, table: str, keep_after) -> None:

@@ -47,6 +47,11 @@ def main(argv=None):
                    help="materialize each tier as a bucketed, sorted "
                         "read-optimized table with N buckets (detector "
                         "reads then plan zero Exchange)")
+    p.add_argument("--compact", action="store_true",
+                   help="rewrite each tier's accumulated snapshots into "
+                        "one compacted snapshot and vacuum the old dirs "
+                        "(bounds the per-epoch snapshot union of an "
+                        "always-on streaming ingest)")
     p.add_argument("--lsh-dedup", action="store_true",
                    help="run MinHash-LSH near-dup detection over the "
                         "latest raw corpus (tokens rendered as text), "
@@ -97,6 +102,18 @@ def main(argv=None):
             payloads = compress_tier(t1m, stat="mean")
             report["payload_snapshot"] = catalog.commit(
                 payloads, "tier_1m_payloads", {"stat": "mean"})
+
+    if args.compact:
+        from adtk_spark.plans.incremental import compact_tier
+
+        compacted_snaps = {}
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            new_id = compact_tier(catalog, spark, tier)
+            if new_id is not None:
+                removed = catalog.vacuum(tier)
+                compacted_snaps[tier] = {"snapshot": new_id,
+                                         "vacuumed_dirs": len(removed)}
+        report["compaction"] = compacted_snaps
 
     if args.compact_buckets > 0:
         compacted = {}

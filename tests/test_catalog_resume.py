@@ -207,3 +207,41 @@ def test_route_from_catalog_prunes_snapshots(spark, tmp_path):
         start=dt.datetime(2025, 4, 2), end=dt.datetime(2025, 4, 3))
     assert all("snap=2" in f for f in routed.inputFiles())
     assert routed.count() == 30
+
+
+def test_compact_tier_and_vacuum(spark, tmp_path):
+    """Many per-epoch snapshots -> one compacted snapshot: identical
+    latest-wins answer, single-dir scan, vacuum removes the old dirs."""
+    import datetime as dt
+    import os
+
+    from adtk_spark.plans.incremental import compact_tier, read_tier_latest
+
+    cat = TierCatalog(str(tmp_path / "cp"))
+    # 5 epochs; epochs 3..5 restate minute 0 with a new value
+    for epoch in range(5):
+        cat.commit(spark.createDataFrame(
+            [("s", dt.datetime(2025, 5, 1, 0, min(epoch, 2)), float(epoch))],
+            "source string, bucket_ts timestamp, mean double"), "tier_1m")
+    before = {(r["source"], r["bucket_ts"]): r["mean"]
+              for r in read_tier_latest(cat, spark, "tier_1m").collect()}
+    assert before[("s", dt.datetime(2025, 5, 1, 0, 2))] == 4.0  # latest wins
+
+    new_id = compact_tier(cat, spark, "tier_1m")
+    assert new_id == 6 and cat.snapshots("tier_1m") == [6]
+    after_df = read_tier_latest(cat, spark, "tier_1m")
+    after = {(r["source"], r["bucket_ts"]): r["mean"]
+             for r in after_df.collect()}
+    assert after == before  # compaction is a pure rewrite
+    assert all("snap=6" in f for f in after_df.inputFiles())  # one dir
+
+    # old dirs survive until vacuum (in-flight reader grace), then go
+    assert os.path.isdir(os.path.join(cat.root, "tier_1m", "snap=1"))
+    removed = cat.vacuum("tier_1m")
+    assert len(removed) == 5
+    assert not os.path.isdir(os.path.join(cat.root, "tier_1m", "snap=1"))
+    assert {(r["source"], r["bucket_ts"]): r["mean"]
+            for r in read_tier_latest(cat, spark, "tier_1m").collect()} == before
+
+    # idempotence: nothing left to compact
+    assert compact_tier(cat, spark, "tier_1m") is None
