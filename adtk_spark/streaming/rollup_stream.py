@@ -42,6 +42,51 @@ def streaming_rollup_1m(
     )
 
 
+def streaming_rollup_1m_sketch(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "5 minutes",
+    delta: int = 200,
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Sketch-carrying variant of the streaming 1m rollup: each finalized
+    bucket also gets a mergeable t-digest of its raw values (same
+    ``vdigest`` schema as the batch ``rollup_raw_sketch``), so streamed
+    snapshots can feed ``rollup_up_sketch`` re-aggregation and
+    ``route_rollup_sketch`` raw-distribution quantile queries directly —
+    the streaming ingest edge stops being a sketch-less second class.
+
+    State cost: the only non-algebraic aggregate is the per-bucket
+    ``collect_list``, whose size is bounded by points/bucket/source
+    (exactly the batch path's per-task frame); the digest compress runs
+    once per *finalized* bucket in the post-aggregation projection,
+    never per micro-batch update."""
+    from ..functions.sketch import digest_of_sorted_arr, digest_quantile
+
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(source_dir)
+    agged = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", "1 minute").alias("w"))
+        .agg(
+            F.count("value").alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+            F.collect_list("value").alias("_vals"),
+        )
+    )
+    return (
+        agged.select(
+            "source", F.col("w.start").alias("bucket_ts"),
+            "cnt", "vmin", "vmax", "vsum",
+            (F.col("vsum") / F.col("cnt")).alias("mean"),
+            digest_of_sorted_arr(F.col("_vals"), delta).alias("vdigest"),
+        )
+        .withColumn("vq", digest_quantile(F.col("vdigest"), quantile,
+                                          F.col("vmin"), F.col("vmax")))
+    )
+
+
 def run_available_now(agg: DataFrame, out_dir: str, checkpoint: str) -> None:
     """Drain everything currently in the source (availableNow trigger),
     append to parquet, then stop — the batch-boundary-friendly mode the

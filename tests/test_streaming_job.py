@@ -324,3 +324,93 @@ def test_bounds_map_null_bounds_degrade_to_nan(spark):
     m = _bounds_map(bounds, "source")
     assert math.isnan(m["S"][1])
     assert not math.isnan(m["L"][1])
+
+
+def test_streaming_sketch_rollup_matches_batch(spark, tmp_path):
+    """Sketch-carrying streaming 1m rollup: finalized buckets match the
+    batch rollup_raw_sketch point-for-point (algebraic stats exact,
+    digest quantile identical for the same per-bucket multiset), and the
+    streamed digests re-merge upward with rollup_up_sketch."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import rollup_raw_sketch, rollup_up_sketch
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.rollup_stream import (
+        run_available_now,
+        streaming_rollup_1m_sketch,
+    )
+
+    src = str(tmp_path / "raw_stream")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    c1 = token_series(token_corpus(spark, 1200, n_sources=6, seed=51,
+                                   span_secs=1800, start="2025-07-01 00:00:00"))
+    hb = token_series(token_corpus(spark, 5, n_sources=1, seed=52,
+                                   span_secs=60, start="2025-07-01 02:00:00"))
+    for arrival in (c1, hb):
+        arrival.write.mode("append").parquet(src)
+        run_available_now(streaming_rollup_1m_sketch(spark, src), out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = rollup_raw_sketch(spark.read.parquet(src), "1m")
+    cutoff = dt.datetime(2025, 7, 1, 1, 0)  # strictly before the watermark
+
+    def key(rows):
+        return {(r["source"], r["bucket_ts"]):
+                (r["cnt"], r["vmin"], r["vmax"], round(r["vsum"], 6),
+                 round(r["vq"], 6))
+                for r in rows}
+
+    g = key(got.where(F.col("bucket_ts") < F.lit(cutoff)).collect())
+    b = key(batch.where(F.col("bucket_ts") < F.lit(cutoff)).collect())
+    assert g == b and g
+
+    # streamed digests feed the batch upward merge: 1h vq from streamed
+    # 1m digests equals 1h vq from batch 1m digests
+    up_g = key(rollup_up_sketch(
+        got.where(F.col("bucket_ts") < F.lit(cutoff)), "1h").collect())
+    up_b = key(rollup_up_sketch(
+        batch.where(F.col("bucket_ts") < F.lit(cutoff)), "1h").collect())
+    assert up_g == up_b and up_g
+
+
+def test_spark_submit_py_files(tmp_path):
+    """The north-rule deployment shape end-to-end: zip the package, run
+    the rollup job under a real `spark-submit --py-files` subprocess
+    from a NEUTRAL cwd (the package can only resolve from the zip), and
+    check the job report."""
+    import json
+    import os
+    import subprocess
+    import zipfile
+
+    import pyspark
+    import pytest
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    if not os.path.exists(submit):
+        pytest.skip("spark-submit launcher not present")
+
+    zip_path = str(tmp_path / "adtk_spark.zip")
+    pkg_root = "/root/repo/adtk_spark"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for dirpath, _, files in os.walk(pkg_root):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, "/root/repo"))
+
+    env = dict(os.environ, SPARK_GRAFT_ON_CLUSTER="1")
+    proc = subprocess.run(
+        [submit, "--master", "local[4]", "--driver-memory", "4g",
+         "--py-files", zip_path, "/root/repo/jobs/rollup_job.py",
+         "--catalog", str(tmp_path / "cat"),
+         "--ingest-docs", "2000", "--sources", "8"],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rep["ingested_snapshot"] == 1
+    assert rep["refresh"] == {"processed": 1, "watermark": 1,
+                              "tier_1m": 1, "tier_1h": 1, "tier_1d": 1}
