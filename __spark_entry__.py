@@ -592,6 +592,55 @@ def q_or_and_labels(spark, sf_dir):
     return out.select("source", "ts", "l_hi", "l_lo", "l_or", "l_and")
 
 
+def q_pca_projection(spark, sf_dir):
+    """PCA k=1 projection score on the 2-feature table. |score| is
+    invariant to the SVD sign convention, so the oracle's closed-form
+    principal axis (atan2 of the 2x2 covariance) matches regardless of
+    component orientation — same device as the recon-error oracle."""
+    from adtk_spark.operators.hd import pca_fit, pca_projection
+
+    w = _wide_pair(spark, sf_dir)
+    model = pca_fit(w, ["a", "b"], k=1)
+    out = pca_projection(w, model, ["a", "b"], k=1)
+    return out.select("source", "ts", F.round(F.abs("pc0"), 6).alias("abs_pc0"))
+
+
+def q_pca_reconstruction(spark, sf_dir):
+    """PCA k=1 reconstruction per feature: mu + score*component is
+    invariant to the SVD sign convention (flipping the component flips
+    the score; the product cancels), so the closed-form axis oracle
+    needs no abs()."""
+    from adtk_spark.operators.hd import pca_fit, pca_reconstruction
+
+    w = _wide_pair(spark, sf_dir)
+    model = pca_fit(w, ["a", "b"], k=1)
+    out = pca_reconstruction(w, model, ["a", "b"], k=1)
+    return out.select(
+        "source", "ts",
+        F.round("a_recon", 6).alias("ra"), F.round("b_recon", 6).alias("rb"))
+
+
+def q_customized_aggregator(spark, sf_dir):
+    """CustomizedAggregator (the Arrow grouped-map escape hatch) running
+    a weighted 2-of-3 vote over two detector label columns; the oracle
+    replays the vote in SQL (rows with a NULL hourly value dropped on
+    both sides so the vote is over defined labels only)."""
+    from adtk_spark.operators.custom import customized_aggregator
+
+    hi = _hour_labels(spark, sf_dir, 130).withColumnRenamed("label", "l_hi")
+    both = (
+        hi.where(F.col("value").isNotNull())
+        .withColumn("l_lo", (F.col("value") > 110).cast("double"))
+        .drop("value")
+    )
+
+    def weighted_vote(x, w_hi=2.0, w_lo=1.0, need=2.0):
+        return ((w_hi * x["l_hi"] + w_lo * x["l_lo"]) >= need).astype(float)
+
+    out = customized_aggregator(both, weighted_vote)
+    return out.select("source", "ts", "l_hi", "l_lo", "label")
+
+
 def q_expand_events(spark, sf_dir):
     from adtk_spark.operators.events import expand_events, to_events
 
@@ -1084,6 +1133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route_2h": q_tier_route_2h,
         "rolling_hist_int": q_rolling_hist_int,
         "lm_perplexity": q_lm_perplexity,
+        "pca_projection": q_pca_projection,
+        "pca_reconstruction": q_pca_reconstruction,
+        "customized_aggregator": q_customized_aggregator,
     }
 
 
@@ -2454,5 +2506,64 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS avg_logp
             FROM tok t JOIN cnt USING (word), tot
             GROUP BY t.doc_id
+        """,
+        # |PC1 score| via the closed-form principal axis (sign-invariant)
+        "pca_projection": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), s AS (
+              SELECT avg(a) AS ma, avg(b) AS mb,
+                     0.5 * atan2(2 * covar_pop(a, b),
+                                 var_pop(a) - var_pop(b)) AS th
+              FROM w
+            )
+            SELECT 'all' AS source, w.ts,
+                   round(abs(cos(s.th) * (w.a - s.ma)
+                             + sin(s.th) * (w.b - s.mb)), 6) AS abs_pc0
+            FROM w, s
+        """,
+        # per-feature PC1 reconstruction (mu + score*component): the
+        # score*component product is sign-invariant, no abs needed
+        "pca_reconstruction": """
+            WITH h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type, avg(value) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM h a JOIN h b ON a.ts = b.ts
+              WHERE a.event_type = 'click' AND b.event_type = 'view'
+            ), s AS (
+              SELECT avg(a) AS ma, avg(b) AS mb,
+                     0.5 * atan2(2 * covar_pop(a, b),
+                                 var_pop(a) - var_pop(b)) AS th
+              FROM w
+            )
+            SELECT 'all' AS source, w.ts,
+                   round(s.ma + (cos(s.th) * (w.a - s.ma)
+                                 + sin(s.th) * (w.b - s.mb)) * cos(s.th), 6) AS ra,
+                   round(s.mb + (cos(s.th) * (w.a - s.ma)
+                                 + sin(s.th) * (w.b - s.mb)) * sin(s.th), 6) AS rb
+            FROM w, s
+        """,
+        # weighted 2-of-3 vote over two hourly detector labels
+        "customized_aggregator": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     avg(value) AS value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT source, ts,
+                   CAST(value > 130.0 AS DOUBLE) AS l_hi,
+                   CAST(value > 110.0 AS DOUBLE) AS l_lo,
+                   CAST(2.0 * CAST(value > 130.0 AS DOUBLE)
+                        + 1.0 * CAST(value > 110.0 AS DOUBLE) >= 2.0
+                        AS DOUBLE) AS label
+            FROM r
+            WHERE value IS NOT NULL
         """,
     }
