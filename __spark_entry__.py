@@ -258,7 +258,8 @@ def q_gapfill_ffill(spark, sf_dir):
     h1 = ev.groupBy(
         F.col("event_type").alias("source"),
         F.date_trunc("hour", F.col("ts")).alias("ts"),
-    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
     spine = time_spine(h1, "1 hour")
     filled = forward_fill(spine, out_col="v_ff")
     return filled.select("source", "ts", F.round("v_ff", 6).alias("v_ff"))
@@ -271,7 +272,8 @@ def q_gapfill_lerp(spark, sf_dir):
     h1 = ev.groupBy(
         F.col("event_type").alias("source"),
         F.date_trunc("hour", F.col("ts")).alias("ts"),
-    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
     spine = time_spine(h1, "1 hour")
     out = interpolate_linear(spine, out_col="v_lerp")
     return out.select("source", "ts", F.round("v_lerp", 6).alias("v_lerp"))
@@ -390,7 +392,8 @@ def q_asof_join(spark, sf_dir):
     ev = _series(spark, sf_dir)
     hourly = ev.groupBy(
         "source", F.date_trunc("hour", F.col("ts")).alias("ts")
-    ).agg(F.round(F.avg("value"), 6).alias("havg"))
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("havg"))
     out = asof_join(ev, hourly)
     return out.select(
         "source", "ts", F.round("value", 6).alias("value"),
@@ -931,7 +934,8 @@ def q_regularize_hourly(spark, sf_dir):
     h1 = ev.groupBy(
         F.col("event_type").alias("source"),
         F.date_trunc("hour", F.col("ts")).alias("ts"),
-    ).agg(F.round(F.avg("value"), 6).alias("value"))
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
     return regularize(h1).select("source", "ts", "value")
 
 
@@ -1499,7 +1503,8 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_ffill": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS h,
-                     round(avg(value), 6) AS v
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
@@ -1516,7 +1521,8 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_lerp": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS h,
-                     round(avg(value), 6) AS v
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
               FROM events GROUP BY 1, 2
             ), bounds AS (
               SELECT source, min(h) AS mn, max(h) AS mx FROM r GROUP BY source
@@ -1645,7 +1651,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE _rn = 1
             ), h AS (
               SELECT source, date_trunc('hour', ts) AS ts,
-                     round(avg(value), 6) AS havg
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS havg
               FROM l GROUP BY 1, 2
             )
             SELECT l.source, l.ts, round(l.value, 6) AS value,
@@ -2357,7 +2364,8 @@ def oracle_sql() -> dict[str, str]:
         "regularize_hourly": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS h,
-                     round(avg(value), 6) AS v
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
               FROM events GROUP BY 1, 2
             ), d AS (
               SELECT source, epoch_us(CAST(h AS TIMESTAMP)) AS t, v FROM r
