@@ -130,3 +130,54 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = interval_join(pts, ivs)._jdf.queryExecution() \
         .executedPlan().toString().split("== Initial")[0]
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# property-based merge_asof parity (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ts_set = st.sets(st.integers(min_value=0, max_value=120), min_size=1, max_size=10)
+_vals = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lts=_ts_set,
+    rts=_ts_set,
+    rvals=st.lists(_vals, min_size=10, max_size=10),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 30]),
+)
+def test_asof_join_property_matches_pandas(spark, lts, rts, rvals, direction, tol):
+    """Random left/right series (incl. NULL right values, equal-ts
+    matches, out-of-tolerance rows): carried value must equal pandas
+    merge_asof row-for-row. Guards the matched-row-NULL semantics — a
+    per-column last(ignorenulls) would skip legitimate NULLs and tear
+    rows, which this generator hits quickly."""
+    t0 = dt.datetime(2022, 1, 1)
+    lrows = [("s", t0 + dt.timedelta(seconds=t)) for t in sorted(lts)]
+    rrows = [("s", t0 + dt.timedelta(seconds=t),
+              None if rvals[i % len(rvals)] is None else float(rvals[i % len(rvals)]))
+             for i, t in enumerate(sorted(rts))]
+    left = spark.createDataFrame(lrows, "source string, ts timestamp")
+    right = spark.createDataFrame(rrows, "source string, ts timestamp, ref double")
+
+    out = asof_join(left, right, direction=direction, tolerance_secs=tol)
+    got = {r["ts"]: r["ref"] for r in out.collect()}
+
+    lp = pd.DataFrame(lrows, columns=["source", "ts"])
+    rp = pd.DataFrame(rrows, columns=["source", "ts", "ref"])
+    exp_df = pd.merge_asof(
+        lp.sort_values("ts"), rp.sort_values("ts"), on="ts",
+        direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    exp = {r.ts.to_pydatetime(): (None if pd.isna(r.ref) else r.ref)
+           for r in exp_df.itertuples()}
+
+    assert set(got) == set(exp)
+    for ts in exp:
+        assert got[ts] == exp[ts], (ts, got[ts], exp[ts], direction, tol)

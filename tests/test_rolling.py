@@ -246,3 +246,46 @@ def test_double_rolling_callable_diff_multi_output(spark):
         v = fn(left.iloc[i], right.iloc[i])
         exp.append(None if np.isnan(v) else v)
     assert_series(out, "d", exp)
+
+
+# ---------------------------------------------------------------------------
+# property-based pandas parity (hypothesis)
+# ---------------------------------------------------------------------------
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import fetch, series_df
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+                  min_size=4, max_size=18),
+    window=st.integers(min_value=2, max_value=5),
+    center=st.booleans(),
+    mp=st.integers(min_value=1, max_value=3),
+    agg=st.sampled_from(["mean", "median", "min", "max", "sum", "std"]),
+)
+def test_rolling_agg_property_matches_pandas(spark, vals, window, center, mp, agg):
+    """Random series (incl. NaNs), random frame/center/min_periods:
+    rolling_agg must match pandas.Series.rolling point-for-point — the
+    reference's own kernel semantics (RollingAggregate wraps exactly
+    this call, _transformer_1d.py:215-344)."""
+    df = series_df(spark, [float("nan") if v is None else float(v) for v in vals])
+    out = rolling_agg(df, window=window, agg=agg, center=center,
+                      min_periods=min(mp, window), out_col="r")
+    got = fetch(out, "r")
+
+    s = pd.Series([float("nan") if v is None else float(v) for v in vals])
+    exp = getattr(
+        s.rolling(window, center=center, min_periods=min(mp, window)), agg)()
+    for g, e in zip(got, exp.tolist()):
+        if e is None or (isinstance(e, float) and math.isnan(e)):
+            assert g is None, (got, exp.tolist(), agg, window, center, mp)
+        else:
+            assert g is not None and abs(g - e) < 1e-9, (
+                got, exp.tolist(), agg, window, center, mp)
