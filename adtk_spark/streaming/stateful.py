@@ -188,3 +188,116 @@ def streaming_persist_ad(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_level_shift_ad(
+    stream: DataFrame,
+    bounds: DataFrame,
+    window,
+    side: str = "both",
+    min_periods=None,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """LevelShiftAD on a stream via DELAYED EMISSION.
+
+    The batch detector's double window is centered: row t compares
+    median(vals[t-wl .. t-1]) against median(vals[t .. t+wr-1]) — it
+    needs ``wr-1`` FUTURE rows, so a naive streaming port is impossible.
+    This operator buffers per-source state of the last ``wl + wr - 1``
+    rows and emits row t's label only once its right window has fully
+    arrived: the stream output lags the input by ``wr-1`` rows per
+    source (the operator-level analogue of a watermark delaying window
+    finalization). Rows whose right window never fills (stream tail)
+    are never emitted — the same rows the batch detector can only label
+    NaN-ward; the batch refresher owns them.
+
+    ``bounds`` is the batch model from ``detectors.level_shift_ad_fit``
+    (per-source IQR thresholds over |median_R - median_L|), shipped as
+    a broadcast variable. Labels follow the batch three-valued rule:
+    NaN diff (unfilled min_periods) -> NaN; IQR flag AND side-sign
+    flag otherwise. Point parity with ``level_shift_ad_detect`` on the
+    emitted rows is verified in tests/test_streaming_job.py.
+
+    State cost: ``wl + wr - 1`` (value, ts) pairs per source — bounded,
+    independent of history length.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if side not in ("both", "positive", "negative"):
+        raise ValueError("side must be 'both', 'positive' or 'negative'")
+    wl, wr = window if isinstance(window, tuple) else (int(window), int(window))
+    if wl < 1 or wr < 1:
+        raise ValueError("window sides must be >= 1")
+    mpl, mpr = (min_periods if isinstance(min_periods, tuple)
+                else (min_periods, min_periods))
+    mpl = wl if mpl is None else int(mpl)
+    mpr = wr if mpr is None else int(mpr)
+    keep = wl + wr - 1
+    bmap_bc = stream.sparkSession.sparkContext.broadcast(
+        _bounds_map(bounds, source_col))
+
+    def score(key, pdf_iter, state):
+        if state.exists:
+            tail_v = np.asarray(state.get[0], dtype=float)
+            tail_t = np.asarray(state.get[1], dtype=np.int64)
+        else:
+            tail_v, tail_t = np.empty(0), np.empty(0, dtype=np.int64)
+        lo, hi = bmap_bc.value.get(key[0], (math.nan, math.nan))
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+            s = len(tail_v)
+            vals = np.concatenate([tail_v, pdf[value_col].to_numpy(dtype=float)])
+            tss = np.concatenate([
+                tail_t,
+                pdf[ts_col].astype("datetime64[us]").to_numpy().astype(np.int64),
+            ])
+            n = len(vals)
+            first = max(0, s - (wr - 1))  # first not-yet-emitted index
+            last = n - wr  # newest index whose right window is complete
+            if last >= first:
+                idx = np.arange(first, last + 1)
+                padded = np.concatenate([np.full(wl, np.nan), vals])
+                lwin = np.lib.stride_tricks.sliding_window_view(padded, wl)[idx]
+                rwin = np.lib.stride_tricks.sliding_window_view(vals, wr)[idx]
+                with np.errstate(all="ignore"):
+                    med_l = np.where(
+                        np.count_nonzero(~np.isnan(lwin), axis=1) >= mpl,
+                        np.nanmedian(lwin, axis=1), np.nan)
+                    med_r = np.where(
+                        np.count_nonzero(~np.isnan(rwin), axis=1) >= mpr,
+                        np.nanmedian(rwin, axis=1), np.nan)
+                diff = med_r - med_l
+                mag = np.abs(diff)
+                flag = (mag > hi) | (mag < lo)
+                if side == "positive":
+                    flag &= diff > 0
+                elif side == "negative":
+                    flag &= diff < 0
+                label = np.where(
+                    np.isnan(diff) | math.isnan(lo) | math.isnan(hi),
+                    np.nan, flag.astype(float))
+                out = pd.DataFrame({
+                    source_col: key[0],
+                    ts_col: pd.to_datetime(tss[idx], unit="us"),
+                    value_col: vals[idx],
+                    out_col: label,
+                })
+                yield out
+            tail_v, tail_t = vals[-keep:], tss[-keep:]
+        state.update((tail_v.tolist(), tail_t.tolist()))
+
+    out_schema = (
+        f"`{source_col}` string, `{ts_col}` timestamp, "
+        f"`{value_col}` double, `{out_col}` double"
+    )
+    return stream.groupBy(source_col).applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType="val_tail array<double>, ts_tail array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

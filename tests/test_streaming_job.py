@@ -414,3 +414,70 @@ def test_spark_submit_py_files(tmp_path):
     assert rep["ingested_snapshot"] == 1
     assert rep["refresh"] == {"processed": 1, "watermark": 1,
                               "tier_1m": 1, "tier_1h": 1, "tier_1d": 1}
+
+
+def test_streaming_level_shift_ad_matches_batch(spark, tmp_path):
+    """Delayed-emission streaming LevelShiftAD: fit batch-side, stream
+    the same series in 3 chunks, and demand point parity with the batch
+    detector on every emitted row — emission lags the stream by wr-1
+    rows per source, so only rows whose right window arrived are
+    compared (the stream tail is the batch refresher's job)."""
+    import math
+
+    from pyspark.sql import Window as W_
+
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import (
+        level_shift_ad_detect,
+        level_shift_ad_fit,
+    )
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.stateful import streaming_level_shift_ad
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 3000, n_sources=6, seed=61,
+                                  span_secs=5400, start="2025-08-01 00:00:00"))
+    ).cache()
+    WIN, C = (6, 4), 2.0
+    bounds = level_shift_ad_fit(raw, window=WIN, c=C)
+    batch = {(r["source"], r["ts"]): r["label"]
+             for r in level_shift_ad_detect(raw, bounds, window=WIN).collect()}
+    # rows with a complete right window: all but the last wr-1 per source
+    n_follow = F.count("*").over(
+        W_.partitionBy("source").orderBy("ts")
+        .rowsBetween(1, W_.unboundedFollowing))
+    emittable = {(r["source"], r["ts"]) for r in
+                 raw.select("source", "ts", n_follow.alias("nf"))
+                 .where(F.col("nf") >= WIN[1] - 1).collect()}
+
+    lo, hi = raw.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.333) p1",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.667) p2").first()
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [raw.where(mic <= lo), raw.where((mic > lo) & (mic <= hi)),
+              raw.where(mic > hi)]
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in chunks:
+        ch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src_dir)
+        labeled = streaming_level_shift_ad(stream, bounds, window=WIN)
+        q = (labeled.writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == emittable  # exactly the delayed-emission contract
+    n_anom = 0
+    for k, g in got.items():
+        b = batch[k]
+        if b is None or (isinstance(b, float) and math.isnan(b)):
+            assert g is None or math.isnan(g), k
+        else:
+            assert g == b, (k, g, b)
+            n_anom += int(b == 1.0)
+    assert n_anom > 0  # the level-shift burst in the corpus is caught
+    raw.unpersist()
