@@ -69,6 +69,7 @@ import warnings as _warnings
 
 _warnings.filterwarnings("ignore", message=".*All-NaN slice.*")
 _warnings.filterwarnings("ignore", message=".*[Mm]ean of empty slice.*")
+_warnings.filterwarnings("ignore", message=".*Degrees of freedom <= 0.*")
 
 
 def _trailing_agg(windows: np.ndarray, agg: str) -> np.ndarray:
@@ -225,6 +226,65 @@ def streaming_level_shift_ad(
     State cost: ``wl + wr - 1`` (value, ts) pairs per source — bounded,
     independent of history length.
     """
+    return _streaming_shift_ad(
+        stream, bounds, window, side, min_periods, "median", "l1",
+        source_col=source_col, ts_col=ts_col, value_col=value_col,
+        out_col=out_col)
+
+
+def streaming_volatility_shift_ad(
+    stream: DataFrame,
+    bounds: DataFrame,
+    window,
+    side: str = "both",
+    min_periods=None,
+    agg: str = "std",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """VolatilityShiftAD on a stream — same delayed-emission machinery
+    as ``streaming_level_shift_ad`` with a volatility window statistic
+    (std/iqr/idr) and the batch detector's abs_rel_diff magnitude.
+    ``bounds`` comes from ``detectors.volatility_shift_ad_fit``."""
+    if agg not in ("std", "iqr", "idr"):
+        raise ValueError("agg must be 'std', 'iqr' or 'idr'")
+    return _streaming_shift_ad(
+        stream, bounds, window, side, min_periods, agg, "abs_rel_diff",
+        source_col=source_col, ts_col=ts_col, value_col=value_col,
+        out_col=out_col)
+
+
+def _window_stat(wins: np.ndarray, agg: str) -> np.ndarray:
+    if agg == "median":
+        return np.nanmedian(wins, axis=1)
+    if agg == "std":
+        # sample std, matching the batch F.stddev_samp
+        return np.nanstd(wins, axis=1, ddof=1)
+    if agg == "iqr":
+        return (np.nanpercentile(wins, 75, axis=1)
+                - np.nanpercentile(wins, 25, axis=1))
+    # idr
+    return (np.nanpercentile(wins, 90, axis=1)
+            - np.nanpercentile(wins, 10, axis=1))
+
+
+def _streaming_shift_ad(
+    stream: DataFrame,
+    bounds: DataFrame,
+    window,
+    side: str,
+    min_periods,
+    agg: str,
+    diff_mag: str,
+    *,
+    source_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     if side not in ("both", "positive", "negative"):
@@ -264,22 +324,38 @@ def streaming_level_shift_ad(
                 lwin = np.lib.stride_tricks.sliding_window_view(padded, wl)[idx]
                 rwin = np.lib.stride_tricks.sliding_window_view(vals, wr)[idx]
                 with np.errstate(all="ignore"):
-                    med_l = np.where(
+                    stat_l = np.where(
                         np.count_nonzero(~np.isnan(lwin), axis=1) >= mpl,
-                        np.nanmedian(lwin, axis=1), np.nan)
-                    med_r = np.where(
+                        _window_stat(lwin, agg), np.nan)
+                    stat_r = np.where(
                         np.count_nonzero(~np.isnan(rwin), axis=1) >= mpr,
-                        np.nanmedian(rwin, axis=1), np.nan)
-                diff = med_r - med_l
-                mag = np.abs(diff)
-                flag = (mag > hi) | (mag < lo)
-                if side == "positive":
-                    flag &= diff > 0
-                elif side == "negative":
-                    flag &= diff < 0
+                        _window_stat(rwin, agg), np.nan)
+                    diff = stat_r - stat_l
+                    if diff_mag == "l1":
+                        mag = np.abs(diff)
+                    else:
+                        # Spark with ANSI off yields NULL on /0 — mirror
+                        # as NaN, not numpy's inf
+                        mag = np.where(stat_l == 0, np.nan,
+                                       np.abs(diff) / stat_l)
+                # batch parity: IQR flag on mag AND side-sign flag on
+                # diff, combined with SQL THREE-VALUED AND (a False leg
+                # forces 0.0 even when the other leg is NULL)
+                iqr_f = np.where(
+                    np.isnan(mag) | math.isnan(lo) | math.isnan(hi),
+                    np.nan, ((mag > hi) | (mag < lo)).astype(float))
+                if side == "both":
+                    sign_f = np.where(np.isnan(diff), np.nan, 1.0)
+                elif side == "positive":
+                    sign_f = np.where(np.isnan(diff), np.nan,
+                                      (diff > 0).astype(float))
+                else:
+                    sign_f = np.where(np.isnan(diff), np.nan,
+                                      (diff < 0).astype(float))
                 label = np.where(
-                    np.isnan(diff) | math.isnan(lo) | math.isnan(hi),
-                    np.nan, flag.astype(float))
+                    (iqr_f == 0) | (sign_f == 0), 0.0,
+                    np.where(np.isnan(iqr_f) | np.isnan(sign_f),
+                             np.nan, 1.0))
                 out = pd.DataFrame({
                     source_col: key[0],
                     ts_col: pd.to_datetime(tss[idx], unit="us"),

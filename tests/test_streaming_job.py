@@ -481,3 +481,63 @@ def test_streaming_level_shift_ad_matches_batch(spark, tmp_path):
             n_anom += int(b == 1.0)
     assert n_anom > 0  # the level-shift burst in the corpus is caught
     raw.unpersist()
+
+
+def test_streaming_volatility_shift_ad_matches_batch(spark, tmp_path):
+    """Same delayed-emission machinery, volatility statistic: a series
+    whose noise amplitude jumps mid-way must be flagged identically by
+    the batch detector and the 2-chunk stream."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+
+    from adtk_spark.operators.detectors import (
+        volatility_shift_ad_detect,
+        volatility_shift_ad_fit,
+    )
+    from adtk_spark.streaming.stateful import streaming_volatility_shift_ad
+
+    rng = np.random.RandomState(5)
+    t0 = dt.datetime(2025, 8, 2)
+    rows = []
+    for src in ("a", "b"):
+        for i in range(120):
+            sigma = 1.0 if i < 60 else 8.0
+            rows.append((src, t0 + dt.timedelta(minutes=i),
+                         100.0 + float(rng.randn()) * sigma))
+    raw = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    WIN = (8, 6)
+    bounds = volatility_shift_ad_fit(raw, window=WIN, c=1.0, agg="std")
+    batch = {(r["source"], r["ts"]): r["label"] for r in
+             volatility_shift_ad_detect(raw, bounds, window=WIN,
+                                        agg="std").collect()}
+
+    mid = t0 + dt.timedelta(minutes=70)
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in (raw.where(F.col("ts") < F.lit(mid)),
+               raw.where(F.col("ts") >= F.lit(mid))):
+        ch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src_dir)
+        labeled = streaming_volatility_shift_ad(stream, bounds, window=WIN,
+                                                agg="std")
+        q = (labeled.writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+
+    got = {(r["source"], r["ts"]): r["label"]
+           for r in spark.read.parquet(out).collect()}
+    # emitted = all rows but the last wr-1 per source
+    assert len(got) == 2 * (120 - (WIN[1] - 1))
+    n_anom = 0
+    for k, g in got.items():
+        b = batch[k]
+        if b is None or (isinstance(b, float) and math.isnan(b)):
+            assert g is None or math.isnan(g), k
+        else:
+            assert g == b, (k, g, b)
+            n_anom += int(b == 1.0)
+    assert n_anom > 0  # the variance jump is caught on both sides
