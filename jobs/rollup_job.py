@@ -47,6 +47,15 @@ def main(argv=None):
                    help="materialize each tier as a bucketed, sorted "
                         "read-optimized table with N buckets (detector "
                         "reads then plan zero Exchange)")
+    p.add_argument("--stream-ingest", default=None, metavar="DIR",
+                   help="drain a raw parquet stream directory into the "
+                        "catalog's tier_1m via Structured Streaming "
+                        "(availableNow trigger; one catalog snapshot per "
+                        "drained epoch; checkpoint lives in the catalog)")
+    p.add_argument("--stream-sketch", action="store_true",
+                   help="streamed 1m buckets also carry the mergeable "
+                        "t-digest column (sketch routing over streamed "
+                        "tiers)")
     p.add_argument("--compact", action="store_true",
                    help="rewrite each tier's accumulated snapshots into "
                         "one compacted snapshot and vacuum the old dirs "
@@ -95,6 +104,27 @@ def main(argv=None):
 
     report["refresh"] = refresh_tiers(catalog, spark, quantile=args.quantile,
                                       sketch=args.sketch)
+
+    if args.stream_ingest:
+        import os
+
+        from adtk_spark.streaming.rollup_stream import (
+            run_into_catalog,
+            streaming_rollup_1m,
+            streaming_rollup_1m_sketch,
+        )
+
+        ckpt = os.path.join(args.catalog, "_stream_ckpt")
+        agg = (streaming_rollup_1m_sketch(spark, args.stream_ingest)
+               if args.stream_sketch
+               else streaming_rollup_1m(spark, args.stream_ingest))
+        before = len(catalog.snapshots("tier_1m"))
+        run_into_catalog(agg, catalog, "tier_1m", ckpt)
+        report["stream_ingest"] = {
+            "source": args.stream_ingest,
+            "new_snapshots": len(catalog.snapshots("tier_1m")) - before,
+            "sketch": bool(args.stream_sketch),
+        }
 
     if args.compress:
         t1m = read_tier_latest(catalog, spark, "tier_1m")
