@@ -595,6 +595,32 @@ def q_or_and_labels(spark, sf_dir):
     return out.select("source", "ts", "l_hi", "l_lo", "l_or", "l_and")
 
 
+def q_rollup_ohlc_1h(spark, sf_dir):
+    """OHLC tumbling tier: open/close via the algebraic min_by/max_by
+    champions (same one-shuffle plan as the algebraic rollup); oracle =
+    DuckDB arg_min/arg_max. Deterministic because the series is deduped
+    on (source, ts)."""
+    from adtk_spark.plans.tiers import rollup_ohlc
+
+    s = _series(spark, sf_dir)
+    out = rollup_ohlc(s, "1h")
+    return out.select(
+        "source", "bucket_ts",
+        F.round("open", 6).alias("open"), F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"), F.round("close", 6).alias("close"),
+        "cnt")
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization of the event series (30-minute
+    inactivity gap); oracle replays the cumulative-sum-of-session-starts
+    pattern in SQL."""
+    from adtk_spark.operators.events import sessionize
+
+    s = _series(spark, sf_dir)
+    return sessionize(s, gap_secs=1800)
+
+
 def q_pca_projection(spark, sf_dir):
     """PCA k=1 projection score on the 2-feature table. |score| is
     invariant to the SVD sign convention, so the oracle's closed-form
@@ -1140,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection": q_pca_projection,
         "pca_reconstruction": q_pca_reconstruction,
         "customized_aggregator": q_customized_aggregator,
+        "rollup_ohlc_1h": q_rollup_ohlc_1h,
+        "sessionize": q_sessionize,
     }
 
 
@@ -2573,5 +2601,37 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS label
             FROM r
             WHERE value IS NOT NULL
+        """,
+        # OHLC tier: arg_min/arg_max replay min_by/max_by champions
+        "rollup_ohlc_1h": _DEDUP_CTE + """
+            SELECT source, date_trunc('hour', ts) AS bucket_ts,
+                   round(arg_min(value, ts), 6) AS open,
+                   round(max(value), 6) AS high,
+                   round(min(value), 6) AS low,
+                   round(arg_max(value, ts), 6) AS close,
+                   count(value) AS cnt
+            FROM d WHERE value IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        # cumulative-sum-of-session-starts gaps-and-islands
+        "sessionize": _DEDUP_CTE + """
+            , g AS (
+              SELECT source, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM d
+              WINDOW w AS (PARTITION BY source ORDER BY ts)
+            ), sess AS (
+              SELECT source, ts,
+                     sum(ns) OVER (PARTITION BY source ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+              FROM g
+            )
+            SELECT source, min(ts) AS session_start,
+                   max(ts) AS session_end, count(*) AS n_rows
+            FROM sess GROUP BY source, sid
         """,
     }

@@ -40,6 +40,7 @@ from .events import (  # noqa: F401
     events_and,
     events_or,
     expand_events,
+    sessionize,
     to_events,
     to_labels,
     validate_events,

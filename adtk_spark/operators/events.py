@@ -220,3 +220,41 @@ def expand_events(
     )
     return validate_events(widened, source_col=source_col,
                            start_col=start_col, end_col=end_col)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_secs: float,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive rows of one source
+    share a session while the gap to the previous row is <= ``gap_secs``;
+    a larger gap (or the first row) opens a new session. Output one row
+    per session: ``(source, session_start, session_end, n_rows)``.
+
+    The classic cumulative-sum-of-session-starts window pattern: one
+    shuffle + sort on (source, ts) — the same exchange every windowed
+    operator in the engine shares — then an algebraic groupBy on
+    (source, session_id) whose key cardinality grows with data, so
+    parallelism scales. (Structured Streaming's F.session_window is the
+    ingest-edge analogue; this is the batch/backfill form.)
+    """
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_us = _micros(F.col(ts_col)) - _micros(prev)
+    new_s = F.when(
+        prev.isNull() | (gap_us > F.lit(int(gap_secs * 1_000_000))), 1
+    ).otherwise(0)
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.select(source_col, ts_col).withColumn("_sid", sid)
+        .groupBy(source_col, "_sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_rows"),
+        )
+        .drop("_sid")
+    )

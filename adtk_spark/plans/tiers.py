@@ -243,6 +243,40 @@ def rollup_up_sketch(
     )
 
 
+def rollup_ohlc(
+    df: DataFrame,
+    tier: str = "1m",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """OHLC tumbling rollup: per (source, bucket) the first (open) and
+    last (close) values by event time plus min/max — the financial-tier
+    shape of the same one-shuffle groupBy as ``rollup_raw``. ``min_by``/
+    ``max_by`` are algebraic (each partial keeps one (ts, value) champion,
+    merged map-side), so the plan is identical to the algebraic rollup:
+    no window, no sort, one exchange on (source, bucket).
+
+    Determinism: assumes unique ``ts`` per source (validate_series
+    dedups); with duplicate timestamps min_by/max_by tie-break
+    arbitrarily.
+    """
+    trunc = TIER_INTERVALS[tier]
+    v, t = F.col(value_col), F.col(ts_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(source_col, F.date_trunc(trunc, t).alias("bucket_ts"))
+        .agg(
+            F.min_by(v, t).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, t).alias("close"),
+            F.count(v).alias("cnt"),
+        )
+    )
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",

@@ -187,3 +187,20 @@ def test_validate_events_merge(spark):
         (ts("2017-01-01"), ts("2017-01-08")),
         (ts("2017-01-10"), ts("2017-01-10")),
     }
+
+
+def test_sessionize(spark):
+    import datetime as dt
+
+    from adtk_spark.operators.events import sessionize
+
+    t0 = dt.datetime(2025, 1, 1)
+    secs = [0, 10, 25, 100, 110, 400]  # gaps: 10,15 | 75 | 10 | 290
+    rows = [("a", t0 + dt.timedelta(seconds=s)) for s in secs]
+    rows += [("b", t0)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    out = sessionize(df, gap_secs=60)
+    got = sorted((r["source"], r["session_start"].second + 60 * r["session_start"].minute,
+                  r["n_rows"]) for r in out.collect())
+    # a: [0,10,25] | [100,110] | [400]; b: [0]
+    assert got == [("a", 0, 3), ("a", 100, 2), ("a", 400, 1), ("b", 0, 1)]

@@ -164,3 +164,19 @@ def test_multivariate_predict_is_broadcast(spark):
     pca = pca_fit(df, ["A", "B"], k=1)
     plan = plan_of(pca_reconstruction_error(df, pca, ["A", "B"]))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_rollup_ohlc(spark):
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import rollup_ohlc
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("a", t0 + dt.timedelta(minutes=m), v)
+            for m, v in [(0, 5.0), (10, 9.0), (20, 1.0), (50, 7.0),
+                         (61, 3.0), (70, None), (75, 8.0)]]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = {r["bucket_ts"].hour: (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+           for r in rollup_ohlc(df, "1h").collect()}
+    assert got[0] == (5.0, 9.0, 1.0, 7.0, 4)  # open=first by ts, close=last
+    assert got[1] == (3.0, 8.0, 3.0, 8.0, 2)  # NULL value excluded
