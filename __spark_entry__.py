@@ -595,6 +595,24 @@ def q_or_and_labels(spark, sf_dir):
     return out.select("source", "ts", "l_hi", "l_lo", "l_or", "l_and")
 
 
+def q_lagged_corr(spark, sf_dir):
+    """Lead/lag cross-correlation click vs view on the hourly grid,
+    lags -2..+2 hours: ONE join for all lags (b exploded per lag), all
+    five moments as exact DECIMAL sums so corr is order-independent;
+    the oracle replays the identical quantized arithmetic."""
+    from adtk_spark.operators.hd import lagged_corr
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
+    out = lagged_corr(h, "click", "view", lags=[-2, -1, 0, 1, 2],
+                      step_secs=3600)
+    return out.select("lag", "n", F.round("corr", 6).alias("corr"))
+
+
 def q_rollup_ohlc_1h(spark, sf_dir):
     """OHLC tumbling tier: open/close via the algebraic min_by/max_by
     champions (same one-shuffle plan as the algebraic rollup); oracle =
@@ -1168,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customized_aggregator": q_customized_aggregator,
         "rollup_ohlc_1h": q_rollup_ohlc_1h,
         "sessionize": q_sessionize,
+        "lagged_corr": q_lagged_corr,
     }
 
 
@@ -2633,5 +2652,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_rows
             FROM sess GROUP BY source, sid
+        """,
+        # exact-moment Pearson corr at each lag (identical association)
+        "lagged_corr": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), a AS (
+              SELECT epoch_us(ts) AS t, v AS va FROM r WHERE source = 'click'
+            ), b AS (
+              SELECT epoch_us(ts) AS t, v AS vb FROM r WHERE source = 'view'
+            ), l AS (
+              SELECT unnest([-2, -1, 0, 1, 2]) AS lag
+            ), shifted AS (
+              SELECT l.lag, b.t - l.lag * 3600000000 AS t, b.vb FROM b, l
+            ), j AS (
+              SELECT s.lag, a.va, s.vb FROM a JOIN shifted s ON a.t = s.t
+            ), m AS (
+              SELECT lag, count(*) AS n,
+                     CAST(sum(CAST(va AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(vb AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(va * va AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(vb * vb AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(va * vb AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+              FROM j GROUP BY lag
+            )
+            SELECT lag, n,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+            FROM m
         """,
     }

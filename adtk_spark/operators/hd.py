@@ -353,3 +353,61 @@ def outlier_detector(
         return out
 
     return df.groupBy(source_col).applyInPandas(run, schema=schema)
+
+
+def lagged_corr(
+    df: DataFrame,
+    source_a: str,
+    source_b: str,
+    lags,
+    step_secs: int,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lead/lag cross-correlation between two sources on a fixed grid:
+    for each k in ``lags``, Pearson corr(a[t], b[t + k*step_secs]) over
+    every grid point where both exist. Output ``(lag, n, corr)``.
+
+    Plan shape: ONE equi-join regardless of how many lags — the b side
+    is exploded to (ts - k*step, k, vb) for all lags (k x |b| rows, the
+    small factor), joined to a on ts, then an algebraic groupBy on k.
+    The naive form (one join per lag) multiplies shuffles by |lags|.
+
+    Determinism: all five moments are summed as DECIMAL(38,9) (products
+    quantized once in IEEE double, then summed exactly), so corr is
+    bit-identical at any parallelism — same device as the LM scorer and
+    the tier sums.
+    """
+    lags = [int(k) for k in lags]
+    v, t = F.col(value_col), F.col(ts_col)
+    a = (df.where((F.col(source_col) == source_a) & v.isNotNull())
+         .select(F.unix_micros(t.cast("timestamp")).alias("_t"),
+                 v.alias("_va")))
+    b = (df.where((F.col(source_col) == source_b) & v.isNotNull())
+         .select(F.unix_micros(t.cast("timestamp")).alias("_tb"),
+                 v.alias("_vb")))
+    step_us = int(step_secs) * 1_000_000
+    shifted = b.select(
+        F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag"),
+        "_tb", "_vb",
+    ).select("lag", (F.col("_tb") - F.col("lag") * F.lit(step_us)).alias("_t"),
+             "_vb")
+    j = a.join(shifted, "_t")
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,9)")).cast("double")
+
+    va, vb = F.col("_va"), F.col("_vb")
+    agged = j.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        dsum(va).alias("sx"), dsum(vb).alias("sy"),
+        dsum(va * va).alias("sxx"), dsum(vb * vb).alias("syy"),
+        dsum(va * vb).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return agged.select("lag", "n", (num / den).alias("corr"))

@@ -208,3 +208,25 @@ def test_pipenet_kind_validation(spark):
     # unknown kind string -> ValueError
     with pytest.raises(ValueError, match="kind"):
         Pipenet({"x": {"fn": ident, "kind": "detektor"}})
+
+
+def test_lagged_corr_shifted_copy(spark):
+    """b[t] = a[t-1]: corr must be exactly 1.0 at lag +1 and below 1
+    elsewhere; n shrinks by the overlap at each lag."""
+    import datetime as dt
+
+    import numpy as np
+
+    from adtk_spark.operators.hd import lagged_corr
+
+    rng = np.random.RandomState(11)
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [float(v) for v in rng.randn(40)]
+    rows = [("a", t0 + dt.timedelta(hours=i), vals[i]) for i in range(40)]
+    rows += [("b", t0 + dt.timedelta(hours=i + 1), vals[i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {r["lag"]: (r["n"], r["corr"]) for r in
+           lagged_corr(df, "a", "b", lags=[-1, 0, 1, 2], step_secs=3600).collect()}
+    assert out[1][1] == 1.0 and out[1][0] == 40
+    assert abs(out[0][1]) < 0.5 and out[0][0] == 39
+    assert abs(out[-1][1]) < 0.5 and out[2][0] == 39
