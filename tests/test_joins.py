@@ -181,3 +181,44 @@ def test_asof_join_property_matches_pandas(spark, lts, rts, rvals, direction, to
     assert set(got) == set(exp)
     for ts in exp:
         assert got[ts] == exp[ts], (ts, got[ts], exp[ts], direction, tol)
+
+
+_iv_strat = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=200),
+              st.integers(min_value=0, max_value=120)),
+    min_size=0, max_size=6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.sets(st.integers(min_value=0, max_value=260), min_size=1, max_size=12),
+    ivs=_iv_strat,
+    how=st.sampled_from(["inner", "left"]),
+    bucket=st.sampled_from(["minute", "hour"]),
+)
+def test_interval_join_property_matches_naive(spark, pts, ivs, how, bucket):
+    """Random points and (possibly overlapping / zero-length /
+    bucket-straddling) intervals: the bucketized equi-join + residual
+    filter must produce exactly the naive BETWEEN semantics, for inner
+    and left, at two bucket granularities."""
+    from adtk_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2023, 1, 1)
+    prow = [("s", t0 + dt.timedelta(minutes=p)) for p in sorted(pts)]
+    irow = [("s", t0 + dt.timedelta(minutes=a),
+             t0 + dt.timedelta(minutes=a + d)) for a, d in ivs]
+    points = spark.createDataFrame(prow, "source string, ts timestamp")
+    intervals = spark.createDataFrame(
+        irow, "source string, start_ts timestamp, end_ts timestamp")
+
+    out = interval_join(points, intervals, how=how, bucket=bucket)
+    got = sorted((r["ts"], r["start_ts"], r["end_ts"]) for r in out.collect())
+
+    naive = []
+    for _, ts in prow:
+        hits = [(s, e) for _, s, e in irow if s <= ts <= e]
+        if hits:
+            naive.extend((ts, s, e) for s, e in hits)
+        elif how == "left":
+            naive.append((ts, None, None))
+    assert got == sorted(naive), (got, naive, how, bucket)
