@@ -103,6 +103,15 @@ def refresh_tiers(
     """
     from ..sources.tokens import token_series
 
+    # no-op fast path BEFORE the mode guards: with nothing to process
+    # the sketch/no-sketch flag is irrelevant, and raising here would
+    # make a sketch-flavored catalog (e.g. one fed by --stream-sketch
+    # ingest) reject every later maintenance run that omits --sketch
+    wm = catalog.get_watermark(WATERMARK_KEY)
+    last = catalog.last_snapshot(RAW_TABLE)
+    if last is None or last <= wm:
+        return {"processed": 0, "watermark": wm}
+
     if sketch:
         from .tiers import rollup_raw_sketch, rollup_up_sketch
 
@@ -146,11 +155,6 @@ def refresh_tiers(
         r_raw, r_up = rollup_raw, rollup_up
 
     series_of = series_of or token_series
-    wm = catalog.get_watermark(WATERMARK_KEY)
-    last = catalog.last_snapshot(RAW_TABLE)
-    if last is None or last <= wm:
-        return {"processed": 0, "watermark": wm}
-
     new_raw = catalog.read_since(spark, RAW_TABLE, wm).drop("snap")
     all_raw = catalog.read(spark, RAW_TABLE).drop("snap")
     new_series = series_of(new_raw)

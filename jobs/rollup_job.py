@@ -102,8 +102,12 @@ def main(argv=None):
                                               "seed": args.seed})
         report["ingested_snapshot"] = snap
 
-    report["refresh"] = refresh_tiers(catalog, spark, quantile=args.quantile,
-                                      sketch=args.sketch)
+    # a --stream-sketch catalog is sketch-flavored: batch refresh must
+    # keep writing digest-carrying tiers or the mixing guard (rightly)
+    # refuses to append mismatched schemas
+    report["refresh"] = refresh_tiers(
+        catalog, spark, quantile=args.quantile,
+        sketch=args.sketch or args.stream_sketch)
 
     if args.stream_ingest:
         import os

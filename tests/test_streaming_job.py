@@ -541,3 +541,43 @@ def test_streaming_volatility_shift_ad_matches_batch(spark, tmp_path):
             assert g == b, (k, g, b)
             n_anom += int(b == 1.0)
     assert n_anom > 0  # the variance jump is caught on both sides
+
+
+def test_rollup_job_stream_ingest_and_compact(spark, tmp_path, capsys):
+    """CLI streaming ingest (availableNow drain into tier_1m, sketch
+    columns) followed by CLI compaction + vacuum of the per-epoch
+    snapshots."""
+    import json
+
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from jobs.rollup_job import main
+
+    src = str(tmp_path / "stream_src")
+    cat = str(tmp_path / "cat")
+    # two arrival batches ADVANCING in event time (append mode emits a
+    # window only when the watermark passes it) -> two drain epochs
+    for seed, start in ((81, "2025-08-04 00:00:00"),
+                        (82, "2025-08-04 01:00:00")):
+        token_series(token_corpus(spark, 400, n_sources=4, seed=seed,
+                                  span_secs=900, start=start)
+                     ).write.mode("append").parquet(src)
+        main(["--catalog", cat, "--cores", "4",
+              "--stream-ingest", src, "--stream-sketch"])
+        capsys.readouterr()
+
+    from adtk_spark.sources.catalog import TierCatalog
+
+    c = TierCatalog(cat)
+    assert len(c.snapshots("tier_1m")) == 2
+    t = c.read(spark, "tier_1m")
+    assert {"vdigest", "vq"} <= set(t.columns)
+    rows_before = t.drop("snap").count()
+
+    main(["--catalog", cat, "--cores", "4", "--compact"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["compaction"]["tier_1m"]["vacuumed_dirs"] == 2
+    assert c.snapshots("tier_1m") == [3]
+    # compaction preserves the latest-wins row set (sketch cols intact)
+    t2 = c.read(spark, "tier_1m")
+    assert {"vdigest", "vq"} <= set(t2.columns)
+    assert t2.drop("snap").count() <= rows_before  # restatements folded
