@@ -75,6 +75,11 @@ def main(argv=None):
                    help="serve a rollup query from the coarsest dividing "
                         "tier: RES_SECS[,START_ISO[,END_ISO]] — prints the "
                         "serving tier and row count in the report")
+    p.add_argument("--route-q", type=float, default=None,
+                   help="with --route on a sketch-flavored catalog: also "
+                        "serve this RAW-distribution quantile by "
+                        "re-merging the routed tier's t-digests "
+                        "(route_rollup_sketch)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -226,6 +231,28 @@ def main(argv=None):
             "served_by": pick_tier(res, avail, start=start),
             "rows": routed.count(),
         }
+        if args.route_q is not None:
+            from adtk_spark.plans.incremental import read_tier_latest
+            from adtk_spark.plans.router import route_rollup_sketch
+
+            name = pick_tier(res, avail, start=start)
+            tier = read_tier_latest(catalog, spark, tables[name], start, end)
+            if tier is None or "vdigest" not in tier.columns:
+                raise ValueError(
+                    "--route-q needs a sketch-flavored catalog (run the "
+                    "refresh with --sketch / the ingest with "
+                    "--stream-sketch); the routed tier has no vdigest")
+            sq = route_rollup_sketch({name: tier}, res, start, end,
+                                     quantile=args.route_q,
+                                     available={name: avail[name]})
+            qrow = sq.agg(
+                F.count("*").alias("n"),
+                F.avg("vq").alias("avg_vq")).collect()[0]
+            report["route"]["sketch_q"] = {
+                "q": args.route_q, "rows": int(qrow["n"]),
+                "avg_vq": (round(float(qrow["avg_vq"]), 6)
+                           if qrow["avg_vq"] is not None else None),
+            }
 
     report["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(report))

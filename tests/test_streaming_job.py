@@ -581,3 +581,31 @@ def test_rollup_job_stream_ingest_and_compact(spark, tmp_path, capsys):
     t2 = c.read(spark, "tier_1m")
     assert {"vdigest", "vq"} <= set(t2.columns)
     assert t2.drop("snap").count() <= rows_before  # restatements folded
+
+
+def test_rollup_job_route_q_sketch(spark, tmp_path, capsys):
+    """--route-q serves a raw-distribution quantile from the routed
+    tier's re-merged t-digests; without a sketch catalog it refuses."""
+    import json
+
+    import pytest
+
+    from jobs.rollup_job import main
+
+    cat = str(tmp_path / "cat")
+    main(["--catalog", cat, "--ingest-docs", "800", "--sources", "8",
+          "--cores", "4", "--sketch", "--route", "7200",
+          "--route-q", "0.9"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    sq = rep["route"]["sketch_q"]
+    assert sq["q"] == 0.9 and sq["rows"] == rep["route"]["rows"] > 0
+    assert sq["avg_vq"] is not None
+
+    cat2 = str(tmp_path / "cat2")
+    main(["--catalog", cat2, "--ingest-docs", "400", "--sources", "4",
+          "--cores", "4"])
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="sketch-flavored"):
+        main(["--catalog", cat2, "--cores", "4", "--route", "7200",
+              "--route-q", "0.5"])
+    capsys.readouterr()
