@@ -613,6 +613,30 @@ def q_lagged_corr(spark, sf_dir):
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
+def q_counter_rate(spark, sf_dir):
+    """Counter-reset-aware rate (the monitoring-stack rate() semantic)
+    on a wrap-around counter derived deterministically from the series:
+    cum = running sum of |value| per source, counter = cum % 10000 —
+    every wrap is a reset the operator must absorb (increase = value,
+    not a huge negative delta). Oracle replays the identical
+    construction + reset rule; the running sum is frame-ordered on both
+    engines so the doubles match bit-for-bit."""
+    from pyspark.sql import Window
+
+    from adtk_spark.plans.gapfill import counter_rate
+
+    s = _series(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = F.sum(F.abs(F.col("value"))).over(w)
+    ctr = s.select("source", "ts", F.pmod(cum, F.lit(10000.0)).alias("value"))
+    out = counter_rate(ctr, "1h")
+    return out.select(
+        "source", "bucket_ts",
+        F.round("increase", 6).alias("increase"),
+        F.round("rate", 6).alias("rate"))
+
+
 def q_rollup_ohlc_1h(spark, sf_dir):
     """OHLC tumbling tier: open/close via the algebraic min_by/max_by
     champions (same one-shuffle plan as the algebraic rollup); oracle =
@@ -1187,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_ohlc_1h": q_rollup_ohlc_1h,
         "sessionize": q_sessionize,
         "lagged_corr": q_lagged_corr,
+        "counter_rate": q_counter_rate,
     }
 
 
@@ -2684,5 +2709,29 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
                                 * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
             FROM m
+        """,
+        # wrap-around counter rate: same running-sum construction, same
+        # reset rule (increase = v on wrap), same frame order
+        "counter_rate": _DEDUP_CTE + """
+            , c AS (
+              SELECT source, ts,
+                     fmod(sum(abs(value)) OVER (PARTITION BY source ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          10000.0) AS v
+              FROM d
+            ), i AS (
+              SELECT source, ts,
+                     CASE WHEN lag(v) OVER w IS NULL THEN NULL
+                          WHEN v < lag(v) OVER w THEN v
+                          ELSE v - lag(v) OVER w END AS inc
+              FROM c
+              WINDOW w AS (PARTITION BY source ORDER BY ts)
+            )
+            SELECT source, date_trunc('hour', ts) AS bucket_ts,
+                   round(CAST(sum(CAST(round(inc, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE), 6) AS increase,
+                   round(CAST(sum(CAST(round(inc, 9) AS DECIMAL(38,9)))
+                              AS DOUBLE) / 3600.0, 6) AS rate
+            FROM i GROUP BY 1, 2
         """,
     }

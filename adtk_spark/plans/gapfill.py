@@ -114,3 +114,47 @@ def interpolate_linear(
         .when(pv.isNotNull(), pv)
     )
     return df.withColumn(out_col, lerp)
+
+
+def counter_rate(
+    df,
+    tier: str = "1m",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+):
+    """Counter-reset-aware per-bucket rate (the monitoring-stack
+    ``rate()`` semantic): treat ``value`` as a monotonically increasing
+    counter that occasionally resets to ~0 (process restart); the
+    per-sample increase is ``value - lag(value)`` normally and just
+    ``value`` across a reset (``value < lag(value)`` — the counter
+    restarted, so everything since the reset counts). Output per
+    (source, bucket): ``increase`` (sum of increases with first-sample
+    NULL dropped) and ``rate`` = increase / bucket width in seconds.
+
+    Plan: one (source, ts) window pass for the lag (the exchange every
+    windowed operator shares) + one algebraic groupBy on the bucket —
+    no self-join.
+    """
+    from .tiers import TIER_INTERVALS
+
+    width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    v = F.col(value_col)
+    prev = F.lag(v).over(w)
+    inc = F.when(prev.isNull(), F.lit(None)).otherwise(
+        F.when(v < prev, v).otherwise(v - prev))
+    return (
+        df.select(source_col, ts_col, inc.alias("_inc"))
+        .groupBy(source_col,
+                 F.date_trunc(TIER_INTERVALS[tier], F.col(ts_col))
+                 .alias("bucket_ts"))
+        .agg(
+            # DECIMAL-quantized exact sum: the per-bucket increase (and
+            # every threshold decision on it) is bit-identical at any
+            # parallelism — same device as the tier sums / LM scorer
+            F.sum(F.round(F.col("_inc"), 9).cast("decimal(38,9)"))
+            .cast("double").alias("increase"))
+        .withColumn("rate", F.col("increase") / F.lit(float(width)))
+    )

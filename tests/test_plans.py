@@ -180,3 +180,21 @@ def test_rollup_ohlc(spark):
            for r in rollup_ohlc(df, "1h").collect()}
     assert got[0] == (5.0, 9.0, 1.0, 7.0, 4)  # open=first by ts, close=last
     assert got[1] == (3.0, 8.0, 3.0, 8.0, 2)  # NULL value excluded
+
+
+def test_counter_rate_resets(spark):
+    import datetime as dt
+
+    from adtk_spark.plans.gapfill import counter_rate
+
+    t0 = dt.datetime(2025, 1, 1)
+    # counter climbs 0->50->90, restarts at 10 (reset), climbs to 30
+    vals = [0.0, 50.0, 90.0, 10.0, 30.0]
+    rows = [("a", t0 + dt.timedelta(seconds=10 * i), v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = counter_rate(df, "1m").collect()
+    assert len(out) == 1
+    # increases: 50, 40, 10 (reset -> the post-reset level), 20 = 120
+    assert out[0]["increase"] == 120.0
+    assert out[0]["rate"] == 2.0  # 120 / 60s
