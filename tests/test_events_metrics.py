@@ -204,3 +204,32 @@ def test_sessionize(spark):
                   r["n_rows"]) for r in out.collect())
     # a: [0,10,25] | [100,110] | [400]; b: [0]
     assert got == [("a", 0, 3), ("a", 100, 2), ("a", 400, 1), ("b", 0, 1)]
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(labels=st.lists(st.sampled_from([0.0, 1.0]), min_size=1, max_size=20))
+def test_to_events_to_labels_roundtrip_property(spark, labels):
+    """Random {0,1} label sequences on an hourly grid: labels ->
+    to_events(freq) -> to_labels(freq) must be the identity, for any
+    run-length pattern (single points, long runs, edges at both ends)."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import to_events, to_labels
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(labels)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, label double")
+    ev = to_events(df, freq="1 hour")
+    spine = df.select("source", "ts")
+    back = {r["ts"]: r["label"]
+            for r in to_labels(ev, spine, freq="1 hour").collect()}
+    for i, (_, ts, v) in enumerate(rows):
+        assert back[ts] == v, (i, labels)

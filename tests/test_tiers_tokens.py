@@ -115,3 +115,45 @@ def test_rollup_sliding_gap_respects_time_width(spark):
         for r in rollup_sliding(t1m, 300, 60).collect()
     }
     assert out == {0: 1, 1: 2, 2: 3, 10: 1, 11: 2}
+
+
+# ---------------------------------------------------------------------------
+# property-based pandas parity for gap-fill (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+                     min_size=2, max_size=16))
+def test_gapfill_property_matches_pandas(spark, vals):
+    """Random NULL patterns (leading / trailing / interior runs) on a
+    regular spine: ffill must equal pandas ffill, and lerp must equal
+    pandas interpolate('linear') with trailing-carry semantics."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from adtk_spark.plans.gapfill import forward_fill, interpolate_linear
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i),
+             None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    ff = {r["ts"]: r["value_ff"] for r in forward_fill(df).collect()}
+    lp = {r["ts"]: r["value_lerp"] for r in interpolate_linear(df).collect()}
+
+    s = pd.Series([float("nan") if v is None else float(v) for v in vals],
+                  index=pd.date_range(t0, periods=len(vals), freq="1min"))
+    pf = s.ffill()
+    pl = s.interpolate("linear")  # pandas also carries trailing values
+
+    for i, ts in enumerate(sorted(ff)):
+        for got, exp in ((ff[ts], pf.iloc[i]), (lp[ts], pl.iloc[i])):
+            if isinstance(exp, float) and math.isnan(exp):
+                assert got is None, (i, vals)
+            else:
+                assert got is not None and abs(got - exp) < 1e-9, (i, vals)
