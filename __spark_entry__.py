@@ -653,6 +653,19 @@ def q_rollup_ohlc_1h(spark, sf_dir):
         "cnt")
 
 
+def q_m4_downsample_15m(spark, sf_dir):
+    """M4 downsampling (VLDB'14): per 15-minute pixel column keep only
+    the first/last/min/max real tuples — the error-free line-chart
+    serve path. One shuffle; champions are algebraic; the oracle
+    replays the same selection with deterministic value-tie breaks
+    (earliest ts for the min point, latest for the max). Values are raw
+    passthrough (a genuine sub-series), so no rounding is needed."""
+    from adtk_spark.plans.tiers import m4_downsample
+
+    s = _series(spark, sf_dir)
+    return m4_downsample(s, "15 minutes")
+
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization of the event series (30-minute
     inactivity gap); oracle replays the cumulative-sum-of-session-starts
@@ -1212,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "lagged_corr": q_lagged_corr,
         "counter_rate": q_counter_rate,
+        "m4_downsample_15m": q_m4_downsample_15m,
     }
 
 
@@ -2677,6 +2691,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_rows
             FROM sess GROUP BY source, sid
+        """,
+        # M4: first/last/min/max tuples per pixel bucket, deterministic
+        # value-tie breaks (earliest ts for min, latest for max); UNION
+        # dedups exactly like the Spark side's array_distinct
+        "m4_downsample_15m": _DEDUP_CTE + """
+            , b AS (
+              SELECT source,
+                     CAST(to_timestamp(floor(epoch(ts) / 900) * 900)
+                          AS TIMESTAMP) AS bucket,
+                     ts, value
+              FROM d WHERE value IS NOT NULL
+            ), a AS (
+              SELECT source, bucket, min(ts) AS tf, max(ts) AS tl,
+                     min(value) AS vmin, max(value) AS vmax
+              FROM b GROUP BY 1, 2
+            ), sel AS (
+              SELECT b.source, b.bucket,
+                     any_value(a.tf) AS tf, any_value(a.tl) AS tl,
+                     any_value(a.vmin) AS vmin, any_value(a.vmax) AS vmax,
+                     min(CASE WHEN b.value = a.vmin THEN b.ts END) AS t_vmin,
+                     max(CASE WHEN b.value = a.vmax THEN b.ts END) AS t_vmax,
+                     min(CASE WHEN b.ts = a.tf THEN b.value END) AS vf,
+                     min(CASE WHEN b.ts = a.tl THEN b.value END) AS vl
+              FROM b JOIN a USING (source, bucket) GROUP BY 1, 2
+            )
+            SELECT source, tf AS ts, vf AS value FROM sel
+            UNION SELECT source, t_vmin AS ts, vmin AS value FROM sel
+            UNION SELECT source, t_vmax AS ts, vmax AS value FROM sel
+            UNION SELECT source, tl AS ts, vl AS value FROM sel
         """,
         # exact-moment Pearson corr at each lag (identical association)
         "lagged_corr": """

@@ -277,6 +277,71 @@ def rollup_ohlc(
     )
 
 
+def m4_downsample(
+    df: DataFrame,
+    width: str = "15 minutes",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """M4 visualization-grade downsampling (Jugel et al., VLDB 2014):
+    per (source, tumbling ``width`` bucket) keep ONLY the real points a
+    line rendering needs — the first, last, min-value and max-value
+    tuples — and drop everything else. Error-free for pixel-perfect
+    line charts when ``width`` matches the pixel column; at 100 TB this
+    is the serve-a-dashboard operator (<=4 rows out per bucket
+    regardless of input density).
+
+    Plan shape: ONE shuffle (the groupBy on (source, bucket)); the <=4
+    champions per bucket are algebraic aggregates (min/max/min_by/
+    max_by/struct-min merge map-side), then a local array_distinct +
+    explode — no second exchange, no window, no sort.
+
+    Determinism (required for oracle hashing): assumes unique ``ts``
+    per source (validate_series parity — the engine's standing series
+    precondition). Ties on *value* are broken by timestamp via struct
+    ordering: the min point is (vmin, earliest ts among vmin rows), the
+    max point is (vmax, latest ts among vmax rows).
+
+    Returns (source, ts, value) rows — a genuine sub-series of the
+    input, ordered relation semantics left to the caller.
+    """
+    v, t = F.col(value_col), F.col(ts_col)
+    agg = (
+        df.where(v.isNotNull())
+        .groupBy(source_col, F.window(t, width)["start"].alias("_bucket"))
+        .agg(
+            F.min(t).alias("_tf"),
+            F.min_by(v, t).alias("_vf"),
+            F.max(t).alias("_tl"),
+            F.max_by(v, t).alias("_vl"),
+            F.min(F.struct(v.alias("v"), t.alias("t"))).alias("_mn"),
+            F.max(F.struct(v.alias("v"), t.alias("t"))).alias("_mx"),
+        )
+    )
+    pts = agg.select(
+        source_col,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.struct(F.col("_tf").alias(ts_col), F.col("_vf").alias(value_col)),
+                    F.struct(
+                        F.col("_mn")["t"].alias(ts_col),
+                        F.col("_mn")["v"].alias(value_col),
+                    ),
+                    F.struct(
+                        F.col("_mx")["t"].alias(ts_col),
+                        F.col("_mx")["v"].alias(value_col),
+                    ),
+                    F.struct(F.col("_tl").alias(ts_col), F.col("_vl").alias(value_col)),
+                )
+            )
+        ).alias("_p"),
+    )
+    return pts.select(source_col, f"_p.{ts_col}", f"_p.{value_col}")
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",

@@ -157,3 +157,72 @@ def test_gapfill_property_matches_pandas(spark, vals):
                 assert got is None, (i, vals)
             else:
                 assert got is not None and abs(got - exp) < 1e-9, (i, vals)
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB 2014)
+# ---------------------------------------------------------------------------
+
+def _m4_pandas(rows, width_secs):
+    """Reference M4: per (source, bucket) keep the first/last/min/max
+    tuples; value ties break earliest-ts for min, latest-ts for max."""
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for src, ts, v in rows:
+        if v is None:
+            continue
+        b = int(ts.timestamp()) // width_secs
+        buckets[(src, b)].append((ts, v))
+    out = set()
+    for (src, _b), pts in buckets.items():
+        pts.sort()
+        vmin = min(v for _, v in pts)
+        vmax = max(v for _, v in pts)
+        t_vmin = min(t for t, v in pts if v == vmin)
+        t_vmax = max(t for t, v in pts if v == vmax)
+        sel = {pts[0], pts[-1], (t_vmin, vmin), (t_vmax, vmax)}
+        out |= {(src, t, v) for t, v in sel}
+    return out
+
+
+def test_m4_downsample_matches_reference(spark):
+    from adtk_spark.plans.tiers import m4_downsample
+
+    t0 = dt.datetime(2025, 1, 1)
+    # two sources, unique ts per source, value ties inside buckets to
+    # exercise the struct tie-breaks; one bucket with a single point
+    rows = []
+    vals_a = [5.0, 1.0, 1.0, 9.0, 9.0, 3.0, 7.0, 7.0, 2.0, 8.0, 4.0, 6.0]
+    for i, v in enumerate(vals_a):
+        rows.append(("A", t0 + dt.timedelta(minutes=2 * i), v))
+    rows.append(("B", t0 + dt.timedelta(minutes=1), 42.0))  # singleton bucket
+    rows.append(("B", t0 + dt.timedelta(minutes=31), 41.0))
+    rows.append(("B", t0 + dt.timedelta(minutes=32), 41.0))  # tie pair
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = {(r["source"], r["ts"], r["value"])
+           for r in m4_downsample(df, "10 minutes").collect()}
+    exp = _m4_pandas(rows, 600)
+    assert got == exp
+    # result is a genuine sub-series of the input
+    assert got <= {(s, t, v) for s, t, v in rows}
+
+
+def test_m4_downsample_random_vs_reference(spark):
+    import random
+
+    from adtk_spark.plans.tiers import m4_downsample
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    for src in ("x", "y", "z"):
+        ts_offsets = rng.sample(range(0, 86400), 400)
+        for off in ts_offsets:
+            # coarse-grained values force plenty of within-bucket ties
+            rows.append((src, t0 + dt.timedelta(seconds=off),
+                         float(rng.randint(0, 12))))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = {(r["source"], r["ts"], r["value"])
+           for r in m4_downsample(df, "1 hour").collect()}
+    assert got == _m4_pandas(rows, 3600)
