@@ -704,6 +704,35 @@ def q_pca_reconstruction(spark, sf_dir):
         F.round("a_recon", 6).alias("ra"), F.round("b_recon", 6).alias("rb"))
 
 
+def q_min_cluster(spark, sf_dir):
+    """MinClusterDetector on the 2-feature hourly table, portable
+    variant: deterministic Lloyd's KMeans in fixed-point arithmetic
+    (int64-quantized features -> exact centroid sums; init = first k
+    distinct vectors lexicographically; fixed 10 iterations). The
+    oracle replays the identical iteration as a DuckDB recursive CTE —
+    every centroid, assignment, tie-break and the min-cluster pick are
+    bit-for-bit the same arithmetic on both sides. Features come from
+    DECIMAL-exact hourly averages so the quantized inputs cannot flip
+    with parallelism."""
+    from adtk_spark.operators.hd import min_cluster_ad_portable
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("ts"), "event_type"
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,9)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("v")
+    )
+    a = h.where(F.col("event_type") == "click").select("ts", F.col("v").alias("a"))
+    b = h.where(F.col("event_type") == "view").select("ts", F.col("v").alias("b"))
+    w = a.join(b, "ts").withColumn("source", F.lit("all"))
+    out = min_cluster_ad_portable(w, ["a", "b"], n_clusters=2, n_iter=10)
+    return out.select("source", "ts", "label")
+
+
 def q_customized_aggregator(spark, sf_dir):
     """CustomizedAggregator (the Arrow grouped-map escape hatch) running
     a weighted 2-of-3 vote over two detector label columns; the oracle
@@ -1226,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lagged_corr": q_lagged_corr,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
+        "min_cluster_ad": q_min_cluster,
     }
 
 
@@ -2691,6 +2721,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, min(ts) AS session_start,
                    max(ts) AS session_end, count(*) AS n_rows
             FROM sess GROUP BY source, sid
+        """,
+        # MinClusterDetector: term-for-term Lloyd replay. Same fixed-point
+        # arithmetic as min_cluster_ad_portable — int64-quantized
+        # features, exact integer centroid sums -> one double division,
+        # first-k-distinct lexicographic init, fixed 10 iterations,
+        # strict-< argmin (first minimal index wins), empty clusters keep
+        # their center, min cluster = lowest index among minimal sizes.
+        "min_cluster_ad": """
+            WITH RECURSIVE h AS (
+              SELECT date_trunc('hour', ts) AS ts, event_type,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), w AS (
+              SELECT a.ts, a.v AS a, b.v AS b
+              FROM (SELECT ts, v FROM h WHERE event_type = 'click') a
+              JOIN (SELECT ts, v FROM h WHERE event_type = 'view') b
+                USING (ts)
+            ), pts AS (
+              SELECT ts,
+                     CAST(round(a * 1000000) AS BIGINT) AS ax,
+                     CAST(round(b * 1000000) AS BIGINT) AS ay
+              FROM w WHERE a IS NOT NULL AND b IS NOT NULL
+            ), init AS (
+              SELECT list(CAST(ax AS DOUBLE) ORDER BY ax, ay) AS cxs,
+                     list(CAST(ay AS DOUBLE) ORDER BY ax, ay) AS cys
+              FROM (SELECT DISTINCT ax, ay FROM pts ORDER BY ax, ay LIMIT 2)
+            ), it(i, cxs, cys) AS (
+              SELECT 0, cxs, cys FROM init
+              UNION ALL
+              SELECT i + 1,
+                (SELECT list(coalesce(sx / n, it.cxs[j + 1]) ORDER BY j)
+                 FROM (
+                   SELECT idx.j, CAST(sum(g.ax) AS DOUBLE) AS sx,
+                          CAST(count(g.ax) AS DOUBLE) AS n
+                   FROM (SELECT unnest(range(len(it.cxs))) AS j) idx
+                   LEFT JOIN (
+                     SELECT p.ax,
+                       list_position(d.dl, list_min(d.dl)) - 1 AS cl
+                     FROM pts p, LATERAL (
+                       SELECT list_transform(range(len(it.cxs)), jj ->
+                         (CAST(p.ax AS DOUBLE) - it.cxs[jj + 1])
+                           * (CAST(p.ax AS DOUBLE) - it.cxs[jj + 1])
+                         + (CAST(p.ay AS DOUBLE) - it.cys[jj + 1])
+                           * (CAST(p.ay AS DOUBLE) - it.cys[jj + 1])) AS dl
+                     ) d
+                   ) g ON g.cl = idx.j
+                   GROUP BY idx.j
+                 )),
+                (SELECT list(coalesce(sy / n, it.cys[j + 1]) ORDER BY j)
+                 FROM (
+                   SELECT idx.j, CAST(sum(g.ay) AS DOUBLE) AS sy,
+                          CAST(count(g.ay) AS DOUBLE) AS n
+                   FROM (SELECT unnest(range(len(it.cxs))) AS j) idx
+                   LEFT JOIN (
+                     SELECT p.ay,
+                       list_position(d.dl, list_min(d.dl)) - 1 AS cl
+                     FROM pts p, LATERAL (
+                       SELECT list_transform(range(len(it.cxs)), jj ->
+                         (CAST(p.ax AS DOUBLE) - it.cxs[jj + 1])
+                           * (CAST(p.ax AS DOUBLE) - it.cxs[jj + 1])
+                         + (CAST(p.ay AS DOUBLE) - it.cys[jj + 1])
+                           * (CAST(p.ay AS DOUBLE) - it.cys[jj + 1])) AS dl
+                     ) d
+                   ) g ON g.cl = idx.j
+                   GROUP BY idx.j
+                 ))
+              FROM it WHERE i < 10
+            ), fin AS (
+              SELECT cxs, cys FROM it WHERE i = 10
+            ), asg AS (
+              SELECT p.ts, list_position(d.dl, list_min(d.dl)) - 1 AS cl
+              FROM pts p, fin, LATERAL (
+                SELECT list_transform(range(len(fin.cxs)), jj ->
+                  (CAST(p.ax AS DOUBLE) - fin.cxs[jj + 1])
+                    * (CAST(p.ax AS DOUBLE) - fin.cxs[jj + 1])
+                  + (CAST(p.ay AS DOUBLE) - fin.cys[jj + 1])
+                    * (CAST(p.ay AS DOUBLE) - fin.cys[jj + 1])) AS dl
+              ) d
+            ), sizes AS (
+              SELECT idx.j, count(asg.cl) AS n
+              FROM (SELECT unnest(range((SELECT len(cxs) FROM fin))) AS j) idx
+              LEFT JOIN asg ON asg.cl = idx.j
+              GROUP BY idx.j
+            ), mc AS (
+              SELECT min(j) AS mcj FROM sizes
+              WHERE n = (SELECT min(n) FROM sizes)
+            )
+            SELECT 'all' AS source, a.ts,
+                   CAST(a.cl = mc.mcj AS DOUBLE) AS label
+            FROM asg a, mc
         """,
         # M4: first/last/min/max tuples per pixel bucket, deterministic
         # value-tie breaks (earliest ts for min, latest for max); UNION

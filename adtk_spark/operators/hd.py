@@ -316,6 +316,105 @@ def min_cluster_ad(
     return joined.withColumn(out_col, _as_double(label)).drop("centers", "min_cluster")
 
 
+def min_cluster_ad_portable(
+    df: DataFrame,
+    features: list[str],
+    n_clusters: int = 2,
+    n_iter: int = 10,
+    *,
+    source_col: str = "source",
+    out_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """MinClusterDetector whose fit a SQL engine can replay bit-for-bit
+    (the contract oracle runs the identical Lloyd iteration as a DuckDB
+    recursive CTE). Three choices make the fit deterministic at ANY
+    partitioning/parallelism — the properties ``min_cluster_ad``'s
+    seeded-random init cannot give an oracle:
+
+    - features are quantized to 1/scale units as int64 on the JVM side
+      (``round(x*scale)``), so centroid numerators are EXACT integer
+      sums — associative, order-independent;
+    - init = the first ``n_clusters`` DISTINCT quantized vectors in
+      lexicographic order (np.unique row order == SQL ORDER BY LIMIT k);
+    - exactly ``n_iter`` Lloyd updates (converged states are fixed
+      points of the quantized update, so fixed-count == early-break),
+      then one final assignment pass with the post-update centers —
+      the same centers the predict expression uses.
+
+    Distance/argmin arithmetic is plain IEEE double on both sides
+    (square-and-add left to right, strict ``<`` keeps the lowest
+    cluster index on ties — numpy argmin semantics). Empty clusters
+    keep their previous center; the min cluster is the lowest index
+    among minimal sizes (np.bincount(...).argmin()).
+    """
+    _require_feature_cols(df, features)
+    icols = [f"_q_{c}" for c in features]
+    base = df.select(
+        "*",
+        *[
+            F.round(F.col(c) * scale, 0).cast("long").alias(q)
+            for c, q in zip(features, icols)
+        ],
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        src = pdf[source_col].iloc[0]
+        sub = pdf[icols].dropna()
+        Xi = sub.values.astype(np.int64)
+        uniq = np.unique(Xi, axis=0)  # lexicographically sorted rows
+        centers = uniq[: min(n_clusters, len(uniq))].astype(np.float64)
+        k = len(centers)
+        Xf = Xi.astype(np.float64)
+        for _ in range(n_iter):
+            d = ((Xf[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            lab = d.argmin(axis=1)
+            for j in range(k):
+                m = lab == j
+                if m.any():
+                    # exact int64 sums -> one double division
+                    centers[j] = Xi[m].sum(axis=0).astype(np.float64) / m.sum()
+        d = ((Xf[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)
+        sizes = np.bincount(lab, minlength=k)
+        return pd.DataFrame(
+            {
+                source_col: [src],
+                "centers": [[list(r) for r in centers]],
+                "min_cluster": [int(sizes.argmin())],
+            }
+        )
+
+    schema = f"{source_col} string, centers array<array<double>>, min_cluster int"
+    model = base.groupBy(source_col).applyInPandas(fit, schema=schema)
+    joined = base.join(F.broadcast(model), on=source_col, how="left")
+    n_centers = F.size(F.col("centers"))
+
+    def dist_sq(j: Column) -> Column:
+        center = F.element_at(F.col("centers"), j)
+        expr = None
+        for i, q in enumerate(icols):
+            t = F.col(q).cast("double") - F.element_at(center, i + 1)
+            term = t * t
+            expr = term if expr is None else expr + term
+        return expr
+
+    assign = F.aggregate(
+        F.sequence(F.lit(1), n_centers),
+        F.struct(F.lit(0).alias("j"), F.lit(float("inf")).alias("d")),
+        lambda acc, j: F.when(
+            dist_sq(j) < acc["d"], F.struct(j.alias("j"), dist_sq(j).alias("d"))
+        ).otherwise(acc),
+    )["j"]
+    label = F.when(_any_null(icols), F.lit(None)).otherwise(
+        (assign - 1) == F.col("min_cluster")
+    )
+    return (
+        joined.withColumn(out_col, _as_double(label))
+        .drop("centers", "min_cluster", *icols)
+    )
+
+
 def outlier_detector(
     df: DataFrame,
     outlier_func,

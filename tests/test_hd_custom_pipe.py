@@ -230,3 +230,32 @@ def test_lagged_corr_shifted_copy(spark):
     assert out[1][1] == 1.0 and out[1][0] == 40
     assert abs(out[0][1]) < 0.5 and out[0][0] == 39
     assert abs(out[-1][1]) < 0.5 and out[2][0] == 39
+
+
+def test_min_cluster_ad_portable_blobs_and_nulls(spark):
+    """Portable (oracle-replayable) MinClusterDetector: the small blob
+    is anomalous, NULL features yield NULL labels, and a re-run on a
+    repartitioned input gives identical labels (the fixed-point fit is
+    order/partitioning independent)."""
+    import datetime as dt
+
+    from adtk_spark.operators.hd import min_cluster_ad_portable
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(20):
+        rows.append(("all", t0 + dt.timedelta(minutes=i), 0.1 * (i % 3), 0.1 * (i % 5)))
+    for i in range(5):
+        rows.append(("all", t0 + dt.timedelta(minutes=100 + i), 10.0 + 0.1 * i, 10.0 - 0.1 * i))
+    rows.append(("all", t0 + dt.timedelta(minutes=200), None, 5.0))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, a double, b double")
+    out = {r["ts"]: r["label"]
+           for r in min_cluster_ad_portable(df, ["a", "b"], n_clusters=2).collect()}
+    assert sum(1 for v in out.values() if v == 1.0) == 5
+    assert out[t0 + dt.timedelta(minutes=200)] is None
+    for i in range(5):
+        assert out[t0 + dt.timedelta(minutes=100 + i)] == 1.0
+    out2 = {r["ts"]: r["label"]
+            for r in min_cluster_ad_portable(
+                df.repartition(7), ["a", "b"], n_clusters=2).collect()}
+    assert out == out2
