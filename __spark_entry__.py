@@ -381,6 +381,25 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_split_by_group(spark, sf_dir):
+    """Leakage-proof train/test split: near-duplicate components (the
+    dedup_groups transitive closure) are assigned to splits atomically
+    via a deterministic md5 hash of the group id, so no eval doc has a
+    near-dup in train. The oracle extends the recursive-CTE CC replay
+    with the identical hash->uniform->threshold projection."""
+    from adtk_spark.operators.corpus import (
+        dedup_groups,
+        ngram_jaccard_pairs,
+        split_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    groups = dedup_groups(pairs, docs)
+    out = split_by_group(docs.select("doc_id"), groups, test_ratio=0.2)
+    return out.select("doc_id", "group_id", "split")
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF join (operators/joins.py): every event row picks the most
     recent hourly rollup of its source at-or-before its timestamp —
@@ -1256,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
+        "split_by_group": q_split_by_group,
     }
 
 
@@ -1758,6 +1778,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # dedup_groups CC replay + the identical md5->uniform->threshold
+        # split projection (group-atomic: the hash keys on group_id)
+        "split_by_group": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), ex AS (
+              SELECT id, unnest(g) AS g FROM sh
+            ), sizes AS (
+              SELECT id, count(*) AS n FROM ex GROUP BY id
+            ), p0 AS (
+              SELECT x.id AS id_a, y.id AS id_b, count(*) AS shared
+              FROM ex x JOIN ex y ON x.g = y.g AND x.id < y.id
+              GROUP BY 1, 2
+            ), pairs AS (
+              SELECT id_a, id_b FROM p0
+              JOIN sizes na ON na.id = id_a
+              JOIN sizes nb ON nb.id = id_b
+              WHERE shared / (na.n + nb.n - shared) >= 0.3
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.d, reach.lbl FROM reach JOIN e ON e.s = reach.id
+            ), grp AS (
+              SELECT id AS doc_id, min(lbl) AS group_id
+              FROM reach GROUP BY id
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN CAST(('0x' || substr(md5('split:' || group_id), 1, 15))
+                             AS BIGINT) / 1152921504606846976.0 < 0.2
+                        THEN 'test' ELSE 'train' END AS split
+            FROM grp
         """,
         "asof_join": """
             WITH l AS (

@@ -705,3 +705,37 @@ def dedup_groups(
             f"use algorithm='stars' (O(log n) rounds on any graph shape)")
     out = labels.select(F.col("id").alias(id_col), "group_id")
     return out
+
+
+def split_by_group(
+    docs: DataFrame,
+    groups: DataFrame,
+    test_ratio: float = 0.1,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    out_col: str = "split",
+    salt: str = "split",
+    portable: bool = True,
+) -> DataFrame:
+    """Leakage-proof train/test split: the unit of assignment is the
+    near-duplicate COMPONENT (``dedup_groups`` output), never the
+    document, so no eval document has a near-duplicate in train — the
+    contamination hole a per-document random split leaves open at
+    100 TB (near-dups are exactly the rows most likely to recur).
+
+    Assignment is a deterministic hash of (salt, group_id) mapped to a
+    uniform in [0, 1): reproducible at any parallelism and across
+    re-runs (no RNG state, so an incrementally-grown corpus keeps old
+    docs' split stable), and SQL-replayable with ``portable=True``
+    (md5_hash64 — DuckDB: ``('0x' || substr(md5(x),1,15))::BIGINT``).
+    Plan: one equi-join docs->groups on id (AQE/broadcast when groups
+    is small; at scale both sides hash-partition on the id) plus a
+    pure projection — no extra shuffle, no sampling pass.
+    """
+    h = _hash64(F.concat(F.lit(f"{salt}:"), F.col(group_col)), portable)
+    # md5_hash64 is 60-bit non-negative; xxhash64 is full-range signed
+    span = float(1 << 60) if portable else float(1 << 64)
+    u = (h / F.lit(span)) if portable else (h / F.lit(span) + F.lit(0.5))
+    split = F.when(u < F.lit(test_ratio), F.lit("test")).otherwise(F.lit("train"))
+    return docs.join(groups, id_col).withColumn(out_col, split)

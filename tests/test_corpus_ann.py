@@ -448,3 +448,33 @@ def test_lm_score_partition_invariant(spark):
              docs.repartition(13), counts, n, v,
              broadcast_model=False).collect()}
     assert a == b  # exact equality, not approx
+
+
+def test_split_by_group_atomic_and_stable(spark):
+    """Every near-dup component lands entirely in one split (leakage
+    invariant), the assignment is stable under repartitioning, and the
+    test fraction is near the requested ratio."""
+    from adtk_spark.operators.corpus import split_by_group
+
+    import pyspark.sql.functions as F
+
+    docs = spark.range(400).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"))
+    # synthetic components: 4 docs per group
+    groups = docs.select(
+        "doc_id",
+        F.concat(F.lit("g"),
+                 (F.regexp_extract("doc_id", r"(\d+)", 1).cast("long") / 4)
+                 .cast("long").cast("string")).alias("group_id"))
+    out = split_by_group(docs, groups, test_ratio=0.25)
+    # group-atomicity: one distinct split value per group
+    mixed = (out.groupBy("group_id")
+             .agg(F.countDistinct("split").alias("k"))
+             .where(F.col("k") > 1).count())
+    assert mixed == 0
+    frac = out.where(F.col("split") == "test").count() / 400
+    assert 0.10 < frac < 0.40  # 100 groups, ratio 0.25
+    again = {(r["doc_id"], r["split"])
+             for r in split_by_group(docs.repartition(13), groups,
+                                     test_ratio=0.25).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
