@@ -381,6 +381,18 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: per doc the char
+    fraction covered by the most frequent word 2-gram and by all
+    duplicated 2-grams. Fractions are int*int/int so round(.,6) is
+    parallelism-proof; top-gram ties break lexicographically on both
+    sides."""
+    from adtk_spark.operators.corpus import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_stats(docs, n=2)
+
+
 def q_split_by_group(spark, sf_dir):
     """Leakage-proof train/test split: near-duplicate components (the
     dedup_groups transitive closure) are assigned to splits atomically
@@ -1276,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
         "split_by_group": q_split_by_group,
+        "repetition_stats": q_repetition_stats,
     }
 
 
@@ -1778,6 +1791,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # Gopher repetition signals: explode word 2-grams, count per
+        # (doc, gram), top by (cnt DESC, gram ASC), dup chars where
+        # cnt > 1; docs with < 2 words keep 0/NULL/0.0
+        "repetition_stats": """
+            WITH w AS (
+              SELECT doc_id, length(text) AS chars,
+                     string_split(text, ' ') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id, chars,
+                     unnest(CASE WHEN len(ws) >= 2
+                            THEN list_transform(range(1, len(ws)),
+                              i -> array_to_string(
+                                     list_slice(ws, i, i + 1), ' '))
+                            ELSE []::VARCHAR[] END) AS gram
+              FROM w
+            ), c AS (
+              SELECT doc_id, chars, gram, count(*) AS cnt
+              FROM g GROUP BY 1, 2, 3
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) AS rn
+              FROM c
+            ), p AS (
+              SELECT doc_id, any_value(chars) AS chars,
+                     CAST(sum(cnt) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN cnt > 1
+                              THEN cnt * length(gram) ELSE 0 END)
+                          AS BIGINT) AS dup_chars
+              FROM c GROUP BY doc_id
+            ), t AS (
+              SELECT doc_id, gram AS top_gram, cnt AS top_cnt
+              FROM r WHERE rn = 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0) AS n_grams,
+                   t.top_gram,
+                   coalesce(round(t.top_cnt * length(t.top_gram)
+                                  / p.chars, 6), 0.0) AS top_frac,
+                   coalesce(round(p.dup_chars / p.chars, 6), 0.0) AS dup_frac
+            FROM documents d
+            LEFT JOIN p USING (doc_id)
+            LEFT JOIN t USING (doc_id)
         """,
         # dedup_groups CC replay + the identical md5->uniform->threshold
         # split projection (group-atomic: the hash keys on group_id)

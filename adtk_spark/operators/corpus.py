@@ -739,3 +739,76 @@ def split_by_group(
     u = (h / F.lit(span)) if portable else (h / F.lit(span) + F.lit(0.5))
     split = F.when(u < F.lit(test_ratio), F.lit("test")).otherwise(F.lit("train"))
     return docs.join(groups, id_col).withColumn(out_col, split)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    n: int = 2,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table
+    A1): per document, the fraction of characters covered by the most
+    frequent word n-gram and by ALL duplicated n-grams — the standard
+    filters for boilerplate/spam in LLM training corpora ("drop if the
+    top 2-gram covers > 0.20 of the doc").
+
+    frac definitions (deterministic, SQL-replayable):
+      top_frac = top_cnt * length(top_gram) / length(text)
+      dup_frac = sum(cnt * length(gram) for grams with cnt > 1)
+                 / length(text)
+    Ties for the top gram break to the lexicographically smallest.
+    Docs with fewer than n words keep n_grams = 0, NULL top_gram and
+    0.0 fractions.
+
+    Plan shape at scale: explode n-grams -> ONE shuffle on
+    (doc_id, gram) with map-side combine (duplicate grams collapse
+    before the exchange), then the per-doc reduction on doc_id; no
+    per-doc quadratic HOF, no Python. Fractions are int*int/int —
+    order-independent, so round(.,6) never flakes with parallelism.
+    """
+    words = _words(text_col)
+    m = F.size(words)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(0), m - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        id_col, F.length(text_col).alias("_chars"), F.explode(grams).alias("gram")
+    )
+    counts = g.groupBy(id_col, "_chars", "gram").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.first("_chars").alias("_chars"),
+        F.sum("cnt").alias("n_grams"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("nc"), F.col("gram").alias("g"))
+        ).alias("_top"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(
+                F.lit(0)
+            )
+        ).alias("_dup_chars"),
+    )
+    stats = per_doc.select(
+        id_col,
+        "n_grams",
+        F.col("_top")["g"].alias("top_gram"),
+        F.round((-F.col("_top")["nc"]) * F.length(F.col("_top")["g"]) / F.col("_chars"), 6).alias("top_frac"),
+        F.round(F.col("_dup_chars") / F.col("_chars"), 6).alias("dup_frac"),
+    )
+    # docs with < n words never reach the explode — restore them
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            "top_gram",
+            F.coalesce("top_frac", F.lit(0.0)).alias("top_frac"),
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+        )
+    )

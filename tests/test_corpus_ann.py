@@ -478,3 +478,26 @@ def test_split_by_group_atomic_and_stable(spark):
              for r in split_by_group(docs.repartition(13), groups,
                                      test_ratio=0.25).collect()}
     assert again == {(r["doc_id"], r["split"]) for r in out.collect()}
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-computed bigram repetition fractions, tie-breaks, and the
+    short-doc (< n words) zero row."""
+    from adtk_spark.operators.corpus import repetition_stats
+
+    rows = [
+        ("d1", "a b a b a b"),   # bigrams: "a b"x3, "b a"x2; chars=11
+        ("d2", "x y z"),         # "x y", "y z" once each: no dups
+        ("d3", "solo"),          # < 2 words
+        ("d4", "q q q q"),       # "q q" x3; chars=7
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df, n=2).collect()}
+    assert got["d1"]["n_grams"] == 5 and got["d1"]["top_gram"] == "a b"
+    assert got["d1"]["top_frac"] == round(3 * 3 / 11, 6)
+    assert got["d1"]["dup_frac"] == round((3 * 3 + 2 * 3) / 11, 6)
+    assert got["d2"]["dup_frac"] == 0.0 and got["d2"]["n_grams"] == 2
+    assert got["d2"]["top_gram"] == "x y"  # tie at cnt=1 -> lexicographic
+    assert got["d3"]["n_grams"] == 0 and got["d3"]["top_gram"] is None
+    assert got["d3"]["top_frac"] == 0.0 and got["d3"]["dup_frac"] == 0.0
+    assert got["d4"]["top_gram"] == "q q" and got["d4"]["top_frac"] == round(9 / 7, 6)
