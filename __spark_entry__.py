@@ -381,6 +381,18 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_normalize_dedup(spark, sf_dir):
+    """CCNet-style normalization (lowercase, strip punct, collapse
+    whitespace) feeding exact dedup — case/punct/spacing variants
+    collapse under one content hash. The oracle replays the identical
+    normalization chain (the patterns behave the same in Java regex
+    and RE2) and keep-min-id grouping."""
+    from adtk_spark.operators.corpus import dedup_exact_normalized
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact_normalized(docs)
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals: per doc the char
     fraction covered by the most frequent word 2-gram and by all
@@ -1289,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cluster_ad": q_min_cluster,
         "split_by_group": q_split_by_group,
         "repetition_stats": q_repetition_stats,
+        "normalize_dedup": q_normalize_dedup,
     }
 
 
@@ -1791,6 +1804,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # CCNet normalization chain (identical in Java regex and RE2;
+        # DuckDB regexp_replace needs the 'g' flag — Spark is global by
+        # default) + md5 keep-min-id grouping
+        "normalize_dedup": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+              FROM documents
+            )
+            SELECT md5(norm_text) AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM n GROUP BY 1
         """,
         # Gopher repetition signals: explode word 2-grams, count per
         # (doc, gram), top by (cnt DESC, gram ASC), dup chars where

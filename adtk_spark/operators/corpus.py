@@ -812,3 +812,42 @@ def repetition_stats(
             F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """CCNet-style text normalization before hashing/dedup (Wenzek et
+    al. 2020 normalize lowercase+strip-accents+punct; C4 does the
+    same before its three-sentence dedup): lowercase, strip everything
+    but [a-z0-9 ], collapse whitespace runs, trim. Near-identical
+    copies differing only in case/punct/spacing then collapse under
+    EXACT dedup — the cheap pass that removes most boilerplate dups
+    before any MinHash work.
+
+    Pure JVM projection (lower/regexp_replace/trim — whole-stage
+    codegen, no shuffle); the patterns are dialect-portable (same
+    semantics in Java regex and RE2), so the oracle replays them
+    verbatim.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.withColumn(out_col, norm)
+
+
+def dedup_exact_normalized(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup over NORMALIZED content: normalize_text -> md5
+    groupBy keeping the smallest id. Same one-shuffle 16-bytes/row
+    plan as dedup_exact, but case/punct/whitespace variants collapse."""
+    d = normalize_text(docs, text_col=text_col)
+    return dedup_exact(d, id_col=id_col, text_col="norm_text")

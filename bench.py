@@ -409,6 +409,23 @@ def main():
         pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.7, max_bucket=1000)
         return dedup_groups(pairs, docs, algorithm="stars")
 
+    def _prod_split_by_group(spark_, sf_dir):
+        # production config: xxhash64 LSH pairs + stars CC feed the
+        # group-atomic split (the contract query replays the slower
+        # portable-md5 exact-jaccard oracle path instead)
+        from adtk_spark.operators.corpus import (
+            dedup_groups,
+            minhash_lsh_pairs,
+            split_by_group,
+        )
+
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.7, max_bucket=1000)
+        groups = dedup_groups(pairs, docs, algorithm="stars")
+        return split_by_group(
+            docs.select("doc_id"), groups, test_ratio=0.1, portable=False
+        )
+
     eqs = entrymod.queries()
     extra_fns = {
         "minhash_dedup_prod": _prod_minhash,
@@ -416,6 +433,10 @@ def main():
         "lm_perplexity": eqs.get("lm_perplexity"),
         "asof_join": eqs.get("asof_join"),
         "tier_route_2h": eqs.get("tier_route_2h"),
+        "m4_downsample_15m": eqs.get("m4_downsample_15m"),
+        "repetition_stats": eqs.get("repetition_stats"),
+        "split_by_group_prod": _prod_split_by_group,
+        "min_cluster_ad": eqs.get("min_cluster_ad"),
     }
     extras = {}
     for name, fn in extra_fns.items():

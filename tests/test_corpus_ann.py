@@ -501,3 +501,21 @@ def test_repetition_stats_golden(spark):
     assert got["d3"]["n_grams"] == 0 and got["d3"]["top_gram"] is None
     assert got["d3"]["top_frac"] == 0.0 and got["d3"]["dup_frac"] == 0.0
     assert got["d4"]["top_gram"] == "q q" and got["d4"]["top_frac"] == round(9 / 7, 6)
+
+
+def test_normalize_dedup_collapses_variants(spark):
+    """Case/punctuation/whitespace variants share one normalized hash;
+    genuinely different text does not."""
+    from adtk_spark.operators.corpus import dedup_exact_normalized, normalize_text
+
+    rows = [
+        ("d1", "Hello, World!"),
+        ("d2", "hello   world"),
+        ("d3", "HELLO WORLD."),
+        ("d4", "goodbye world"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    norm = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert norm["d1"] == norm["d2"] == norm["d3"] == "hello world"
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact_normalized(df).collect()}
+    assert out == {"d1": 3, "d4": 1}
