@@ -381,6 +381,18 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli sampling (rate 0.3 on doc_id):
+    membership is a pure function of the key, so the oracle replays the
+    identical md5->uniform->threshold filter. The one sampling
+    primitive that is reproducible across runs, retries and cluster
+    sizes at 100 TB."""
+    from adtk_spark.operators.corpus import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, 0.3).select("doc_id", "source")
+
+
 def q_normalize_dedup(spark, sf_dir):
     """CCNet-style normalization (lowercase, strip punct, collapse
     whitespace) feeding exact dedup — case/punct/spacing variants
@@ -1302,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_group": q_split_by_group,
         "repetition_stats": q_repetition_stats,
         "normalize_dedup": q_normalize_dedup,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -1804,6 +1817,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # identical md5->uniform->threshold membership filter
+        "hash_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < 0.3
         """,
         # CCNet normalization chain (identical in Java regex and RE2;
         # DuckDB regexp_replace needs the 'g' flag — Spark is global by

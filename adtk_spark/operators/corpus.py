@@ -851,3 +851,26 @@ def dedup_exact_normalized(
     plan as dedup_exact, but case/punct/whitespace variants collapse."""
     d = normalize_text(docs, text_col=text_col)
     return dedup_exact(d, id_col=id_col, text_col="norm_text")
+
+
+def hash_sample(
+    docs: DataFrame,
+    rate: float,
+    *,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+    portable: bool = True,
+) -> DataFrame:
+    """Deterministic Bernoulli sampling by content-stable hash — the
+    100 TB replacement for ``df.sample()``: membership depends only on
+    (salt, key), so the sample is reproducible across runs, stable
+    under repartitioning/retries, composable (nested rates with
+    different salts are independent), and incrementally consistent
+    (new rows don't reshuffle old members — the property RNG-based
+    sampling loses on every re-run). Pure filter projection: no
+    shuffle, pushes past column pruning.
+    """
+    h = _hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col)), portable)
+    span = float(1 << 60) if portable else float(1 << 64)
+    u = (h / F.lit(span)) if portable else (h / F.lit(span) + F.lit(0.5))
+    return docs.where(u < F.lit(rate))

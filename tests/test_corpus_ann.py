@@ -519,3 +519,25 @@ def test_normalize_dedup_collapses_variants(spark):
     assert norm["d1"] == norm["d2"] == norm["d3"] == "hello world"
     out = {r["keep_id"]: r["n_copies"] for r in dedup_exact_normalized(df).collect()}
     assert out == {"d1": 3, "d4": 1}
+
+
+def test_hash_sample_deterministic_and_composable(spark):
+    """Same (salt, key) -> same members on every run and partitioning;
+    different salts are independent; rate is approximately honored."""
+    from adtk_spark.operators.corpus import hash_sample
+
+    import pyspark.sql.functions as F
+
+    docs = spark.range(2000).select(
+        F.concat(F.lit("doc"), F.col("id")).alias("doc_id"))
+    s1 = {r["doc_id"] for r in hash_sample(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs.repartition(17), 0.2).collect()}
+    assert s1 == s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+    # monotone in rate: a wider sample contains the narrower one
+    s3 = {r["doc_id"] for r in hash_sample(docs, 0.5).collect()}
+    assert s1 <= s3
+    # a different salt draws an (approximately) independent sample
+    s4 = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="other").collect()}
+    inter = len(s1 & s4) / 2000
+    assert 0.01 < inter < 0.09  # ~0.04 expected
