@@ -381,6 +381,21 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_cusum_ad(spark, sf_dir):
+    """Two-sided CUSUM changepoint detector in its window-native closed
+    form (prefix sum minus running min — no recursion, no UDF). mu and
+    sigma come from DECIMAL-exact sums; the per-source cumsum chains
+    evaluate in a fixed sequential order on both engines, so sp/sm are
+    bit-identical to the SQL replay."""
+    from adtk_spark.operators.detectors import cusum_ad
+
+    s = _series(spark, sf_dir)
+    out = cusum_ad(s, k_sigmas=0.5, h_sigmas=5.0)
+    return out.select(
+        "source", "ts",
+        F.round("sp", 6).alias("sp"), F.round("sm", 6).alias("sm"), "label")
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli sampling (rate 0.3 on doc_id):
     membership is a pure function of the key, so the oracle replays the
@@ -1315,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "normalize_dedup": q_normalize_dedup,
         "hash_sample": q_hash_sample,
+        "cusum_ad": q_cusum_ad,
     }
 
 
@@ -1817,6 +1833,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # CUSUM closed form: P_t - min(0, running-min P) over prefix
+        # sums of (x - mu - k); mu/sigma from DECIMAL-exact sums with
+        # the identical expression tree as cusum_ad_fit
+        "cusum_ad": _DEDUP_CTE + """
+            , m0 AS (
+              SELECT source,
+                     CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(value*value AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+                     count(value) AS n
+              FROM d GROUP BY source
+            ), m1 AS (
+              SELECT source, s1 / n AS mu, s2, n FROM m0
+            ), m AS (
+              SELECT source, mu,
+                     sqrt(greatest((s2 - mu*mu*n) / (n-1), 0e0)) AS sigma
+              FROM m1
+            ), c AS (
+              SELECT d.source, d.ts, d.value, m.sigma,
+                     sum(d.value - m.mu - 0.5*m.sigma) OVER wc AS pp,
+                     sum(m.mu - 0.5*m.sigma - d.value) OVER wc AS pm
+              FROM d JOIN m USING (source)
+              WINDOW wc AS (PARTITION BY d.source ORDER BY d.ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), s AS (
+              SELECT source, ts, value, sigma,
+                     pp - least(0e0, min(pp) OVER wc) AS sp,
+                     pm - least(0e0, min(pm) OVER wc) AS sm
+              FROM c
+              WINDOW wc AS (PARTITION BY source ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT source, ts, round(sp, 6) AS sp, round(sm, 6) AS sm,
+                   CASE WHEN value IS NULL THEN NULL
+                        ELSE CAST(sp > 5.0*sigma OR sm > 5.0*sigma
+                                  AS DOUBLE) END AS label
+            FROM s
         """,
         # identical md5->uniform->threshold membership filter
         "hash_sample": """

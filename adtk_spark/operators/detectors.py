@@ -147,6 +147,100 @@ def _fit_kw(kw):
 
 
 # ---------------------------------------------------------------------------
+# CUSUM changepoint detector (Page 1954) — window-native form
+# ---------------------------------------------------------------------------
+
+def cusum_ad_fit(
+    train: DataFrame,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-source reference statistics for CUSUM: mean and sample std
+    from DECIMAL(38,9)-exact sums (order-independent, so mu/sigma are
+    bit-identical at any parallelism — the engine's standing float
+    policy). Tiny (n_sources x 3) model table.
+    """
+    v = F.col(value_col)
+    m0 = train.groupBy(source_col).agg(
+        F.sum(v.cast("decimal(38,9)")).cast("double").alias("_s1"),
+        F.sum((v * v).cast("decimal(38,9)")).cast("double").alias("_s2"),
+        F.count(v).alias("_n"),
+    )
+    mu = F.col("_s1") / F.col("_n")
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("_s2") - mu * mu * F.col("_n")) / (F.col("_n") - 1), F.lit(0.0)
+        )
+    )
+    return m0.select(
+        source_col, mu.alias("mu"), sigma.alias("sigma"), F.col("_n").alias("_n_valid")
+    )
+
+
+def cusum_ad_detect(
+    df: DataFrame,
+    model: DataFrame,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 5.0,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """Two-sided CUSUM: the textbook recursion
+    ``S+_t = max(0, S+_{t-1} + x_t - mu - k)`` looks inherently
+    sequential, but has the closed form
+    ``S+_t = P_t - min(0, min_{j<=t} P_j)`` over the prefix sums
+    ``P_t = cumsum(x - mu - k)`` — i.e. one running SUM plus one
+    running MIN window, fully distributed, no recursion, no UDF
+    (S- symmetrically over ``mu - k - x``). Label = S+ or S- above
+    ``h = h_sigmas * sigma``; NULL inputs yield NULL labels and are
+    transparent to the cumsums (SUM/MIN skip NULLs on both engines).
+
+    Both cumulative windows share one (source, ts) Exchange+Sort; the
+    per-row chain is evaluated in a fixed sequential order on both
+    engines, so ``sp``/``sm`` are bit-identical to a SQL replay.
+    """
+    j = df.join(F.broadcast(model), source_col)
+    v = F.col(value_col)
+    k = F.lit(float(k_sigmas)) * F.col("sigma")
+    h = F.lit(float(h_sigmas)) * F.col("sigma")
+    wc = Window.partitionBy(source_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    j2 = j.withColumn("_pp", F.sum(v - F.col("mu") - k).over(wc)).withColumn(
+        "_pm", F.sum(F.col("mu") - k - v).over(wc)
+    )
+    # materialize sp/sm ONCE: WindowExec does not dedupe identical
+    # window expressions, so referencing them twice (output + label)
+    # would double the running-min buffers
+    j3 = j2.select(
+        "*",
+        (F.col("_pp") - F.least(F.lit(0.0), F.min("_pp").over(wc))).alias("sp"),
+        (F.col("_pm") - F.least(F.lit(0.0), F.min("_pm").over(wc))).alias("sm"),
+    )
+    label = F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+        (F.col("sp") > h) | (F.col("sm") > h)
+    )
+    return j3.select(
+        source_col,
+        ts_col,
+        value_col,
+        "sp",
+        "sm",
+        _as_double(label).alias(out_col),
+    )
+
+
+def cusum_ad(df, k_sigmas: float = 0.5, h_sigmas: float = 5.0, **kw):
+    """fit_detect convenience: reference stats from the same series."""
+    fit_kw = _fit_kw(kw)
+    return cusum_ad_detect(df, cusum_ad_fit(df, **fit_kw), k_sigmas, h_sigmas, **kw)
+
+
+# ---------------------------------------------------------------------------
 # GeneralizedESDTestAD
 # ---------------------------------------------------------------------------
 

@@ -121,3 +121,42 @@ def test_seasonal_ad(spark, case):
     _, values, kwargs, expected = case
     out = D.seasonal_ad(series_df(spark, values), **kwargs)
     assert_series(out, "label", expected)
+
+
+def test_cusum_matches_recursion(spark):
+    """Window-native CUSUM (prefix-sum minus running-min closed form)
+    equals the textbook max(0, S + dev) recursion point-for-point, and
+    flags the mean shift."""
+    import datetime as dt
+
+    from adtk_spark.operators.detectors import cusum_ad, cusum_ad_fit
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.0,
+            13.0, 13.5, 13.2, 12.9, 13.1, 13.4, 12.8, 13.0]
+    rows = [("s", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    # whole-series fit: verify the closed form == the recursion exactly
+    model = cusum_ad_fit(df).collect()[0]
+    mu, sigma = model["mu"], model["sigma"]
+    k, h = 0.5 * sigma, 2.0 * sigma
+    sp = sm = 0.0
+    exp = []
+    for v in vals:
+        sp = max(0.0, sp + v - mu - k)
+        sm = max(0.0, sm + mu - k - v)
+        exp.append((sp, sm, 1.0 if (sp > h or sm > h) else 0.0))
+    got = [(r["sp"], r["sm"], r["label"]) for r in
+           cusum_ad(df, k_sigmas=0.5, h_sigmas=2.0).orderBy("ts").collect()]
+    for (gsp, gsm, gl), (esp, esm, el) in zip(got, exp):
+        assert abs(gsp - esp) < 1e-9 and abs(gsm - esm) < 1e-9 and gl == el
+    # proper usage: fit on the clean train prefix, detect on the full
+    # series — pre-shift rows stay quiet, the shift is flagged
+    from adtk_spark.operators.detectors import cusum_ad_detect
+
+    train = df.limit(8)
+    out = [r["label"] for r in
+           cusum_ad_detect(df, cusum_ad_fit(train), 0.5, 4.0)
+           .orderBy("ts").collect()]
+    assert all(l == 0.0 for l in out[:8])
+    assert any(l == 1.0 for l in out[8:])
