@@ -381,6 +381,16 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_robust_zscore_ad(spark, sf_dir):
+    """Median/MAD robust z-score rule (Iglewicz-Hoaglin): both exact
+    quantiles use the engine's DuckDB-exact type-7 interpolation, and
+    the threshold associates z*(1.4826*mad) with plain decimal
+    literals on both sides."""
+    from adtk_spark.operators.detectors import robust_zscore_ad
+
+    return _quantile_like(spark, sf_dir, robust_zscore_ad, dict(z=3.5))
+
+
 def q_cusum_ad(spark, sf_dir):
     """Two-sided CUSUM changepoint detector in its window-native closed
     form (prefix sum minus running min — no recursion, no UDF). mu and
@@ -1331,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_dedup": q_normalize_dedup,
         "hash_sample": q_hash_sample,
         "cusum_ad": q_cusum_ad,
+        "robust_zscore_ad": q_robust_zscore_ad,
     }
 
 
@@ -1833,6 +1844,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # median/MAD with the same quantile_cont parity as quantile_ad;
+        # threshold literal association mirrored: z * (1.4826 * mad)
+        "robust_zscore_ad": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), m AS (
+              SELECT e.event_type AS source,
+                     any_value(b.med) AS med,
+                     quantile_cont(abs(e.value - b.med), 0.5) AS mad
+              FROM events e JOIN b ON e.event_type = b.source
+              GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type AS source, e.ts, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE CAST(abs(e.value - m.med)
+                                  > 3.5e0 * (1.4826e0 * m.mad)
+                                  AS DOUBLE) END AS label
+            FROM events e JOIN m ON e.event_type = m.source
         """,
         # CUSUM closed form: P_t - min(0, running-min P) over prefix
         # sums of (x - mu - k); mu/sigma from DECIMAL-exact sums with

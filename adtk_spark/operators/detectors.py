@@ -147,6 +147,67 @@ def _fit_kw(kw):
 
 
 # ---------------------------------------------------------------------------
+# Robust z-score (median / MAD) detector
+# ---------------------------------------------------------------------------
+
+def robust_zscore_ad_fit(
+    train: DataFrame,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Median + MAD per source (Iglewicz & Hoaglin's robust outlier
+    rule — the breakdown-point-0.5 sibling of adtk's quantile rules;
+    mean/std-based rules are themselves dragged by the outliers they
+    hunt). Two exact-quantile passes (median, then median absolute
+    deviation) with the engine's DuckDB-exact type-7 interpolation;
+    the intermediate median joins back as a broadcast.
+    """
+    v = F.col(value_col)
+    med = train.groupBy(source_col).agg(
+        exact_quantile_agg(v, 0.5).alias("med"), F.count(v).alias("_n_valid")
+    )
+    j = train.join(F.broadcast(med), source_col)
+    return j.groupBy(source_col).agg(
+        F.min("med").alias("med"),
+        exact_quantile_agg(F.abs(v - F.col("med")), 0.5).alias("mad"),
+        F.min("_n_valid").alias("_n_valid"),
+    )
+
+
+def robust_zscore_ad_detect(
+    df: DataFrame,
+    model: DataFrame,
+    z: float = 3.5,
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """label = |x - med| > z * (1.4826 * mad); NULL in -> NULL out.
+    1.4826 is the normal-consistency constant (sigma estimate from
+    MAD); the multiplication associates (z * (c * mad)) so a SQL
+    replay with the same decimal literals is bit-identical. A zero MAD
+    (>50% constant values) flags any deviation — the rule's
+    documented breakdown behavior.
+    """
+    v = F.col(value_col)
+    joined = df.join(F.broadcast(model), source_col)
+    thresh = F.lit(float(z)) * (F.lit(1.4826) * F.col("mad"))
+    label = F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.abs(v - F.col("med")) > thresh
+    )
+    return joined.select(
+        *df.columns, _as_double(label).alias(out_col)
+    )
+
+
+def robust_zscore_ad(df, z: float = 3.5, **kw):
+    """fit_detect convenience."""
+    return robust_zscore_ad_detect(df, robust_zscore_ad_fit(df, **_fit_kw(kw)), z, **kw)
+
+
+# ---------------------------------------------------------------------------
 # CUSUM changepoint detector (Page 1954) — window-native form
 # ---------------------------------------------------------------------------
 

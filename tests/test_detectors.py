@@ -160,3 +160,32 @@ def test_cusum_matches_recursion(spark):
            .orderBy("ts").collect()]
     assert all(l == 0.0 for l in out[:8])
     assert any(l == 1.0 for l in out[8:])
+
+
+def test_robust_zscore_vs_numpy(spark):
+    """Median/MAD rule equals the numpy re-derivation, and is immune to
+    the contamination that drags a mean/std rule (the outlier inflates
+    std enough to hide itself at z=3.5 but cannot move the MAD)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from adtk_spark.operators.detectors import robust_zscore_ad
+
+    rng = np.random.RandomState(3)
+    vals = list(10.0 + rng.randn(60).round(3))
+    vals[30] = 200.0  # one gross outlier
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = [r["label"] for r in robust_zscore_ad(df, z=3.5).orderBy("ts").collect()]
+
+    a = np.array(vals)
+    med = np.quantile(a, 0.5)  # type-7, matches exact_quantile_agg
+    mad = np.quantile(np.abs(a - med), 0.5)
+    exp = (np.abs(a - med) > 3.5 * (1.4826 * mad)).astype(float)
+    assert got == list(exp)
+    assert got[30] == 1.0
+    # the mean/std z-score would NOT flag it at the same z on this data
+    z_classic = abs(a[30] - a.mean()) / a.std(ddof=1)
+    assert z_classic < 8  # grossly deflated vs the robust score
