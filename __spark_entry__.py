@@ -381,6 +381,19 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_rollup_distinct_1h(spark, sf_dir):
+    """Exact distinct-user tier (unique user_id per event_type x hour):
+    Catalyst's two-phase partial-distinct expand; the mergeable HLL
+    variant (rollup_distinct_sketch/_up) covers the scale where the
+    key-level re-scan is the bottleneck."""
+    from adtk_spark.plans.tiers import rollup_distinct
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    return rollup_distinct(ev, "1h")
+
+
 def q_robust_zscore_ad(spark, sf_dir):
     """Median/MAD robust z-score rule (Iglewicz-Hoaglin): both exact
     quantiles use the engine's DuckDB-exact type-7 interpolation, and
@@ -1342,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "cusum_ad": q_cusum_ad,
         "robust_zscore_ad": q_robust_zscore_ad,
+        "rollup_distinct_1h": q_rollup_distinct_1h,
     }
 
 
@@ -1844,6 +1858,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # exact distinct-user tier
+        "rollup_distinct_1h": """
+            SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                   count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY 1, 2
         """,
         # median/MAD with the same quantile_cont parity as quantile_ad;
         # threshold literal association mirrored: z * (1.4826 * mad)

@@ -226,3 +226,42 @@ def test_m4_downsample_random_vs_reference(spark):
     got = {(r["source"], r["ts"], r["value"])
            for r in m4_downsample(df, "1 hour").collect()}
     assert got == _m4_pandas(rows, 3600)
+
+
+def test_distinct_tiers_exact_and_sketch(spark):
+    """Exact distinct rollup matches a python set re-derivation; the
+    HLL sketch tier estimates within 3% and its upward union matches
+    re-sketching at the coarse tier within estimator tolerance
+    (union may coupon-merge in a different internal order, so the two
+    estimates can differ by a count or two — never materially)."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.plans.tiers import (
+        rollup_distinct,
+        rollup_distinct_sketch,
+        rollup_distinct_up,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for i in range(20000):
+        rows.append(("s", t0 + dt.timedelta(seconds=i * 4),
+                     f"user{i % 3000 if i % 2 else (i * 7) % 5000}"))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, user_id string")
+    exact = {r["bucket_ts"]: r["n_distinct"]
+             for r in rollup_distinct(df, "1h").collect()}
+    import collections
+    sets = collections.defaultdict(set)
+    for s, ts, u in rows:
+        sets[ts.replace(minute=0, second=0)].add(u)
+    assert exact == {k: len(v) for k, v in sets.items()}
+
+    sk1m = rollup_distinct_sketch(df, "1m")
+    sk1h_up = rollup_distinct_up(sk1m, "1h")
+    up = {r["bucket_ts"]: r["n_distinct_est"] for r in sk1h_up.collect()}
+    direct = {r["bucket_ts"]: r["n_distinct_est"]
+              for r in rollup_distinct_sketch(df, "1h").collect()}
+    for b, n in exact.items():
+        assert abs(up[b] - direct[b]) / n < 0.01
+        assert abs(up[b] - n) / n < 0.03
+        assert abs(direct[b] - n) / n < 0.03
