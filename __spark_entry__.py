@@ -381,6 +381,45 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_ewma(spark, sf_dir):
+    """Bounded-window EWMA (FIR form of pandas ewm(adjust=True) with
+    ignore-na renormalization): W lag terms summed left-to-right; the
+    oracle is GENERATED with the identical shortest-repr weight
+    literals and the identical CASE/add chain, so the doubles match
+    bit-for-bit."""
+    from adtk_spark.operators.transformers import ewma
+
+    s = _series(spark, sf_dir)
+    out = ewma(s, alpha=0.2, window=8)
+    return out.select("source", "ts", F.round("ewma", 6).alias("ewma"))
+
+
+def _ewma_oracle_sql(alpha: float = 0.2, window: int = 8) -> str:
+    """Replay ewma() term-for-term: same weights (shortest-repr double
+    literals), same left-assoc add chain, same NULL renormalization."""
+    lags = [
+        f"lag(value, {j}) OVER (PARTITION BY source ORDER BY ts) AS x{j}"
+        for j in range(1, window)
+    ]
+    num, den = [], []
+    for j in range(window):
+        wj = float((1.0 - alpha) ** j)
+        x = "value" if j == 0 else f"x{j}"
+        num.append(f"CASE WHEN {x} IS NOT NULL THEN {wj!r}e0 * {x} ELSE 0e0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL THEN {wj!r}e0 ELSE 0e0 END")
+    return (
+        ", l AS (SELECT source, ts, value, "
+        + ", ".join(lags)
+        + " FROM d) SELECT source, ts, round(CASE WHEN ("
+        + " + ".join(den)
+        + ") > 0e0 THEN ("
+        + " + ".join(num)
+        + ") / ("
+        + " + ".join(den)
+        + ") END, 6) AS ewma FROM l"
+    )
+
+
 def q_rollup_distinct_1h(spark, sf_dir):
     """Exact distinct-user tier (unique user_id per event_type x hour):
     Catalyst's two-phase partial-distinct expand; the mergeable HLL
@@ -1356,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_ad": q_cusum_ad,
         "robust_zscore_ad": q_robust_zscore_ad,
         "rollup_distinct_1h": q_rollup_distinct_1h,
+        "ewma": q_ewma,
     }
 
 
@@ -2366,6 +2406,8 @@ def oracle_sql() -> dict[str, str]:
             FROM x JOIN b USING (source)
         """,
         "esd_ad": _esd_oracle_sql(),
+        # generated replay: identical weight literals + add chains
+        "ewma": _DEDUP_CTE + _ewma_oracle_sql(alpha=0.2, window=8),
         "or_and_labels": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS ts,

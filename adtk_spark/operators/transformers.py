@@ -79,6 +79,56 @@ def hist_bins(
     return [float(e) for e in edges]
 
 
+def ewma(
+    df: DataFrame,
+    alpha: float = 0.2,
+    window: int = 16,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average, bounded-window exact form
+    (pandas ``ewm(alpha, adjust=True, ignore_na=False)`` truncated to
+    the last ``window`` points): y_t = sum_j w_j x_{t-j} / sum_j w_j
+    with w_j = (1-alpha)^j by ROW distance (absolute-position weights,
+    the pandas default), NULL terms excluded from BOTH sums. The
+    truncation bias is (1-alpha)^W —
+    at the defaults 0.8^16 ~ 2.8%, and each unit of W cuts it by
+    (1-alpha); choose W for the precision the consumer needs.
+
+    Why bounded: the unbounded recursion y = a*x + (1-a)*y carries
+    state across every row (fine in streaming; see the stateful
+    operators), but as a batch column it needs either a sequential
+    scan or an overflow-prone prefix rescaling. The FIR form is W lag
+    terms summed left-to-right — pure codegen over ONE (source, ts)
+    sort, deterministic at any parallelism, and a SQL engine replays
+    it term-for-term (weights are shortest-repr double literals that
+    parse to identical IEEE values everywhere).
+    """
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    # materialize each lag ONCE (WindowExec does not dedupe identical
+    # window expressions; each lag is referenced 4x below)
+    lagged = df.select(
+        "*",
+        *[F.lag(value_col, j).over(w).alias(f"_x{j}") for j in range(1, window)],
+    )
+    num = None
+    den = None
+    for j in range(window):
+        wj = float((1.0 - alpha) ** j)
+        xj = F.col(value_col) if j == 0 else F.col(f"_x{j}")
+        t = F.when(xj.isNotNull(), F.lit(wj) * xj).otherwise(F.lit(0.0))
+        d = F.when(xj.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    out = F.when(den > 0, num / den)
+    return lagged.select("*", out.alias(out_col)).drop(
+        *[f"_x{j}" for j in range(1, window)]
+    )
+
+
 # ---------------------------------------------------------------------------
 # ClassicSeasonalDecomposition
 # ---------------------------------------------------------------------------

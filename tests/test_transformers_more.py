@@ -140,3 +140,35 @@ def test_seasonal_trend_per_source_freq(spark):
                 assert g is None
             else:
                 assert abs(g - e) < 1e-9, (s, g, e)
+
+
+def test_ewma_matches_pandas_bounded(spark):
+    """Bounded-window EWMA equals pandas ewm(adjust=True, ignore_na)
+    exactly when the series is shorter than the window, and within the
+    documented (1-alpha)^W truncation bias on longer series; NULLs are
+    renormalized out of both sums."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from adtk_spark.operators.transformers import ewma
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [3.0, 1.0, None, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0]
+    rows = [("s", t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    # window >= len(series): exact pandas equality (ignore_na=False =
+    # absolute-position weights, NaN excluded from both sums — the
+    # pandas default and our row-distance form)
+    got = [r["ewma"] for r in
+           ewma(df, alpha=0.3, window=16).orderBy("ts").collect()]
+    exp = (pd.Series([np.nan if v is None else v for v in vals])
+           .ewm(alpha=0.3, adjust=True, ignore_na=False).mean())
+    for g, e in zip(got, exp):
+        assert g is not None and abs(g - e) < 1e-12
+    # truncated window: bias bounded by (1-alpha)^W
+    got8 = [r["ewma"] for r in
+            ewma(df, alpha=0.3, window=4).orderBy("ts").collect()]
+    for g, e in zip(got8, exp):
+        assert abs(g - e) <= 0.7 ** 4 * 10 + 1e-12
