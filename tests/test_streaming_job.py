@@ -609,3 +609,62 @@ def test_rollup_job_route_q_sketch(spark, tmp_path, capsys):
         main(["--catalog", cat2, "--cores", "4", "--route", "7200",
               "--route-q", "0.5"])
     capsys.readouterr()
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """Fit CUSUM reference stats batch-side, stream the same series in
+    3 event-time chunks, and demand point parity with the batch
+    closed-form detector: labels exactly, sp/sm to float-associativity
+    tolerance (the carry-in regroups the prefix-sum association at
+    chunk boundaries; error is ulp-scale of the running prefix sums)."""
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.operators.detectors import cusum_ad_detect, cusum_ad_fit
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.stateful import streaming_cusum_ad
+    from pyspark.sql import functions as F
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 3000, n_sources=6, seed=47,
+                                  span_secs=5400,
+                                  start="2025-03-01 00:00:00"))).cache()
+    model = cusum_ad_fit(raw)
+    batch = {
+        (r["source"], r["ts"]): (r["sp"], r["sm"], r["label"])
+        for r in cusum_ad_detect(raw, model, 0.5, 3.0).collect()
+    }
+
+    lo, hi = raw.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.333) p1",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.667) p2",
+    ).first()
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [raw.where(mic <= lo), raw.where((mic > lo) & (mic <= hi)),
+              raw.where(mic > hi)]
+
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in chunks:
+        ch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src_dir)
+        labeled = streaming_cusum_ad(stream, model, 0.5, 3.0)
+        q = (labeled.writeStream.outputMode("append")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+
+    got = {
+        (r["source"], r["ts"]): (r["sp"], r["sm"], r["label"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == set(batch)
+    n_anom = 0
+    for key, (bsp, bsm, bl) in batch.items():
+        gsp, gsm, gl = got[key]
+        # regrouping error is ulp-scale of the RUNNING PREFIX SUMS
+        # (which reach ~1e5 here), not of sp/sm themselves: 1e-6 is
+        # ~9 orders below the h threshold scale
+        assert abs(gsp - bsp) <= 1e-6 and abs(gsm - bsm) <= 1e-6, key
+        assert gl == bl, key
+        n_anom += bl == 1.0
+    assert n_anom > 0  # the check is non-vacuous
