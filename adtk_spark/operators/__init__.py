@@ -10,16 +10,28 @@ from .detectors import (  # noqa: F401
     seasonal_ad,
 )
 from .transformers import (  # noqa: F401
+    ewma,
     standard_scale,
     retrospect,
     sum_all,
     seasonal_fit,
     seasonal_transform,
 )
-from .detectors import esd_ad, iqr_ad, quantile_ad  # noqa: F401
+from .detectors import (  # noqa: F401
+    cusum_ad,
+    cusum_ad_detect,
+    cusum_ad_fit,
+    esd_ad,
+    iqr_ad,
+    quantile_ad,
+    robust_zscore_ad,
+    robust_zscore_ad_detect,
+    robust_zscore_ad_fit,
+)
 from .data import one_hot, split_train_test, validate_series  # noqa: F401
 from .hd import (  # noqa: F401
     min_cluster_ad,
+    min_cluster_ad_portable,
     outlier_detector,
     pca_ad,
     pca_fit,
@@ -57,7 +69,9 @@ from .metrics import (  # noqa: F401
 )
 from .corpus import (  # noqa: F401
     dedup_exact,
+    dedup_exact_normalized,
     doc_quality,
+    hash_sample,
     fingerprint,
     lang_id,
     lm_unigram_fit,
@@ -66,8 +80,11 @@ from .corpus import (  # noqa: F401
     md5_hash64,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    normalize_text,
+    repetition_stats,
     simhash,
     simhash_dup_pairs,
+    split_by_group,
     token_count,
 )
 from .ann import (  # noqa: F401
