@@ -80,6 +80,12 @@ def main(argv=None):
                         "serve this RAW-distribution quantile by "
                         "re-merging the routed tier's t-digests "
                         "(route_rollup_sketch)")
+    p.add_argument("--m4", default=None, metavar="WIDTH",
+                   help="with --route: M4-downsample the routed mean "
+                        "series to WIDTH pixel columns (e.g. '15 minutes') "
+                        "— the dashboard serve path (route to the coarsest "
+                        "dividing tier, then keep only first/last/min/max "
+                        "per column)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -252,6 +258,17 @@ def main(argv=None):
                 "q": args.route_q, "rows": int(qrow["n"]),
                 "avg_vq": (round(float(qrow["avg_vq"]), 6)
                            if qrow["avg_vq"] is not None else None),
+            }
+
+        if args.m4:
+            from adtk_spark.plans.tiers import m4_downsample, tier_series
+
+            series = tier_series(routed, "mean")
+            pts = m4_downsample(series, args.m4)
+            report["route"]["m4"] = {
+                "width": args.m4,
+                "rows_in": report["route"]["rows"],
+                "rows_out": pts.count(),
             }
 
     report["wall_sec"] = round(time.time() - t0, 2)

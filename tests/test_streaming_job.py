@@ -123,6 +123,13 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
           "--route", f"60,{cutoff.isoformat()}"])
     rep4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep4["route"]["served_by"] == "1m" and rep4["route"]["rows"] > 0
+    # M4 dashboard serve path on top of the routed tier: <=4 points per
+    # source per pixel column, strictly fewer rows out than in
+    main(["--catalog", cat, "--cores", "4", "--route", "7200",
+          "--m4", "12 hours"])
+    rep4b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    m4 = rep4b["route"]["m4"]
+    assert 0 < m4["rows_out"] < m4["rows_in"]
     # unbounded 1m query after retention vacuumed old 1m buckets: no
     # tier both divides 60s and covers ALL history — the router must
     # refuse loudly, not silently truncate at the retention cutoff
