@@ -381,6 +381,20 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-batch sequence packing: per-source contiguous layout of
+    word counts into 512-token bins via one integer prefix sum — no
+    doubles anywhere, so the oracle (same window cumsum + mod
+    arithmetic) matches exactly at any parallelism."""
+    from adtk_spark.operators.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    return pack_sequences(d, max_tokens=512)
+
+
 def q_ewma(spark, sf_dir):
     """Bounded-window EWMA (FIR form of pandas ewm(adjust=True) with
     ignore-na renormalization): W lag terms summed left-to-right; the
@@ -1396,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_zscore_ad": q_robust_zscore_ad,
         "rollup_distinct_1h": q_rollup_distinct_1h,
         "ewma": q_ewma,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1898,6 +1913,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # integer prefix-sum packing: same window cumsum + mod arithmetic
+        "pack_sequences": """
+            WITH dd AS (
+              SELECT source, doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents
+            ), s AS (
+              SELECT source, doc_id, n_tok,
+                     CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS BIGINT) AS start
+              FROM dd
+            )
+            SELECT source, doc_id, n_tok,
+                   CAST((start - (start % 512)) / 512 AS BIGINT) AS bin_id,
+                   CAST(start % 512 AS BIGINT) AS bin_offset
+            FROM s
         """,
         # exact distinct-user tier
         "rollup_distinct_1h": """

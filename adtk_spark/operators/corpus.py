@@ -15,7 +15,7 @@ bucket-join pipeline; candidate verification joins only within buckets
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
@@ -874,3 +874,46 @@ def hash_sample(
     span = float(1 << 60) if portable else float(1 << 64)
     u = (h / F.lit(span)) if portable else (h / F.lit(span) + F.lit(0.5))
     return docs.where(u < F.lit(rate))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    *,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    source_col: str = "source",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing for pretraining batches: lay the
+    per-source documents out in a deterministic order (``order_col``,
+    default the id) as one virtual token stream and cut it into
+    ``max_tokens``-sized bins — each doc gets (bin_id, bin_offset) =
+    where its first token lands. This is the offset-assignment half of
+    training-data packing: downstream writers concatenate each bin and
+    split the (at most one) boundary-crossing document at token level.
+
+    Why this form: true greedy "open a new bin when the doc doesn't
+    fit" packing is a sequential decision chain (bin boundaries depend
+    on every prior choice) — not window-expressible and not stable
+    under re-partitioning. The contiguous form is ONE prefix sum per
+    source over integers: exact, order-stable, replayable by any SQL
+    engine, and its packing efficiency is optimal-by-construction
+    (every bin is exactly full up to the final one per source).
+
+    Plan: one (source, order) window cumsum — integer arithmetic only,
+    no doubles anywhere, so results are hash-identical at any
+    parallelism.
+    """
+    order = order_col or id_col
+    w = Window.partitionBy(source_col).orderBy(order)
+    start = (F.sum(n_tok_col).over(w) - F.col(n_tok_col)).cast("long")
+    off = F.pmod(start, F.lit(int(max_tokens)))
+    bin_id = ((start - off) / F.lit(int(max_tokens))).cast("long")
+    return docs.select(
+        source_col,
+        id_col,
+        F.col(n_tok_col).alias("n_tok"),
+        bin_id.alias("bin_id"),
+        off.alias("bin_offset"),
+    )

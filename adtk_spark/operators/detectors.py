@@ -119,13 +119,19 @@ def apply_bounds(
     value_col: str = "value",
     out_col: str = "label",
     keep_bounds: bool = False,
+    broadcast: bool = True,
 ) -> DataFrame:
-    """Broadcast the per-source bounds table and apply the threshold rule.
+    """Join the per-source bounds table and apply the threshold rule.
 
-    The bounds side is O(n_sources) rows — always broadcastable, so the
-    predict pass never shuffles the big series table.
+    The bounds side is O(n_sources) rows — broadcastable up to ~10^7
+    sources, so the predict pass never shuffles the big series table.
+    Past that (10^8+ sources the driver can't hold), pass
+    ``broadcast=False`` to let AQE pick a shuffle join; if the series
+    side is already hash-partitioned on ``source`` (bucketed tier
+    reads), that join is Exchange-free on the big side.
     """
-    joined = df.join(F.broadcast(bounds), on=source_col, how="left")
+    model = F.broadcast(bounds) if broadcast else bounds
+    joined = df.join(model, on=source_col, how="left")
     label = threshold_label(F.col(value_col), F.col("abs_low"), F.col("abs_high"))
     out = joined.withColumn(out_col, _as_double(label))
     if not keep_bounds:

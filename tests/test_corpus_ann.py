@@ -541,3 +541,30 @@ def test_hash_sample_deterministic_and_composable(spark):
     s4 = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="other").collect()}
     inter = len(s1 & s4) / 2000
     assert 0.01 < inter < 0.09  # ~0.04 expected
+
+
+def test_pack_sequences_invariants(spark):
+    """Contiguous packing: offsets are a gap-free token layout per
+    source (each doc starts where the previous ended), every bin except
+    possibly a source's last is full, and the assignment is stable
+    under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.operators.corpus import pack_sequences
+
+    rows = [("a", f"d{i:03d}", 100 + (i * 37) % 400) for i in range(50)]
+    rows += [("b", f"e{i:03d}", 1 + (i * 7) % 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    out = pack_sequences(df, max_tokens=512).orderBy("source", "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        pos = 0
+        for r in rs:
+            assert r["bin_id"] * 512 + r["bin_offset"] == pos, (src, r)
+            pos += r["n_tok"]
+        # bins are full up to the last: every bin id up to the max is hit
+        assert {r["bin_id"] for r in rs} == set(range(max(r["bin_id"] for r in rs) + 1))
+    out2 = pack_sequences(df.repartition(11), max_tokens=512)
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out}
