@@ -81,6 +81,7 @@ from .corpus import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     normalize_text,
+    pack_sequences,
     repetition_stats,
     simhash,
     simhash_dup_pairs,
