@@ -381,6 +381,18 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_rollup_topk_1h(spark, sf_dir):
+    """Exact heavy hitters per tier bucket: top-3 users by event count
+    per (event_type, hour), ties broken (count DESC, user ASC) on both
+    sides — integer counts only, so the hash is parallelism-proof."""
+    from adtk_spark.plans.tiers import rollup_topk
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    return rollup_topk(ev, "1h", k=3)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-batch sequence packing: per-source contiguous layout of
     word counts into 512-token bins via one integer prefix sum — no
@@ -1411,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_distinct_1h": q_rollup_distinct_1h,
         "ewma": q_ewma,
         "pack_sequences": q_pack_sequences,
+        "rollup_topk_1h": q_rollup_topk_1h,
     }
 
 
@@ -1913,6 +1926,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # exact heavy hitters with deterministic tie-breaks
+        "rollup_topk_1h": """
+            WITH c AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                     user_id AS key, count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3
+            )
+            SELECT source, bucket_ts, key, cnt, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY source, bucket_ts
+                        ORDER BY cnt DESC, key ASC) AS rank
+              FROM c
+            ) WHERE rank <= 3
         """,
         # integer prefix-sum packing: same window cumsum + mod arithmetic
         "pack_sequences": """

@@ -301,6 +301,40 @@ def rollup_distinct(
     )
 
 
+def rollup_topk(
+    df: DataFrame,
+    tier: str = "1h",
+    k: int = 3,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Exact heavy hitters per (source, bucket): the top-``k`` keys by
+    row count with deterministic tie-breaks (count DESC, key ASC).
+    Two-phase plan: counts collapse map-side on (source, bucket, key)
+    — ONE shuffle carries at most one row per distinct key per bucket —
+    then a rank window over the (small) per-bucket count rows. At the
+    10^12-row regime where even the distinct-key level is too wide,
+    cap the key space first (hash_sample on the key) or maintain a
+    Misra-Gries summary in the streaming path; this operator is the
+    exact serving-layer form.
+    """
+    trunc = TIER_INTERVALS[tier]
+    counts = df.groupBy(
+        source_col,
+        F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+        F.col(key_col).alias("key"),
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(source_col, "bucket_ts").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def rollup_distinct_sketch(
     df: DataFrame,
     tier: str = "1m",

@@ -265,3 +265,26 @@ def test_distinct_tiers_exact_and_sketch(spark):
         assert abs(up[b] - direct[b]) / n < 0.01
         assert abs(up[b] - n) / n < 0.03
         assert abs(direct[b] - n) / n < 0.03
+
+
+def test_rollup_topk_ties_and_rank(spark):
+    """Top-k heavy hitters: deterministic (count DESC, key ASC) ties,
+    at most k rows per bucket, counts exact."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.plans.tiers import rollup_topk
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    # bucket 1: u1 x3, u2 x2, u3 x2, u4 x1 -> top3 = u1, u2, u3
+    for i, u in enumerate(["u1", "u1", "u1", "u2", "u2", "u3", "u3", "u4"]):
+        rows.append(("s", t0 + dt.timedelta(minutes=i), u))
+    # bucket 2: all tied at 1 -> lexicographic ties
+    for i, u in enumerate(["z", "y", "x", "w"]):
+        rows.append(("s", t0 + dt.timedelta(hours=1, minutes=i), u))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, user_id string")
+    out = rollup_topk(df, "1h", k=3).orderBy("bucket_ts", "rank").collect()
+    b1 = [(r["key"], r["cnt"], r["rank"]) for r in out if r["bucket_ts"].hour == 0]
+    b2 = [(r["key"], r["cnt"], r["rank"]) for r in out if r["bucket_ts"].hour == 1]
+    assert b1 == [("u1", 3, 1), ("u2", 2, 2), ("u3", 2, 3)]
+    assert b2 == [("w", 1, 1), ("x", 1, 2), ("y", 1, 3)]
