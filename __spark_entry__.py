@@ -381,6 +381,18 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_gap_report(spark, sf_dir):
+    """Missing-bucket ingest monitoring: maximal runs of absent hourly
+    buckets per source (spine anti-join + gaps-and-islands); the oracle
+    replays generate_series + ANTI JOIN + the same row_number grouping
+    arithmetic."""
+    from adtk_spark.plans.gapfill import gap_report
+
+    s = _series(spark, sf_dir)
+    hourly = s.select("source", F.date_trunc("hour", F.col("ts")).alias("ts")).distinct()
+    return gap_report(hourly, "1 hour")
+
+
 def q_rollup_topk_1h(spark, sf_dir):
     """Exact heavy hitters per tier bucket: top-3 users by event count
     per (event_type, hour), ties broken (count DESC, user ASC) on both
@@ -1424,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "pack_sequences": q_pack_sequences,
         "rollup_topk_1h": q_rollup_topk_1h,
+        "gap_report": q_gap_report,
     }
 
 
@@ -1926,6 +1939,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # spine anti-join + gaps-and-islands on the missing buckets
+        "gap_report": _DEDUP_CTE + """
+            , b AS (
+              SELECT DISTINCT source, date_trunc('hour', ts) AS ts FROM d
+            ), bounds AS (
+              SELECT source, min(ts) AS mn, max(ts) AS mx FROM b GROUP BY 1
+            ), spine AS (
+              SELECT source,
+                     unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS ts
+              FROM bounds
+            ), miss AS (
+              SELECT s.source, s.ts FROM spine s
+              ANTI JOIN b ON b.source = s.source AND b.ts = s.ts
+            ), g AS (
+              SELECT source, ts,
+                     epoch_us(ts) - row_number() OVER (
+                       PARTITION BY source ORDER BY ts) * 3600000000 AS grp
+              FROM miss
+            )
+            SELECT source, min(ts) AS gap_start, max(ts) AS gap_end,
+                   count(*) AS n_missing
+            FROM g GROUP BY source, grp
         """,
         # exact heavy hitters with deterministic tie-breaks
         "rollup_topk_1h": """

@@ -158,3 +158,51 @@ def counter_rate(
             .cast("double").alias("increase"))
         .withColumn("rate", F.col("increase") / F.lit(float(width)))
     )
+
+
+def gap_report(
+    df: DataFrame,
+    freq: str,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Missing-bucket report: per source, the maximal runs of absent
+    spine buckets between the first and last observed timestamp — the
+    ingest-monitoring view ("source X lost minutes 14:03-14:17"). One
+    row per gap with (gap_start, gap_end, n_missing).
+
+    Plan: spine anti-join (left join + IS NULL on an already
+    bucket-aligned series) then gaps-and-islands on the missing rows —
+    everything rides the per-source spine, never the raw row count.
+    Input timestamps must be bucket-aligned (tier output).
+    """
+    secs = int(pd.Timedelta(freq).value // 1_000_000_000)
+    bounds = df.groupBy(source_col).agg(
+        F.min(ts_col).cast("timestamp").alias("_mn"),
+        F.max(ts_col).cast("timestamp").alias("_mx"),
+    )
+    spine = bounds.select(
+        source_col,
+        F.explode(
+            F.sequence("_mn", "_mx", F.expr(f"interval {secs} seconds"))
+        ).alias(ts_col),
+    )
+    observed = df.select(source_col, F.col(ts_col).cast("timestamp").alias(ts_col)).distinct()
+    missing = spine.join(observed, [source_col, ts_col], "left_anti")
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    # gaps-and-islands: consecutive missing buckets share (ts - rn*freq)
+    grp = (
+        F.unix_micros(F.col(ts_col))
+        - F.row_number().over(w).cast("long") * F.lit(secs * 1_000_000)
+    )
+    return (
+        missing.withColumn("_g", grp)
+        .groupBy(source_col, "_g")
+        .agg(
+            F.min(ts_col).alias("gap_start"),
+            F.max(ts_col).alias("gap_end"),
+            F.count("*").alias("n_missing"),
+        )
+        .drop("_g")
+    )

@@ -288,3 +288,18 @@ def test_rollup_topk_ties_and_rank(spark):
     b2 = [(r["key"], r["cnt"], r["rank"]) for r in out if r["bucket_ts"].hour == 1]
     assert b1 == [("u1", 3, 1), ("u2", 2, 2), ("u3", 2, 3)]
     assert b2 == [("w", 1, 1), ("x", 1, 2), ("y", 1, 3)]
+
+
+def test_gap_report_golden(spark):
+    """Hand-built gaps: runs merge, singletons stay single, dense
+    sources emit no rows."""
+    from adtk_spark.plans.gapfill import gap_report
+
+    t0 = dt.datetime(2025, 1, 1)
+    present = [0, 1, 2, 5, 6, 10, 12]  # gaps: 3-4, 7-9, 11
+    rows = [("A", t0 + dt.timedelta(hours=h)) for h in present]
+    rows += [("B", t0 + dt.timedelta(hours=h)) for h in range(4)]  # dense
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    out = {(r["source"], r["gap_start"].hour, r["gap_end"].hour, r["n_missing"])
+           for r in gap_report(df, "1 hour").collect()}
+    assert out == {("A", 3, 4, 2), ("A", 7, 9, 3), ("A", 11, 11, 1)}
