@@ -381,6 +381,19 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_rollup_retention_1h(spark, sf_dir):
+    """Hour-over-hour retained distinct users per event_type: one
+    distinct collapse + a co-located self equi-join on the shifted
+    bucket; counts are integers and the ratio is int/int, so round(.,6)
+    is parallelism-proof."""
+    from adtk_spark.plans.tiers import rollup_retention
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id"
+    )
+    return rollup_retention(ev, "1h")
+
+
 def q_gap_report(spark, sf_dir):
     """Missing-bucket ingest monitoring: maximal runs of absent hourly
     buckets per source (spine anti-join + gaps-and-islands); the oracle
@@ -1437,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "rollup_topk_1h": q_rollup_topk_1h,
         "gap_report": q_gap_report,
+        "rollup_retention_1h": q_rollup_retention_1h,
     }
 
 
@@ -1939,6 +1953,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # distinct collapse + shifted self-join + integer ratio
+        "rollup_retention_1h": """
+            WITH c AS (
+              SELECT DISTINCT event_type AS source,
+                     date_trunc('hour', ts) AS bucket_ts, user_id AS key
+              FROM events
+            ), r AS (
+              SELECT a.source, a.bucket_ts, count(*) AS n_retained
+              FROM c a JOIN c b
+                ON b.source = a.source AND b.key = a.key
+               AND b.bucket_ts + INTERVAL 3600 SECONDS = a.bucket_ts
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT source, bucket_ts, count(*) AS n_distinct
+              FROM c GROUP BY 1, 2
+            )
+            SELECT t.source, t.bucket_ts, t.n_distinct,
+                   coalesce(r.n_retained, 0) AS n_retained,
+                   round(coalesce(r.n_retained, 0) / t.n_distinct, 6)
+                     AS retention
+            FROM t LEFT JOIN r USING (source, bucket_ts)
         """,
         # spine anti-join + gaps-and-islands on the missing buckets
         "gap_report": _DEDUP_CTE + """

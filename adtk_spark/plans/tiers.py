@@ -335,6 +335,60 @@ def rollup_topk(
     )
 
 
+def rollup_retention(
+    df: DataFrame,
+    tier: str = "1h",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Consecutive-bucket retention: per (source, bucket) the number of
+    distinct keys also present in the PREVIOUS bucket, plus the
+    bucket's own distinct count and the retention ratio — the
+    stickiness metric distinct counts alone can't give (set
+    intersection is not re-aggregable; it needs the key level once).
+
+    Plan: one map-side distinct collapse to (source, bucket, key) rows,
+    then a self equi-join on (source, key, bucket+width) — co-located
+    on the same hash keys, so AQE plans a single shuffle reused by both
+    sides — and an algebraic count per bucket. Buckets with no
+    predecessor simply report retained = 0.
+    """
+    trunc = TIER_INTERVALS[tier]
+    width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    cur = df.select(
+        source_col,
+        F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+        F.col(key_col).alias("key"),
+    ).distinct()
+    prev_shifted = cur.select(
+        source_col,
+        (F.col("bucket_ts") + F.expr(f"interval {width} seconds")).alias("bucket_ts"),
+        "key",
+    )
+    retained = (
+        cur.join(prev_shifted, [source_col, "bucket_ts", "key"])
+        .groupBy(source_col, "bucket_ts")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    totals = cur.groupBy(source_col, "bucket_ts").agg(
+        F.count("*").alias("n_distinct")
+    )
+    return (
+        totals.join(retained, [source_col, "bucket_ts"], "left")
+        .select(
+            source_col,
+            "bucket_ts",
+            "n_distinct",
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.round(
+                F.coalesce("n_retained", F.lit(0)) / F.col("n_distinct"), 6
+            ).alias("retention"),
+        )
+    )
+
+
 def rollup_distinct_sketch(
     df: DataFrame,
     tier: str = "1m",

@@ -303,3 +303,22 @@ def test_gap_report_golden(spark):
     out = {(r["source"], r["gap_start"].hour, r["gap_end"].hour, r["n_missing"])
            for r in gap_report(df, "1 hour").collect()}
     assert out == {("A", 3, 4, 2), ("A", 7, 9, 3), ("A", 11, 11, 1)}
+
+
+def test_rollup_retention_golden(spark):
+    """Hand-built hour-over-hour retention: overlap counts, first
+    bucket retains 0, ratio exact."""
+    from adtk_spark.plans.tiers import rollup_retention
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for u in ("u1", "u2", "u3"):            # hour 0: {u1,u2,u3}
+        rows.append(("s", t0, u))
+    for u in ("u2", "u3", "u4", "u5"):      # hour 1: retains u2,u3
+        rows.append(("s", t0 + dt.timedelta(hours=1), u))
+    for u in ("u9",):                       # hour 3 (gap): no previous
+        rows.append(("s", t0 + dt.timedelta(hours=3), u))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, user_id string")
+    got = {r["bucket_ts"].hour: (r["n_distinct"], r["n_retained"], r["retention"])
+           for r in rollup_retention(df, "1h").collect()}
+    assert got == {0: (3, 0, 0.0), 1: (4, 2, 0.5), 3: (1, 0, 0.0)}
