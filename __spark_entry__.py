@@ -381,6 +381,19 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf exponent per source sub-corpus (OLS of ln(count) on
+    ln(rank), top-500 words, ties count DESC / word ASC). Log terms are
+    1e-9-quantized and DECIMAL-summed (the lm_perplexity device) and
+    the slope uses one fixed expression tree on both sides."""
+    from adtk_spark.operators.corpus import zipf_slope
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = zipf_slope(docs, max_rank=500)
+    return out.select(
+        "source", "n_ranks", F.round("zipf_slope", 6).alias("zipf_slope"))
+
+
 def q_rollup_retention_1h(spark, sf_dir):
     """Hour-over-hour retained distinct users per event_type: one
     distinct collapse + a co-located self equi-join on the shifted
@@ -1451,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_topk_1h": q_rollup_topk_1h,
         "gap_report": q_gap_report,
         "rollup_retention_1h": q_rollup_retention_1h,
+        "zipf_slope": q_zipf_slope,
     }
 
 
@@ -1953,6 +1967,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # rank by (count DESC, word ASC), quantized-log DECIMAL sums,
+        # identical OLS expression tree
+        "zipf_slope": """
+            WITH wcnt AS (
+              SELECT source, w AS word, count(*) AS c
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents)
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT source, c,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY c DESC, word ASC) AS rank
+              FROM wcnt
+              QUALIFY rank <= 500
+            ), agg AS (
+              SELECT source, count(*) AS n_ranks,
+                CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE)), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                                    * ln(CAST(c AS DOUBLE)), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                CAST(sum(CAST(round(ln(CAST(rank AS DOUBLE))
+                                    * ln(CAST(rank AS DOUBLE)), 9)
+                         AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+              FROM ranked GROUP BY source
+            )
+            SELECT source, n_ranks,
+                   round((CAST(n_ranks AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_ranks AS DOUBLE) * sxx - sx * sx), 6)
+                     AS zipf_slope
+            FROM agg WHERE n_ranks >= 2
         """,
         # distinct collapse + shifted self-join + integer ratio
         "rollup_retention_1h": """

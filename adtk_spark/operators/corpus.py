@@ -917,3 +917,55 @@ def pack_sequences(
         bin_id.alias("bin_id"),
         off.alias("bin_offset"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    max_rank: int = 1000,
+) -> DataFrame:
+    """Zipf exponent per sub-corpus: the OLS slope of ln(count) on
+    ln(rank) over the top ``max_rank`` words — the corpus-health
+    spectrum check (natural text sits near -1; template/boilerplate
+    floods flatten it, gibberish steepens it). A cheap aggregate-level
+    complement to the per-doc quality filters.
+
+    Determinism: ranks tie-break (count DESC, word ASC); each log term
+    is quantized to 1e-9 and summed as DECIMAL(38,9) (the
+    lm_unigram_score device), so the five sufficient statistics — and
+    the slope computed from them with a fixed expression tree — are
+    stable across partition layouts and replayable in SQL. Plan: one
+    (source, word) count shuffle, a per-source rank window over at most
+    the distinct-word rows, and one tiny aggregate.
+    """
+    w = docs.select(source_col, F.explode(_words(text_col)).alias("word"))
+    counts = w.groupBy(source_col, "word").agg(F.count("*").alias("c"))
+    rk = Window.partitionBy(source_col).orderBy(
+        F.col("c").desc(), F.col("word").asc()
+    )
+    ranked = counts.withColumn("rank", F.row_number().over(rk)).where(
+        F.col("rank") <= max_rank
+    )
+    lnr = F.log(F.col("rank").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+
+    def q(col):
+        return F.round(col, 9).cast("decimal(38,9)")
+
+    agg = ranked.groupBy(source_col).agg(
+        F.count("*").alias("n_ranks"),
+        F.sum(q(lnr)).cast("double").alias("_sx"),
+        F.sum(q(lnc)).cast("double").alias("_sy"),
+        F.sum(q(lnr * lnc)).cast("double").alias("_sxy"),
+        F.sum(q(lnr * lnr)).cast("double").alias("_sxx"),
+    )
+    n = F.col("n_ranks").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    )
+    return (
+        agg.where(F.col("n_ranks") >= 2)
+        .select(source_col, "n_ranks", slope.alias("zipf_slope"))
+    )

@@ -568,3 +568,26 @@ def test_pack_sequences_invariants(spark):
         assert {r["bin_id"] for r in rs} == set(range(max(r["bin_id"] for r in rs) + 1))
     out2 = pack_sequences(df.repartition(11), max_tokens=512)
     assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out}
+
+
+def test_zipf_slope_detects_flat_vs_natural(spark):
+    """A perfect power-law corpus recovers its exponent; a flat
+    (uniform) corpus reads ~0 — the corpus-health signal."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.operators.corpus import zipf_slope
+
+    # power-law: word_r appears round(1000 * r^-1) times
+    rows = []
+    for r in range(1, 40):
+        n = max(1, round(1000 / r))
+        for i in range(n):
+            rows.append(("pl", f"w{r:02d}"))
+    for r in range(40):  # uniform: every word 5 times
+        rows.extend([("flat", f"u{r:02d}")] * 5)
+    docs = (spark.createDataFrame(rows, "source string, word string")
+            .groupBy("source")
+            .agg(F.concat_ws(" ", F.collect_list("word")).alias("text")))
+    got = {r["source"]: r["zipf_slope"] for r in zipf_slope(docs).collect()}
+    assert -1.15 < got["pl"] < -0.85   # ~ -1 by construction
+    assert abs(got["flat"]) < 0.05
