@@ -87,6 +87,7 @@ from .corpus import (  # noqa: F401
     simhash_dup_pairs,
     split_by_group,
     token_count,
+    zipf_slope,
 )
 from .ann import (  # noqa: F401
     cosine_topk,
