@@ -381,6 +381,19 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_rollup_hist_1h(spark, sf_dir):
+    """Mergeable histogram tier: fixed-edge bin counts per (source,
+    hour), built by the 2-level 1m->1h SUM merge — point-identical to
+    binning raw directly (the mergeability identity), which is exactly
+    what the oracle computes."""
+    from adtk_spark.plans.tiers import rollup_hist, rollup_hist_up
+
+    s = _series(spark, sf_dir)
+    edges = [0.0, 50.0, 100.0, 200.0, 400.0, 800.0]
+    h1m = rollup_hist(s, edges, "1m")
+    return rollup_hist_up(h1m, "1h")
+
+
 def q_zipf_slope(spark, sf_dir):
     """Zipf exponent per source sub-corpus (OLS of ln(count) on
     ln(rank), top-500 words, ties count DESC / word ASC). Log terms are
@@ -1465,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_report": q_gap_report,
         "rollup_retention_1h": q_rollup_retention_1h,
         "zipf_slope": q_zipf_slope,
+        "rollup_hist_1h": q_rollup_hist_1h,
     }
 
 
@@ -1967,6 +1981,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # branch-free indicator-sum binning, straight to 1h buckets
+        # (the Spark side goes 1m -> 1h to prove the SUM merge)
+        "rollup_hist_1h": _DEDUP_CTE + """
+            SELECT source, date_trunc('hour', ts) AS bucket_ts,
+                   CAST(value >= 0.0e0 AS INT) + CAST(value >= 50.0e0 AS INT)
+                 + CAST(value >= 100.0e0 AS INT) + CAST(value >= 200.0e0 AS INT)
+                 + CAST(value >= 400.0e0 AS INT) + CAST(value >= 800.0e0 AS INT)
+                   AS bin,
+                   count(*) AS cnt
+            FROM d WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         # rank by (count DESC, word ASC), quantized-log DECIMAL sums,
         # identical OLS expression tree

@@ -335,6 +335,61 @@ def rollup_topk(
     )
 
 
+def rollup_hist(
+    df: DataFrame,
+    edges: list[float],
+    tier: str = "1m",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Mergeable histogram tier: per (source, bucket, bin) row counts
+    over EXPLICIT bin edges — the exact, trivially re-aggregable
+    distribution tier. Bin counts SUM upward (``rollup_hist_up``), so a
+    1m -> 1h -> 1d heatmap chain reads raw once; fixed bins are the
+    exact complement to the adaptive t-digest column (sketch.py) when
+    the value range is known (latency SLO buckets, token-count bands).
+
+    Bin index = number of edges <= value (0 = below the first edge,
+    len(edges) = above the last), computed as a branch-free sum of
+    indicator casts — whole-stage codegen, identical in any SQL
+    dialect. Relational one-row-per-nonempty-bin form keeps the upward
+    merge algebraic and skew-free.
+    """
+    trunc = TIER_INTERVALS[tier]
+    v = F.col(value_col)
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    return (
+        df.where(v.isNotNull())
+        .groupBy(
+            source_col,
+            F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
+            bin_expr.alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def rollup_hist_up(
+    finer: DataFrame,
+    tier: str,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Merge a finer histogram tier up to ``tier``: bin counts sum —
+    one algebraic groupBy over tier rows, never the raw values."""
+    trunc = TIER_INTERVALS[tier]
+    return finer.groupBy(
+        source_col,
+        F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts"),
+        "bin",
+    ).agg(F.sum("cnt").alias("cnt"))
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

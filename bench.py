@@ -437,6 +437,13 @@ def main():
         "repetition_stats": eqs.get("repetition_stats"),
         "split_by_group_prod": _prod_split_by_group,
         "min_cluster_ad": eqs.get("min_cluster_ad"),
+        "cusum_ad": eqs.get("cusum_ad"),
+        "ewma": eqs.get("ewma"),
+        "rollup_topk_1h": eqs.get("rollup_topk_1h"),
+        "rollup_retention_1h": eqs.get("rollup_retention_1h"),
+        "gap_report": eqs.get("gap_report"),
+        "zipf_slope": eqs.get("zipf_slope"),
+        "pack_sequences": eqs.get("pack_sequences"),
     }
     extras = {}
     for name, fn in extra_fns.items():

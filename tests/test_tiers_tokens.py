@@ -322,3 +322,24 @@ def test_rollup_retention_golden(spark):
     got = {r["bucket_ts"].hour: (r["n_distinct"], r["n_retained"], r["retention"])
            for r in rollup_retention(df, "1h").collect()}
     assert got == {0: (3, 0, 0.0), 1: (4, 2, 0.5), 3: (1, 0, 0.0)}
+
+
+def test_rollup_hist_bins_and_merge(spark):
+    """Bin semantics (below-first-edge -> 0, above-last -> len(edges)),
+    NULLs dropped, and the 1m->1h SUM merge equals direct 1h binning."""
+    from adtk_spark.plans.tiers import rollup_hist, rollup_hist_up
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [-5.0, 0.0, 3.0, 10.0, 10.0, 25.0, None, 99.0]
+    rows = [("s", t0 + dt.timedelta(minutes=7 * i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    edges = [0.0, 10.0, 50.0]
+    h = {(r["bucket_ts"].minute, r["bin"]): r["cnt"]
+         for r in rollup_hist(df, edges, "1h").collect()}
+    # hour bucket 0: -5 -> bin0; 0,3 -> bin1; 10,10,25 -> bin2; 99 -> bin3
+    assert h == {(0, 0): 1, (0, 1): 2, (0, 2): 3, (0, 3): 1}
+    up = {(r["bucket_ts"], r["bin"]): r["cnt"]
+          for r in rollup_hist_up(rollup_hist(df, edges, "1m"), "1h").collect()}
+    direct = {(r["bucket_ts"], r["bin"]): r["cnt"]
+              for r in rollup_hist(df, edges, "1h").collect()}
+    assert up == direct
