@@ -264,7 +264,9 @@ def cusum_ad_detect(
     running MIN window, fully distributed, no recursion, no UDF
     (S- symmetrically over ``mu - k - x``). Label = S+ or S- above
     ``h = h_sigmas * sigma``; NULL inputs yield NULL labels and are
-    transparent to the cumsums (SUM/MIN skip NULLs on both engines).
+    transparent to the cumsums (SUM/MIN skip NULLs on both engines;
+    rows BEFORE the first valid value carry NULL sp/sm — the empty-SUM
+    convention).
 
     Both cumulative windows share one (source, ts) Exchange+Sort; the
     per-row chain is evaluated in a fixed sequential order on both

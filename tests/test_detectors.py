@@ -189,3 +189,51 @@ def test_robust_zscore_vs_numpy(spark):
     # the mean/std z-score would NOT flag it at the same z on this data
     z_classic = abs(a[30] - a.mean()) / a.std(ddof=1)
     assert z_classic < 8  # grossly deflated vs the robust score
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(
+    st.one_of(st.none(), st.integers(min_value=-20, max_value=20)),
+    min_size=3, max_size=24))
+def test_cusum_closed_form_property(spark, vals):
+    """Property: the window-native closed form equals the textbook
+    recursion on arbitrary series including NULL runs (NULL -> NaN
+    label, transparent to the cumsums)."""
+    import datetime as dt
+    import math
+
+    from adtk_spark.operators.detectors import cusum_ad, cusum_ad_fit
+
+    if all(v is None for v in vals):
+        return
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i),
+             None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    m = cusum_ad_fit(df).collect()[0]
+    mu, sigma = m["mu"], m["sigma"]
+    k, h = 0.5 * sigma, 2.0 * sigma
+    sp = sm = 0.0
+    seen = False  # before any valid value the cumsums are NULL (empty SUM)
+    exp = []
+    for v in vals:
+        if v is not None:
+            seen = True
+            sp = max(0.0, sp + v - mu - k)
+            sm = max(0.0, sm + mu - k - v)
+        exp.append((
+            (sp, sm) if seen else (None, None),
+            None if v is None else (1.0 if (sp > h or sm > h) else 0.0),
+        ))
+    got = [(r["sp"], r["sm"], r["label"]) for r in
+           cusum_ad(df, 0.5, 2.0).orderBy("ts").collect()]
+    for (gsp, gsm, gl), ((esp, esm), el) in zip(got, exp):
+        if esp is None:
+            assert gsp is None and gsm is None, vals
+        else:
+            assert abs(gsp - esp) < 1e-9 and abs(gsm - esm) < 1e-9, vals
+        assert gl == el, vals
