@@ -591,3 +591,30 @@ def test_zipf_slope_detects_flat_vs_natural(spark):
     got = {r["source"]: r["zipf_slope"] for r in zipf_slope(docs).collect()}
     assert -1.15 < got["pl"] < -0.85   # ~ -1 by construction
     assert abs(got["flat"]) < 0.05
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(toks=st.lists(st.integers(min_value=1, max_value=900),
+                     min_size=1, max_size=40))
+def test_pack_sequences_property(spark, toks):
+    """Property: gap-free layout (every doc starts where the previous
+    ended), offsets within [0, max_tokens), and total bins =
+    ceil-by-construction of the cumulative layout."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.operators.corpus import pack_sequences
+
+    rows = [("s", f"d{i:04d}", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    out = pack_sequences(df, max_tokens=256).orderBy("doc_id").collect()
+    pos = 0
+    for r in out:
+        assert 0 <= r["bin_offset"] < 256
+        assert r["bin_id"] * 256 + r["bin_offset"] == pos, toks
+        pos += r["n_tok"]
+    # last doc's bin is the layout's final bin
+    assert out[-1]["bin_id"] == (pos - toks[-1]) // 256

@@ -172,3 +172,35 @@ def test_ewma_matches_pandas_bounded(spark):
             ewma(df, alpha=0.3, window=4).orderBy("ts").collect()]
     for g, e in zip(got8, exp):
         assert abs(g - e) <= 0.7 ** 4 * 10 + 1e-12
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+                     min_size=2, max_size=14))
+def test_ewma_property_matches_pandas(spark, vals):
+    """Property: with window >= len(series), bounded EWMA equals pandas
+    ewm(adjust=True, ignore_na=False) on arbitrary NULL patterns."""
+    import datetime as dt
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from adtk_spark.operators.transformers import ewma
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i),
+             None if v is None else float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = [r["ewma"] for r in ewma(df, alpha=0.4, window=16).orderBy("ts").collect()]
+    exp = (pd.Series([np.nan if v is None else float(v) for v in vals])
+           .ewm(alpha=0.4, adjust=True, ignore_na=False).mean())
+    for g, e in zip(got, exp):
+        if math.isnan(e):
+            assert g is None, vals  # all-NULL prefix
+        else:
+            assert g is not None and abs(g - e) < 1e-12, vals
