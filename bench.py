@@ -444,6 +444,8 @@ def main():
         "gap_report": eqs.get("gap_report"),
         "zipf_slope": eqs.get("zipf_slope"),
         "pack_sequences": eqs.get("pack_sequences"),
+        "rollup_hist_1h": eqs.get("rollup_hist_1h"),
+        "rollup_distinct_1h": eqs.get("rollup_distinct_1h"),
     }
     extras = {}
     for name, fn in extra_fns.items():
