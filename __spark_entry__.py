@@ -381,6 +381,17 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_embedding_quality(spark, sf_dir):
+    """Degenerate-vector audit over the embeddings table: per-vector
+    dims, DECIMAL-exact L2 norm, zero/NaN flags — run before any IVF or
+    near-dup build. Identical cast placement on both sides (float ->
+    double widen, square in double, quantize to DECIMAL)."""
+    from adtk_spark.operators.ann import embedding_quality
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_quality(emb)
+
+
 def q_rollup_hist_1h(spark, sf_dir):
     """Mergeable histogram tier: fixed-edge bin counts per (source,
     hour), built by the 2-level 1m->1h SUM merge — point-identical to
@@ -1479,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_retention_1h": q_rollup_retention_1h,
         "zipf_slope": q_zipf_slope,
         "rollup_hist_1h": q_rollup_hist_1h,
+        "embedding_quality": q_embedding_quality,
     }
 
 
@@ -1981,6 +1993,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY id
+        """,
+        # identical cast placement: float->double widen, square in
+        # double, quantize to DECIMAL(38,9), exact sum, sqrt
+        "embedding_quality": """
+            WITH e AS (
+              SELECT vec_id, unnest(embedding) AS x FROM embeddings
+            ), per AS (
+              SELECT vec_id, count(*) AS n_dims,
+                     sqrt(CAST(sum(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                        AS DECIMAL(38,9))) AS DOUBLE)) AS norm,
+                     max(CASE WHEN x IS NULL
+                                OR isnan(CAST(x AS DOUBLE)) THEN 1
+                              ELSE 0 END) AS bad
+              FROM e GROUP BY 1
+            )
+            SELECT vec_id, n_dims, round(norm, 6) AS norm,
+                   CAST(norm = 0.0 AS INT) AS is_zero, bad AS is_bad
+            FROM per
         """,
         # branch-free indicator-sum binning, straight to 1h buckets
         # (the Spark side goes 1m -> 1h to prove the SUM merge)

@@ -211,3 +211,51 @@ def embedding_dup_pairs(
         cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_quality(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Degenerate-vector audit for the ANN path: per vector its
+    dimensionality, DECIMAL-exact L2 norm, and the three failure flags
+    a real embedding pipeline hits — zero vectors (cosine undefined,
+    they poison normalization), NaN/NULL components (a crashed encoder
+    batch), and dimension drift (a model swap mid-corpus when
+    ``expected_dim`` is given). Run it BEFORE building IVF cells or
+    near-dup pairs; one explode + one groupBy, order-independent sums
+    so the norms hash identically at any parallelism. NaN components
+    are nulled by the DECIMAL quantization and thus excluded from the
+    norm — ``is_bad`` is the NaN signal, not the norm value.
+    """
+    e = emb.select(id_col, F.posexplode_outer(vec_col).alias("_i", "_x"))
+    per = e.groupBy(id_col).agg(
+        F.count("_i").alias("n_dims"),
+        F.sqrt(
+            F.sum(
+                (F.col("_x").cast("double") * F.col("_x").cast("double"))
+                .cast("decimal(38,9)")
+            ).cast("double")
+        ).alias("norm"),
+        F.max(F.col("_x").isNull().cast("int")).alias("_has_null"),
+        F.max(F.isnan(F.col("_x").cast("double")).cast("int")).alias("_has_nan"),
+    )
+    out = per.select(
+        id_col,
+        "n_dims",
+        F.round("norm", 6).alias("norm"),
+        F.coalesce((F.col("norm") == 0.0).cast("int"), F.lit(0)).alias("is_zero"),
+        # a NULL/empty array surfaces as n_dims=0 with is_bad=1 (the
+        # outer-explode artifact row IS a bad embedding)
+        F.coalesce(
+            (F.col("_has_null") + F.col("_has_nan") > 0).cast("int"), F.lit(1)
+        ).alias("is_bad"),
+    )
+    if expected_dim is not None:
+        out = out.withColumn(
+            "dim_drift", (F.col("n_dims") != expected_dim).cast("int")
+        )
+    return out

@@ -618,3 +618,32 @@ def test_pack_sequences_property(spark, toks):
         pos += r["n_tok"]
     # last doc's bin is the layout's final bin
     assert out[-1]["bin_id"] == (pos - toks[-1]) // 256
+
+
+def test_embedding_quality_flags(spark):
+    """Zero vectors, NaN components, NULL components, NULL arrays and
+    dimension drift are each flagged; healthy vectors pass with the
+    exact L2 norm."""
+    import math
+
+    from adtk_spark.operators.ann import embedding_quality
+
+    rows = [
+        (1, [3.0, 4.0]),            # healthy: norm 5
+        (2, [0.0, 0.0]),            # zero vector
+        (3, [1.0, float("nan")]),   # NaN component
+        (4, [None, 2.0]),           # NULL component
+        (5, None),                  # NULL array
+        (6, [1.0, 2.0, 2.0]),       # dimension drift (expected 2)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict()
+           for r in embedding_quality(df, expected_dim=2).collect()}
+    assert got[1]["norm"] == 5.0 and got[1]["is_zero"] == 0 and got[1]["is_bad"] == 0
+    assert got[2]["is_zero"] == 1 and got[2]["is_bad"] == 0
+    # NaN components are nulled by the DECIMAL quantization, so the
+    # norm covers the remaining components; is_bad carries the signal
+    assert got[3]["is_bad"] == 1 and got[3]["norm"] == 1.0
+    assert got[4]["is_bad"] == 1
+    assert got[5]["n_dims"] == 0 and got[5]["is_bad"] == 1
+    assert got[6]["dim_drift"] == 1 and got[1]["dim_drift"] == 0
