@@ -1706,7 +1706,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 1, 2
             ), m2 AS (SELECT *, epoch(bucket_ts) AS e FROM m)
             SELECT source, bucket_ts,
-                   sum(cnt) OVER w AS w_cnt,
+                   CAST(sum(cnt) OVER w AS BIGINT) AS w_cnt,
                    round(min(vmin) OVER w, 6) AS w_min,
                    round(max(vmax) OVER w, 6) AS w_max,
                    round(CAST(sum(vsum) OVER w AS DOUBLE), 6) AS w_sum,

@@ -52,6 +52,76 @@ def fingerprint(cols, rows):
     return h.hexdigest()[:16]
 
 
+def _dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the equivalence class the driver's
+    hasher cares about: int-vs-float is the hazard (a hasher that
+    stringifies 1 vs 1.0 diverges even when every value is equal —
+    the r03 rollup_sliding_5m failure). bool folds to int (norm()
+    does the same), datetimes/objects/strings compare by kind name."""
+    k = dt.kind  # numpy kind char: i/u int, f float, b bool, M datetime, O object
+    if k in ("i", "u", "b"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "M":
+        return "datetime"
+    return "other"
+
+
+def dtype_audit(sf_dir: str, only: list[str] | None = None) -> int:
+    """Compare Spark result dtypes vs DuckDB oracle dtypes (as pandas)
+    for every contract query. Any int-vs-float kind mismatch on a
+    shared column is a latent driver-hash failure even when values
+    match — VERDICT r03 'Next round' item #2."""
+    import __spark_entry__ as entrymod
+    from adtk_spark.session import get_spark
+
+    import os
+    cores = int(os.environ.get("SPARK_GRAFT_CHECK_CORES", "8"))
+    spark = get_spark("dtype-audit", cores=cores, shuffle_partitions=cores)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            continue
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: error: {e}")
+            failures.append(name)
+            continue
+        bad = []
+        for c in spdf.columns:
+            if c not in ddf.columns:
+                continue
+            ks, kd = _dtype_kind(spdf[c].dtype), _dtype_kind(ddf[c].dtype)
+            if ks != kd and {ks, kd} == {"int", "float"}:
+                # float side is only safe if every value is integral
+                # AND the int side cannot exceed float64's exact range
+                fl = spdf[c] if ks == "float" else ddf[c]
+                it = ddf[c] if ks == "float" else spdf[c]
+                nonint = fl.dropna().map(lambda v: v != int(v)).any()
+                big = it.dropna().abs().max() if len(it.dropna()) else 0
+                bad.append(f"{c}: spark={spdf[c].dtype} duck={ddf[c].dtype}"
+                           f"{' NONINTEGRAL' if nonint else ''}"
+                           f"{' >2^53' if big and big > 2**53 else ''}")
+        if bad:
+            print(f"DTYPE-MISMATCH {name}: {'; '.join(bad)}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}")
+    print("\nDTYPE FAILURES:", failures or "none")
+    spark.stop()
+    return 1 if failures else 0
+
+
 def main(sf_dir: str, only: list[str] | None = None):
     import __spark_entry__ as entrymod
     from adtk_spark.session import get_spark
@@ -111,6 +181,8 @@ def main(sf_dir: str, only: list[str] | None = None):
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    raise SystemExit(main(sf, only))
+    argv = [a for a in sys.argv[1:] if a != "--dtypes"]
+    mode = dtype_audit if "--dtypes" in sys.argv else main
+    sf = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    only = argv[1].split(",") if len(argv) > 1 else None
+    raise SystemExit(mode(sf, only))
