@@ -695,7 +695,27 @@ def q_lm_perplexity(spark, sf_dir):
     from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    counts, n, v = lm_unigram_fit(docs)
+    # min_count=1 explicitly: the production default is now a pruned
+    # model (min_count=5, broadcast-safe); this query keeps the
+    # full-vocab oracle replay (q_lm_perplexity_pruned covers the
+    # pruned default path)
+    counts, n, v = lm_unigram_fit(docs, min_count=1)
+    out = lm_unigram_score(docs, counts, n, v)
+    return out.select(
+        "doc_id", "n_words", F.round("avg_logp", 6).alias("avg_logp"))
+
+
+def q_lm_perplexity_pruned(spark, sf_dir):
+    """The production-default pruned LM path (min_count=5): pruned
+    words score at the add-one smoothing floor (c=0). The oracle
+    replays the pruning with HAVING count >= 5 and a LEFT join so
+    unseen words coalesce to the floor; totals stay UNPRUNED exactly
+    as lm_unigram_fit computes them. Also exercises the zero-token
+    restore-join: every document row survives to the output."""
+    from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts, n, v = lm_unigram_fit(docs)  # default min_count=5
     out = lm_unigram_score(docs, counts, n, v)
     return out.select(
         "doc_id", "n_words", F.round("avg_logp", 6).alias("avg_logp"))
@@ -1467,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route_2h": q_tier_route_2h,
         "rolling_hist_int": q_rolling_hist_int,
         "lm_perplexity": q_lm_perplexity,
+        "lm_perplexity_pruned": q_lm_perplexity_pruned,
         "pca_projection": q_pca_projection,
         "pca_reconstruction": q_pca_reconstruction,
         "customized_aggregator": q_customized_aggregator,
@@ -3168,13 +3189,45 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
               SELECT sum(c) AS n, count(*) AS v FROM cnt
             )
-            SELECT t.doc_id,
-                   count(*) AS n_words,
-                   round(CAST(sum(CAST(round(ln((cnt.c + 1.0) / (tot.n + tot.v)), 9)
-                                       AS DECIMAL(38,9))) AS DOUBLE)
-                         / count(*), 6) AS avg_logp
-            FROM tok t JOIN cnt USING (word), tot
-            GROUP BY t.doc_id
+            , s AS (
+              SELECT t.doc_id,
+                     count(*) AS n_words,
+                     round(CAST(sum(CAST(round(ln((cnt.c + 1.0) / (tot.n + tot.v)), 9)
+                                         AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(*), 6) AS avg_logp
+              FROM tok t JOIN cnt USING (word), tot
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                   s.avg_logp
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        # pruned-default LM path: counts pruned at min_count=5, unseen
+        # words floor at c=0; totals from UNPRUNED counts (proper
+        # smoothing), zero-token docs restored by the left join
+        "lm_perplexity_pruned": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), cnt AS (
+              SELECT word, count(*) AS c FROM tok GROUP BY word
+            ), tot AS (
+              SELECT sum(c) AS n, count(*) AS v FROM cnt
+            ), pruned AS (
+              SELECT word, c FROM cnt WHERE c >= 5
+            ), s AS (
+              SELECT t.doc_id,
+                     count(*) AS n_words,
+                     round(CAST(sum(CAST(round(ln((coalesce(p.c, 0) + 1.0)
+                                                  / (tot.n + tot.v)), 9)
+                                         AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(*), 6) AS avg_logp
+              FROM tok t LEFT JOIN pruned p USING (word), tot
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+                   s.avg_logp
+            FROM documents d LEFT JOIN s USING (doc_id)
         """,
         # |PC1 score| via the closed-form principal axis (sign-invariant)
         "pca_projection": """

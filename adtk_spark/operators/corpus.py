@@ -253,7 +253,7 @@ def ngram_jaccard_pairs(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted index:
     explode shingles, self-join on shingle (candidates must share at
@@ -262,11 +262,14 @@ def ngram_jaccard_pairs(
 
     ``max_df`` caps the inverted index's document frequency: shingles
     present in more than ``max_df`` docs are excluded from candidate
-    GENERATION (a shingle shared by k docs emits k^2 index join rows).
-    Surviving candidates are then verified with the FULL shingle sets,
-    so reported jaccard values are still exact; only pairs whose every
-    shared shingle is ultra-common can be missed — the standard
-    stopword-shingle trade-off.
+    GENERATION (a shingle shared by k docs emits k^2 index join rows —
+    quadratic on boilerplate shingles). Surviving candidates are then
+    verified with the FULL shingle sets, so reported jaccard values
+    are still exact; only pairs whose every shared shingle is
+    ultra-common can be missed — the standard stopword-shingle
+    trade-off. The capped path is the DEFAULT (max_df=1000); the
+    uncapped quadratic-hazard path requires explicit ``max_df=None``
+    opt-in (r03 VERDICT item #3 — safe defaults are the defaults).
     """
     with_sh = _with_shingles(docs.select(id_col, text_col), text_col=text_col,
                              n=shingle_n, out="sh")
@@ -436,7 +439,7 @@ def lang_id(
 
 
 def lm_unigram_fit(
-    docs: DataFrame, *, text_col: str = "text", min_count: int = 1,
+    docs: DataFrame, *, text_col: str = "text", min_count: int = 5,
 ) -> tuple[DataFrame, int, int]:
     """Fit a unigram language model on the corpus: word counts plus the
     (n_total_tokens, vocab_size) normalizer — the CCNet-style LM used to
@@ -447,9 +450,12 @@ def lm_unigram_fit(
     convention; they are always computed from the UNPRUNED counts so
     smoothing stays proper. ``min_count`` then prunes the counts table
     that scoring ships: at 100 TB the full vocab is heavy-tailed junk
-    (urls, hashes) — pruning to ``min_count>=5`` typically shrinks it
-    100x, making it broadcastable, while scoring treats pruned words as
-    unseen (count 0 -> the add-one smoothing floor).
+    (urls, hashes) — pruning typically shrinks it 100x, making it
+    broadcastable, while scoring treats pruned words as unseen
+    (count 0 -> the add-one smoothing floor). The pruned model is the
+    DEFAULT (min_count=5): broadcasting an unpruned billions-of-tokens
+    vocabulary is an OOM hazard, so the unpruned path requires explicit
+    ``min_count=1`` opt-in (r03 VERDICT item #3).
     """
     w = docs.select(F.explode(_words(text_col)).alias("word"))
     counts = w.groupBy("word").agg(F.count("*").alias("c"))
@@ -486,6 +492,13 @@ def lm_unigram_score(
     ``broadcast_model=True`` (with a ``min_count``-pruned model) keeps
     the join shuffle-free on the big side; popular-word skew is
     irrelevant because the build side is per-word.
+
+    Token-less (empty/whitespace) documents survive: explode emits no
+    rows for them, so the scores are left-joined back to the full doc-id
+    set and empty docs come out as ``n_words=0`` with NULL ``avg_logp``
+    (and NULL ``ppl``) — mirroring repetition_stats' restore-join, so a
+    downstream keep/drop perplexity filter sees them rather than
+    silently losing them (r03 ADVICE).
     """
     tok = docs.select(id_col, F.explode(_words(text_col)).alias("word"))
     model = F.broadcast(counts) if broadcast_model else counts
@@ -495,9 +508,14 @@ def lm_unigram_score(
         / F.lit(float(n_total + vocab))
     )
     q = F.round(logp, 9).cast("decimal(38,9)")
-    out = j.groupBy(id_col).agg(
+    scored = j.groupBy(id_col).agg(
         F.count("*").alias("n_words"),
         (F.sum(q).cast("double") / F.count("*")).alias("avg_logp"),
+    )
+    out = docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        "avg_logp",
     )
     if with_ppl:
         out = out.withColumn("ppl", F.exp(-F.col("avg_logp")))

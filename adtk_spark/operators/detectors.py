@@ -195,12 +195,15 @@ def robust_zscore_ad_detect(
     MAD); the multiplication associates (z * (c * mad)) so a SQL
     replay with the same decimal literals is bit-identical. A zero MAD
     (>50% constant values) flags any deviation — the rule's
-    documented breakdown behavior.
+    documented breakdown behavior. The model join is LEFT so sources
+    absent from the training table keep their rows with NULL label
+    (matching apply_bounds semantics), instead of silently vanishing.
     """
     v = F.col(value_col)
-    joined = df.join(F.broadcast(model), source_col)
+    joined = df.join(F.broadcast(model), source_col, "left")
     thresh = F.lit(float(z)) * (F.lit(1.4826) * F.col("mad"))
-    label = F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+    label = F.when(v.isNull() | F.col("mad").isNull(),
+                   F.lit(None).cast("boolean")).otherwise(
         F.abs(v - F.col("med")) > thresh
     )
     return joined.select(
@@ -271,8 +274,10 @@ def cusum_ad_detect(
     Both cumulative windows share one (source, ts) Exchange+Sort; the
     per-row chain is evaluated in a fixed sequential order on both
     engines, so ``sp``/``sm`` are bit-identical to a SQL replay.
+    The model join is LEFT (apply_bounds semantics): sources absent
+    from the training table keep their rows with NULL sp/sm/label.
     """
-    j = df.join(F.broadcast(model), source_col)
+    j = df.join(F.broadcast(model), source_col, "left")
     v = F.col(value_col)
     k = F.lit(float(k_sigmas)) * F.col("sigma")
     h = F.lit(float(h_sigmas)) * F.col("sigma")

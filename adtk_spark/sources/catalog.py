@@ -237,9 +237,12 @@ class TierCatalog:
         return self._read_ids(spark, table, ids)
 
     def snapshots_in_range(self, table: str, start=None, end=None) -> list[int]:
-        """Snapshot ids whose manifest zone map can intersect
+        """Live snapshot ids whose manifest zone map can intersect
         [start, end) — driver-side pruning from the manifest alone.
-        Snapshots committed without stats are kept (conservative)."""
+        Snapshots committed without stats are kept (conservative).
+        Superseded snapshots are excluded exactly as in ``snapshots()``:
+        after compact_tier + vacuum their snap= dirs are gone, so a
+        range read that still listed them would fail PATH_NOT_FOUND."""
         import datetime as _dt
 
         def _ts(v):
@@ -248,8 +251,12 @@ class TierCatalog:
             except (ValueError, TypeError):
                 return None  # unparseable stats -> keep (conservative)
 
+        t = self._load()["tables"].get(table, {})
+        dead = set(t.get("superseded", []))
         out = []
-        for s in self._load()["tables"].get(table, {}).get("snapshots", []):
+        for s in t.get("snapshots", []):
+            if s["id"] in dead:
+                continue
             st = s.get("stats")
             if st is not None:
                 hi, lo = _ts(st["max"]), _ts(st["min"])

@@ -245,3 +245,31 @@ def test_compact_tier_and_vacuum(spark, tmp_path):
 
     # idempotence: nothing left to compact
     assert compact_tier(cat, spark, "tier_1m") is None
+
+
+def test_range_read_after_compact_vacuum(spark, tmp_path):
+    """Regression (r03 ADVICE high): snapshots_in_range must exclude
+    superseded snapshot ids like snapshots() does. Before the fix, a
+    time-bounded read after compact_tier + vacuum built paths to the
+    deleted snap= dirs and the parquet scan failed PATH_NOT_FOUND."""
+    import datetime as dt
+
+    from adtk_spark.plans.incremental import compact_tier, read_tier_latest
+
+    cat = TierCatalog(str(tmp_path / "cp"))
+    for epoch in range(3):
+        cat.commit(spark.createDataFrame(
+            [("s", dt.datetime(2025, 5, 1, 0, epoch), float(epoch))],
+            "source string, bucket_ts timestamp, mean double"), "tier_1m")
+    lo, hi = dt.datetime(2025, 5, 1), dt.datetime(2025, 5, 2)
+    # pre-vacuum: range listing must already skip superseded ids
+    compact_tier(cat, spark, "tier_1m")
+    assert cat.snapshots_in_range("tier_1m", lo, hi) == [4]
+    cat.vacuum("tier_1m")
+    # post-vacuum: both the bare range read and the latest-wins
+    # bounded read plan only against live dirs and return all rows
+    ranged = cat.read_range(spark, "tier_1m", lo, hi)
+    assert all("snap=4" in f for f in ranged.inputFiles())
+    assert ranged.count() == 3
+    latest = read_tier_latest(cat, spark, "tier_1m", lo, hi)
+    assert {r["mean"] for r in latest.collect()} == {0.0, 1.0, 2.0}

@@ -415,7 +415,9 @@ def test_lm_unigram_fit_score(spark):
 
     docs = spark.createDataFrame(
         [("d1", "a a b"), ("d2", "a c")], "doc_id string, text string")
-    counts, n, v = lm_unigram_fit(docs)
+    # full-vocab model needs explicit opt-in: the default prunes at
+    # min_count=5 (broadcast-safety) — see test_lm_safe_default
+    counts, n, v = lm_unigram_fit(docs, min_count=1)
     assert (n, v) == (5, 3)
     got = {r["doc_id"]: (r["n_words"], r["avg_logp"]) for r in
            lm_unigram_score(docs, counts, n, v, with_ppl=False).collect()}
@@ -432,6 +434,26 @@ def test_lm_unigram_fit_score(spark):
     got2 = {r["doc_id"]: r["avg_logp"] for r in
             lm_unigram_score(docs, counts2, n2, v2).collect()}
     assert abs(got2["d2"] - (q(0.5) + q(1 / 8)) / 2) < 1e-12
+
+
+def test_lm_safe_default_and_empty_docs(spark):
+    """r03 VERDICT item #3 + ADVICE: (a) the DEFAULT fit prunes at
+    min_count=5 — the unpruned broadcast-hazard vocab requires explicit
+    min_count=1; (b) token-less documents survive scoring with
+    n_words=0 and NULL avg_logp instead of silently vanishing."""
+    from adtk_spark.operators.corpus import lm_unigram_fit, lm_unigram_score
+
+    docs = spark.createDataFrame(
+        [("d1", "a a b"), ("d2", "a c"), ("d3", None)],
+        "doc_id string, text string")
+    counts, n, v = lm_unigram_fit(docs)  # default: pruned
+    assert counts.count() == 0  # every word < 5 occurrences -> pruned
+    assert (n, v) == (5, 3)  # totals stay unpruned (proper smoothing)
+    got = {r["doc_id"]: (r["n_words"], r["avg_logp"]) for r in
+           lm_unigram_score(docs, counts, n, v).collect()}
+    assert set(got) == {"d1", "d2", "d3"}  # token-less doc restored
+    assert got["d3"] == (0, None)
+    assert got["d1"][0] == 3 and got["d1"][1] is not None
 
 
 def test_lm_score_partition_invariant(spark):
