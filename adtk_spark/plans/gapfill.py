@@ -136,10 +136,18 @@ def counter_rate(
     Plan: one (source, ts) window pass for the lag (the exchange every
     windowed operator shares) + one algebraic groupBy on the bucket —
     no self-join.
+
+    The rate divisor is each bucket's ACTUAL width — the epoch delta to
+    the next calendar-interval bucket — not a fixed constant: with a
+    non-UTC session timezone, date_trunc('day') buckets around DST
+    transitions are 23/25 h wide, and dividing by a fixed 86400 would
+    misstate the per-second rate on those days (r03 ADVICE). Under UTC
+    the expression constant-folds to the familiar 60/3600/86400.
     """
     from .tiers import TIER_INTERVALS
 
-    width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    shift = {"1m": "INTERVAL 1 MINUTE", "1h": "INTERVAL 1 HOUR",
+             "1d": "INTERVAL 1 DAY"}[tier]
     w = Window.partitionBy(source_col).orderBy(ts_col)
     v = F.col(value_col)
     prev = F.lag(v).over(w)
@@ -156,7 +164,12 @@ def counter_rate(
             # parallelism — same device as the tier sums / LM scorer
             F.sum(F.round(F.col("_inc"), 9).cast("decimal(38,9)"))
             .cast("double").alias("increase"))
-        .withColumn("rate", F.col("increase") / F.lit(float(width)))
+        .withColumn(
+            "_width",
+            (F.unix_timestamp(F.col("bucket_ts") + F.expr(shift))
+             - F.unix_timestamp("bucket_ts")).cast("double"))
+        .withColumn("rate", F.col("increase") / F.col("_width"))
+        .drop("_width")
     )
 
 

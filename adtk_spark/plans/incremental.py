@@ -112,6 +112,18 @@ def refresh_tiers(
     if last is None or last <= wm:
         return {"processed": 0, "watermark": wm}
 
+    # flavor sniff for the mode guards below: inspect ONLY the newest
+    # live tier_1m snapshot's schema (one snap= dir), not a union of
+    # every live snapshot — under always-on streaming ingest the
+    # full-catalog listing grows with snapshot count per refresh (r03
+    # ADVICE). The guards themselves keep flavors uniform across
+    # snapshots, so the newest dir's schema speaks for all of them.
+    _last_tier = catalog.last_snapshot("tier_1m")
+    existing = (
+        catalog._read_ids(spark, "tier_1m", [_last_tier])
+        if _last_tier is not None else None
+    )
+
     if sketch:
         from .tiers import rollup_raw_sketch, rollup_up_sketch
 
@@ -120,7 +132,6 @@ def refresh_tiers(
         # with historical rows that have no vdigest — NULL digests crash
         # the merge UDF, and skipping them would silently drop history
         # from the quantile estimate. Demand an explicit restatement.
-        existing = catalog.read(spark, "tier_1m")
         if existing is not None and "vdigest" not in existing.columns:
             raise ValueError(
                 "sketch=True on a catalog whose existing tier snapshots "
@@ -143,7 +154,6 @@ def refresh_tiers(
         # can silently disappear (or the read fails nondeterministically
         # depending on which file is sampled). Same answer: demand an
         # explicit restatement.
-        existing = catalog.read(spark, "tier_1m")
         if existing is not None and "vdigest" in existing.columns:
             raise ValueError(
                 "sketch=False on a catalog whose existing tier snapshots "

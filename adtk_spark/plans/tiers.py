@@ -405,13 +405,20 @@ def rollup_retention(
     intersection is not re-aggregable; it needs the key level once).
 
     Plan: one map-side distinct collapse to (source, bucket, key) rows,
-    then a self equi-join on (source, key, bucket+width) — co-located
+    then a self equi-join on (source, key, next-bucket) — co-located
     on the same hash keys, so AQE plans a single shuffle reused by both
     sides — and an algebraic count per bucket. Buckets with no
     predecessor simply report retained = 0.
+
+    The previous-bucket shift uses a CALENDAR interval (INTERVAL 1 DAY
+    etc.), not fixed seconds: with a non-UTC session timezone,
+    date_trunc('day') buckets around DST transitions are 23/25 h wide,
+    and a fixed 86400 s shift would miss the join and silently read
+    retention 0 on those days (r03 ADVICE).
     """
     trunc = TIER_INTERVALS[tier]
-    width = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    shift = {"1m": "INTERVAL 1 MINUTE", "1h": "INTERVAL 1 HOUR",
+             "1d": "INTERVAL 1 DAY"}[tier]
     cur = df.select(
         source_col,
         F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"),
@@ -419,7 +426,7 @@ def rollup_retention(
     ).distinct()
     prev_shifted = cur.select(
         source_col,
-        (F.col("bucket_ts") + F.expr(f"interval {width} seconds")).alias("bucket_ts"),
+        (F.col("bucket_ts") + F.expr(shift)).alias("bucket_ts"),
         "key",
     )
     retained = (

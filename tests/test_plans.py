@@ -198,3 +198,41 @@ def test_counter_rate_resets(spark):
     # increases: 50, 40, 10 (reset -> the post-reset level), 20 = 120
     assert out[0]["increase"] == 120.0
     assert out[0]["rate"] == 2.0  # 120 / 60s
+
+
+def test_dst_day_buckets(spark):
+    """r03 ADVICE: with a non-UTC session timezone, date_trunc('day')
+    buckets around a DST transition are 23/25 h wide. The retention
+    previous-bucket shift must use a calendar interval (fixed 86400 s
+    missed the join and silently read 0), and counter_rate's '1d' rate
+    divisor must be the bucket's actual width (82800 s on the US
+    spring-forward day), not a fixed 86400."""
+    import datetime as dt
+
+    from adtk_spark.plans.gapfill import counter_rate
+    from adtk_spark.plans.tiers import rollup_retention
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # US spring-forward: 2025-03-09 (23 h), flanked by normal days
+        days = [dt.datetime(2025, 3, d, 12, 0) for d in (8, 9, 10)]
+        rows = [("s", t, "u1") for t in days] + [("s", days[1], "u2")]
+        df = spark.createDataFrame(
+            rows, "source string, ts timestamp, user_id string")
+        got = {r["bucket_ts"].day: (r["n_retained"], r["n_distinct"])
+               for r in rollup_retention(df, "1d").collect()}
+        # u1 present every day: retained=1 on the 9th AND the 10th —
+        # the 10th's previous bucket is the 23 h DST day
+        assert got[9] == (1, 2) and got[10] == (1, 1)
+
+        # counter over the DST day: increase 115 over an 82800 s bucket
+        c0 = dt.datetime(2025, 3, 9, 0, 30)
+        crows = [("c", c0, 0.0), ("c", c0 + dt.timedelta(hours=22), 115.0)]
+        cdf = spark.createDataFrame(
+            crows, "source string, ts timestamp, value double")
+        out = {r["bucket_ts"].day: r["rate"]
+               for r in counter_rate(cdf, "1d").collect()}
+        assert abs(out[9] - 115.0 / 82800.0) < 1e-12
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
