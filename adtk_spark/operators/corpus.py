@@ -617,8 +617,18 @@ def _cc_alternating_stars(edges: DataFrame, max_iter: int) -> DataFrame:
     converged = False
     for _ in range(max_iter):
         new = small_star(large_star(e)).localCheckpoint(eager=True)
-        changed = (new.exceptAll(e).limit(1).count()
-                   + e.exceptAll(new).limit(1).count())
+        # ONE action per round (r03 VERDICT item #5): both edge sets are
+        # distinct, so tagging rows +1/-1 and grouping on (src, dst)
+        # leaves a nonzero sum exactly on the symmetric difference —
+        # one union + one shuffle + limit(1), vs the two full
+        # exceptAll jobs this replaced (each extra action is a full
+        # pass over the edge set at 100 TB).
+        changed = (
+            new.select("src", "dst", F.lit(1).alias("_t"))
+            .unionByName(e.select("src", "dst", F.lit(-1).alias("_t")))
+            .groupBy("src", "dst").agg(F.sum("_t").alias("_d"))
+            .where(F.col("_d") != 0).limit(1).count()
+        )
         e = new
         if changed == 0:
             converged = True
@@ -709,7 +719,7 @@ def dedup_groups(
             new.alias("n")
             .join(labels.alias("o"), "id")
             .where(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
+            .limit(1).count()  # existence check, not a full count
         )
         labels = new
         if changed == 0:

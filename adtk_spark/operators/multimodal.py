@@ -213,22 +213,27 @@ def extract_audio_features(media: DataFrame, decode_fn: Callable | None = None) 
     pass ``decode_fn`` to wire one in on a cluster."""
     decode = decode_fn or wav_decode
 
+    def one(doc_id, media):
+        # decode is inherently per-payload; everything inside is numpy
+        if media is None:
+            return (doc_id, None, None, None, None)
+        x, rate = decode(bytes(media))
+        dur = len(x) / rate
+        rms = float(np.sqrt(np.mean(x * x)))
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) * rate / 2.0
+        # power-weighted centroid: robust to broadband noise
+        spec = np.abs(np.fft.rfft(x)) ** 2
+        freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
+        centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() else 0.0
+        return (doc_id, dur, rms, zcr, centroid)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                if row["media"] is None:
-                    out.append((row["doc_id"], None, None, None, None))
-                    continue
-                x, rate = decode(bytes(row["media"]))
-                dur = len(x) / rate
-                rms = float(np.sqrt(np.mean(x * x)))
-                zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) * rate / 2.0
-                # power-weighted centroid: robust to broadband noise
-                spec = np.abs(np.fft.rfft(x)) ** 2
-                freqs = np.fft.rfftfreq(len(x), 1.0 / rate)
-                centroid = float((freqs * spec).sum() / spec.sum()) if spec.sum() else 0.0
-                out.append((row["doc_id"], dur, rms, zcr, centroid))
+            # zip over raw column arrays, not iterrows(): building a
+            # pandas Series per row costs more than the feature math
+            # for small payloads (r03 VERDICT item #7)
+            out = [one(d, m)
+                   for d, m in zip(pdf["doc_id"].values, pdf["media"].values)]
             yield pd.DataFrame(
                 out, columns=["doc_id", "duration_sec", "rms", "zcr_hz",
                               "spectral_centroid_hz"])
@@ -250,18 +255,24 @@ def extract_features(
     codec libraries are absent here (see ``decode_image``)."""
     decode = decode_fn or decode_image
 
+    def one(doc_id, media, width, height):
+        if media is None:
+            return (doc_id, None, None, None)
+        arr = decode(bytes(media), int(width), int(height))
+        hist = np.bincount(arr.reshape(-1) % 16, minlength=16).astype(float)
+        p = hist / hist.sum()
+        ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+        return (doc_id, float(arr.mean()), float(arr.std()), ent)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                if row["media"] is None:
-                    out.append((row["doc_id"], None, None, None))
-                    continue
-                arr = decode(bytes(row["media"]), int(row["width"]), int(row["height"]))
-                hist = np.bincount(arr.reshape(-1) % 16, minlength=16).astype(float)
-                p = hist / hist.sum()
-                ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
-                out.append((row["doc_id"], float(arr.mean()), float(arr.std()), ent))
+            # zip over raw column arrays, not iterrows() (see
+            # extract_audio_features)
+            out = [one(d, m, w, h)
+                   for d, m, w, h in zip(pdf["doc_id"].values,
+                                         pdf["media"].values,
+                                         pdf["width"].values,
+                                         pdf["height"].values)]
             yield pd.DataFrame(out, columns=["doc_id", "px_mean", "px_std", "entropy"])
 
     schema = "doc_id string, px_mean double, px_std double, entropy double"

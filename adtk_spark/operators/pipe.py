@@ -125,14 +125,16 @@ class Pipenet:
 
     def summary(self) -> str:
         """Step table in topological order (Pipenet.summary,
-        _pipe.py:1357-1376)."""
-        lines = [f"{'step':<24}{'input':<32}subset"]
+        _pipe.py:1357-1376): name, declared kind, inputs, subset
+        projection — the DAG-wiring debug view."""
+        lines = [f"{'step':<24}{'kind':<14}{'input':<32}subset"]
         for name in self._order:
             spec = self.steps[name]
+            kind = spec.get("kind") or "-"
             inp = spec.get("input", "original")
             inp = ", ".join(inp) if isinstance(inp, list) else inp
             sub = ", ".join(spec.get("subset") or []) or "-"
-            lines.append(f"{name:<24}{inp:<32}{sub}")
+            lines.append(f"{name:<24}{kind:<14}{inp:<32}{sub}")
         return "\n".join(lines)
 
     def score(

@@ -210,6 +210,34 @@ def test_pipenet_kind_validation(spark):
         Pipenet({"x": {"fn": ident, "kind": "detektor"}})
 
 
+def test_pipenet_summary_golden():
+    """Golden summary for the pipenet_chain DAG shape (r03 VERDICT
+    item #6) plus a multi-input/subset step — matches the reference's
+    Pipenet.summary step table (_pipe.py:1357-1376)."""
+    from adtk_spark.operators.pipe import Pipenet
+
+    ident = lambda d: d  # noqa: E731
+    net = Pipenet({
+        "smooth": {"fn": ident, "kind": "transformer"},
+        "det": {"fn": ident, "input": "smooth", "kind": "detector"},
+    })
+    assert net.summary() == (
+        "step                    kind          input                           subset\n"
+        "smooth                  transformer   original                        -\n"
+        "det                     detector      smooth                          -"
+    )
+
+    fan = Pipenet({
+        "t1": {"fn": ident, "kind": "transformer", "subset": ["value"]},
+        "d1": {"fn": ident, "input": "t1", "kind": "detector"},
+        "d2": {"fn": ident, "input": "t1", "kind": "detector"},
+        "agg": {"fn": ident, "input": ["d1", "d2"], "kind": "aggregator"},
+    })
+    lines = fan.summary().splitlines()
+    assert lines[1].split() == ["t1", "transformer", "original", "value"]
+    assert lines[-1].split() == ["agg", "aggregator", "d1,", "d2", "-"]
+
+
 def test_lagged_corr_shifted_copy(spark):
     """b[t] = a[t-1]: corr must be exactly 1.0 at lag +1 and below 1
     elsewhere; n shrinks by the overlap at each lag."""
