@@ -1312,6 +1312,27 @@ def q_pipenet_chain(spark, sf_dir):
     return net.run(_series(spark, sf_dir))
 
 
+def q_sax_8m(spark, sf_dir):
+    """SAX symbolic downsampling (Lin et al. 2003) over the 1m-tier
+    mean series: per-source z-normalization, 8-minute PAA segments,
+    alphabet 4 (plans/tiers.py sax_downsample). The oracle replays the
+    identical DECIMAL-quantized moments/PAA sums and the same double
+    association for mu/sigma/z, so paa, z AND the symbol letter are
+    bit-stable across engines."""
+    from adtk_spark.plans.tiers import sax_downsample
+
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count("value").alias("cnt"), _dsum().alias("vsum"))
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    return sax_downsample(m1, segment_secs=480, alphabet=4)
+
+
 def q_customized_detector(spark, sf_dir):
     """CustomizedDetector1D with a user pandas function (2-sigma rule);
     the oracle replays the same arithmetic in SQL — proves the custom
@@ -1533,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "rollup_hist_1h": q_rollup_hist_1h,
         "embedding_quality": q_embedding_quality,
+        "sax_8m": q_sax_8m,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
     # driver's CORRECTNESS harness recorded the same 50-key list in
@@ -3470,6 +3492,49 @@ def oracle_sql() -> dict[str, str]:
             UNION SELECT source, t_vmin AS ts, vmin AS value FROM sel
             UNION SELECT source, t_vmax AS ts, vmax AS value FROM sel
             UNION SELECT source, tl AS ts, vl AS value FROM sel
+        """,
+        # SAX symbolization: identical DECIMAL-quantized moments + PAA
+        # sums, identical double association for mu/sigma/z; segment
+        # boundary via integer epoch modulo (Spark double->long cast
+        # truncates, DuckDB's rounds — modulo sidesteps the divergence);
+        # breakpoint literals forced to doubles with e0
+        "sax_8m": f"""
+            WITH m AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                     CAST({_DSUM_SQL} AS DOUBLE) / count(value) AS mean
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT source,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(round(mean * mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+                     count(mean) AS n
+              FROM m GROUP BY source
+            ), st AS (
+              SELECT source, s1 / n AS mu,
+                     sqrt(greatest((s2 - (s1 / n) * s1) / n, 0.0e0)) AS sigma
+              FROM s
+            ), p AS (
+              SELECT source,
+                     make_timestamp((CAST(epoch(bucket_ts) AS BIGINT)
+                                     - CAST(epoch(bucket_ts) AS BIGINT) % 480)
+                                    * 1000000) AS seg_ts,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ps,
+                     count(mean) AS n_buckets
+              FROM m GROUP BY 1, 2
+            ), zz AS (
+              SELECT p.source, p.seg_ts, p.n_buckets,
+                     p.ps / p.n_buckets AS paa,
+                     CASE WHEN st.sigma = 0.0e0 THEN 0.0e0
+                          ELSE (p.ps / p.n_buckets - st.mu) / st.sigma END AS z
+              FROM p JOIN st USING (source)
+            )
+            SELECT source, seg_ts, n_buckets,
+                   round(paa, 6) AS paa, round(z, 6) AS z,
+                   CASE WHEN z < -0.6745e0 THEN 'a'
+                        WHEN z < 0.0e0 THEN 'b'
+                        WHEN z < 0.6745e0 THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM zz
         """,
         # exact-moment Pearson corr at each lag (identical association)
         "lagged_corr": """

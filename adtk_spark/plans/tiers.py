@@ -560,6 +560,93 @@ def m4_downsample(
     return pts.select(source_col, f"_p.{ts_col}", f"_p.{value_col}")
 
 
+# N(0,1) quantile breakpoints for SAX alphabets (Lin et al. 2003,
+# table 3): alphabet a -> a-1 cut points splitting the standard normal
+# into a equiprobable regions. Shortest-repr literals so a SQL replay
+# with the same constants is bit-identical.
+SAX_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.4307, 0.4307],
+    4: [-0.6745, 0.0, 0.6745],
+    5: [-0.8416, -0.2533, 0.2533, 0.8416],
+    6: [-0.9674, -0.4307, 0.0, 0.4307, 0.9674],
+    7: [-1.0676, -0.5659, -0.18, 0.18, 0.5659, 1.0676],
+    8: [-1.1503, -0.6745, -0.3186, 0.0, 0.3186, 0.6745, 1.1503],
+}
+
+
+def sax_downsample(
+    tier_df: DataFrame,
+    segment_secs: int = 480,
+    alphabet: int = 4,
+    *,
+    source_col: str = "source",
+    ts_col: str = "bucket_ts",
+    value_col: str = "mean",
+) -> DataFrame:
+    """SAX symbolic downsampling (Lin et al., "A Symbolic Representation
+    of Time Series", DMKD 2003) over a tier's mean series: per source,
+    z-normalize against the source's own mean/std, PAA-average each
+    tumbling ``segment_secs`` segment, and map the normalized PAA value
+    to a letter via the N(0,1) equiprobable breakpoints. The output
+    word stream is the standard index for motif/discord mining and
+    cheap shape search at corpus scale — the symbol table is thousands
+    of times smaller than the tier it summarizes.
+
+    Plan shape: one tiny per-source stats aggregate (broadcast back) +
+    one (source, segment) groupBy — two shuffles total, both keyed on
+    source so AQE can reuse the partitioning; no window, no UDF.
+
+    Determinism at any parallelism (oracle-hash requirement): the
+    per-source moments and the per-segment PAA sums are 1e-9-quantized
+    DECIMAL(38,9) sums (order-independent), and every double-arithmetic
+    step (mu, sigma, z) associates identically to the SQL replay.
+    ``sigma = 0`` (constant source) maps z to 0.0 explicitly on both
+    engines. Breakpoint comparison on the unrounded z is engine-stable
+    because both engines compute the identical double.
+    """
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be in {sorted(SAX_BREAKPOINTS)}")
+    bps = SAX_BREAKPOINTS[alphabet]
+    v = F.col(value_col)
+    q = F.round(v, 9).cast("decimal(38,9)")
+    q2 = F.round(v * v, 9).cast("decimal(38,9)")
+    stats = tier_df.groupBy(source_col).agg(
+        F.sum(q).cast("double").alias("_s1"),
+        F.sum(q2).cast("double").alias("_s2"),
+        F.count(v).alias("_n"),
+    ).select(
+        source_col,
+        (F.col("_s1") / F.col("_n")).alias("_mu"),
+        F.sqrt(F.greatest(
+            (F.col("_s2") - (F.col("_s1") / F.col("_n")) * F.col("_s1"))
+            / F.col("_n"), F.lit(0.0))).alias("_sigma"),
+    )
+    # integer epoch modulo, NOT divide-then-cast: Spark's double->long
+    # cast truncates but DuckDB's rounds, so a /-based replay would
+    # disagree on segment boundaries
+    _e = F.unix_timestamp(F.col(ts_col)).cast("long")
+    seg_ts = F.timestamp_seconds(_e - (_e % segment_secs))
+    paa = (
+        tier_df.groupBy(source_col, seg_ts.alias("seg_ts"))
+        .agg(F.sum(q).cast("double").alias("_ps"),
+             F.count(v).alias("n_buckets"))
+        .withColumn("paa", F.col("_ps") / F.col("n_buckets"))
+    )
+    j = paa.join(F.broadcast(stats), source_col)
+    z = F.when(F.col("_sigma") == 0.0, F.lit(0.0)).otherwise(
+        (F.col("paa") - F.col("_mu")) / F.col("_sigma"))
+    sym = F.lit(chr(ord("a") + len(bps)))
+    for i in range(len(bps) - 1, -1, -1):
+        sym = F.when(z < F.lit(bps[i]), F.lit(chr(ord("a") + i))).otherwise(sym)
+    return j.select(
+        source_col, "seg_ts", "n_buckets",
+        F.round("paa", 6).alias("paa"),
+        F.round(z, 6).alias("z"),
+        sym.alias("symbol"),
+    )
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",

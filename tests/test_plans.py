@@ -200,6 +200,42 @@ def test_counter_rate_resets(spark):
     assert out[0]["rate"] == 2.0  # 120 / 60s
 
 
+def test_sax_downsample_golden(spark):
+    """SAX golden (Lin et al. 2003): mean series [0,0,0,0,10,10,10,10]
+    has mu=5, population sigma=5; 4-minute PAA segments give z=-1 ('a'
+    under the alphabet-4 breakpoints) and z=+1 ('d'). A constant source
+    has sigma=0 -> z pinned to 0.0 -> 'c' (first region at or above 0).
+    Also checks segment alignment and partition invariance."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import sax_downsample
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("s", t0 + dt.timedelta(minutes=i), 0.0 if i < 4 else 10.0)
+            for i in range(8)]
+    rows += [("flat", t0 + dt.timedelta(minutes=i), 7.0) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "source string, bucket_ts timestamp, mean double")
+    got = {(r["source"], r["seg_ts"].minute): (r["n_buckets"], r["paa"],
+                                               r["z"], r["symbol"])
+           for r in sax_downsample(df, segment_secs=240).collect()}
+    assert got[("s", 0)] == (4, 0.0, -1.0, "a")
+    assert got[("s", 4)] == (4, 10.0, 1.0, "d")
+    assert got[("flat", 0)] == (4, 7.0, 0.0, "c")
+    assert got[("flat", 4)] == (4, 7.0, 0.0, "c")
+
+    # partition invariance: DECIMAL sums make paa/z bit-identical
+    got13 = {(r["source"], r["seg_ts"].minute): (r["paa"], r["z"], r["symbol"])
+             for r in sax_downsample(df.repartition(13),
+                                     segment_secs=240).collect()}
+    assert got13 == {k: v[1:] for k, v in got.items()}
+
+    # alphabet bounds validated
+    import pytest
+    with pytest.raises(ValueError):
+        sax_downsample(df, alphabet=26)
+
+
 def test_dst_day_buckets(spark):
     """r03 ADVICE: with a non-UTC session timezone, date_trunc('day')
     buckets around a DST transition are 23/25 h wide. The retention
