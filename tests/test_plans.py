@@ -63,6 +63,18 @@ def test_mixed_double_rolling_no_extra_shuffle(spark):
     assert count_exchanges(plan_of(out)) == 1
 
 
+def test_sax_two_exchanges_broadcast_stats(spark):
+    from adtk_spark.plans.tiers import sax_downsample
+
+    df = series_df(spark, list(range(50))).withColumnRenamed(
+        "ts", "bucket_ts").withColumnRenamed("value", "mean")
+    plan = plan_of(sax_downsample(df, segment_secs=240))
+    # per-source stats + per-segment PAA are the only shuffles; the
+    # tiny stats table joins back as a broadcast, never a SMJ
+    assert count_exchanges(plan) == 2, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
+
+
 def test_scan_is_column_pruned(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     from adtk_spark.operators.corpus import token_count
