@@ -1312,6 +1312,19 @@ def q_pipenet_chain(spark, sf_dir):
     return net.run(_series(spark, sf_dir))
 
 
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination (corpus.ngram_contamination): flag
+    training docs sharing any word 5-gram with the deterministic
+    held-out 'benchmark' subset (doc_id % 97 == 0). The oracle replays
+    the identical shingle construction and broadcast-mark join in SQL."""
+    from adtk_spark.operators.corpus import ngram_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, n=5)
+
+
 def q_sax_8m(spark, sf_dir):
     """SAX symbolic downsampling (Lin et al. 2003) over the 1m-tier
     mean series: per-source z-normalization, 8-minute PAA segments,
@@ -1555,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_hist_1h": q_rollup_hist_1h,
         "embedding_quality": q_embedding_quality,
         "sax_8m": q_sax_8m,
+        "ngram_contamination": q_ngram_contamination,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
     # driver's CORRECTNESS harness recorded the same 50-key list in
@@ -3492,6 +3506,34 @@ def oracle_sql() -> dict[str, str]:
             UNION SELECT source, t_vmin AS ts, vmin AS value FROM sel
             UNION SELECT source, t_vmax AS ts, vmax AS value FROM sel
             UNION SELECT source, tl AS ts, vl AS value FROM sel
+        """,
+        # decontamination: same shingle device as ngram_jaccard; the
+        # bench gram set is DISTINCT so the mark join has multiplicity 1
+        "ngram_contamination": """
+            WITH b AS (
+              SELECT DISTINCT unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+                     ))) AS g
+              FROM documents WHERE doc_id % 97 = 0
+            ), cg AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 4, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 4), ' ')
+                     ))) AS g
+              FROM documents WHERE doc_id % 97 <> 0
+            ), s AS (
+              SELECT cg.doc_id, count(*) AS n_grams, count(b.g) AS n_hit
+              FROM cg LEFT JOIN b ON cg.g = b.g
+              GROUP BY cg.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+                   CASE WHEN coalesce(s.n_grams, 0) = 0 THEN NULL
+                        ELSE round(s.n_hit / s.n_grams, 6) END AS hit_frac
+            FROM documents d LEFT JOIN s USING (doc_id)
+            WHERE d.doc_id % 97 <> 0
         """,
         # SAX symbolization: identical DECIMAL-quantized moments + PAA
         # sums, identical double association for mu/sigma/z; segment

@@ -79,6 +79,7 @@ from .corpus import (  # noqa: F401
     lsh_bucket_stats,
     md5_hash64,
     minhash_lsh_pairs,
+    ngram_contamination,
     ngram_jaccard_pairs,
     normalize_text,
     pack_sequences,

@@ -315,6 +315,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its word ``n``-grams that also appear ANYWHERE in an
+    evaluation/benchmark document set — the GPT-3-style overlap check
+    (Brown et al. 2020, App. C use 13-grams) that keeps eval answers
+    out of the training corpus. Output per doc: ``n_grams``, ``n_hit``,
+    ``hit_frac``; filter ``n_hit > 0`` (or a frac threshold) to drop.
+
+    Plan shape (100 TB): the bench side is an eval suite — thousands of
+    documents — so its DISTINCT gram set broadcasts; the corpus side is
+    one explode + broadcast LEFT semi-mark join + one groupBy on the
+    doc id = ONE shuffle over (doc, gram) rows, map-side combinable,
+    no skew surface (the join build side is the tiny bench set).
+
+    Documents shorter than ``n`` words contribute their single
+    truncated gram (the ``_with_shingles`` convention shared with the
+    jaccard family); NULL-text documents are restored by a left join
+    with ``n_grams = 0`` (lm_unigram_score's convention).
+    """
+    bt = bench_text_col or text_col
+    # NULL text filtered BEFORE shingling: concat_ws skips NULL args,
+    # so a NULL document would otherwise contribute one empty-string
+    # gram (and poison the bench set with a universal match); filtered
+    # docs reappear via the restore join as n_grams = 0
+    bench_grams = (
+        _with_shingles(bench.select(bt).where(F.col(bt).isNotNull()),
+                       text_col=bt, n=n, out="sh")
+        .select(F.explode("sh").alias("g")).distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_grams = _with_shingles(
+        docs.select(id_col, text_col).where(F.col(text_col).isNotNull()),
+        text_col=text_col, n=n, out="sh"
+    ).select(id_col, F.explode("sh").alias("g"))
+    scored = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_grams"), F.count("_hit").alias("n_hit"))
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.when(F.coalesce("n_grams", F.lit(0)) == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_hit") / F.col("n_grams"), 6))
+        .alias("hit_frac"),
+    )
+
+
 SIMHASH_BITS = 64
 SIMHASH_BITS_PORTABLE = 60  # md5_hash64 yields 60-bit values
 

@@ -436,6 +436,28 @@ def test_lm_unigram_fit_score(spark):
     assert abs(got2["d2"] - (q(0.5) + q(1 / 8)) / 2) < 1e-12
 
 
+def test_ngram_contamination_golden(spark):
+    """Decontamination overlap check: known 5-gram overlap fractions,
+    docs shorter than n contribute their truncated gram, NULL-text
+    docs are restored with n_grams=0 / NULL hit_frac."""
+    from adtk_spark.operators.corpus import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")], "doc_id string, text string")
+    docs = spark.createDataFrame(
+        [("c1", "the quick brown fox jumps today"),   # 2 grams, 1 hit
+         ("c2", "completely different words here now yes"),  # 2 grams, 0
+         ("c3", "short doc"),                          # 1 truncated gram
+         ("c4", None)],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_hit"], r["hit_frac"])
+           for r in ngram_contamination(docs, bench, n=5).collect()}
+    assert got["c1"] == (2, 1, 0.5)
+    assert got["c2"] == (2, 0, 0.0)
+    assert got["c3"] == (1, 0, 0.0)
+    assert got["c4"] == (0, 0, None)
+
+
 def test_lm_safe_default_and_empty_docs(spark):
     """r03 VERDICT item #3 + ADVICE: (a) the DEFAULT fit prunes at
     min_count=5 — the unpruned broadcast-hazard vocab requires explicit
