@@ -1325,6 +1325,22 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(corpus, bench, n=5)
 
 
+def q_psi_drift(spark, sf_dir):
+    """PSI distribution-drift monitor (plans/tiers.py psi_drift):
+    per-source Population Stability Index between the Jan 1-15
+    reference window and the Jan 16+ current window over fixed value
+    bins; terms DECIMAL-quantized so the score is parallelism-stable
+    and hash-equal to the SQL replay."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import psi_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return psi_drift(ev, dt.datetime(2024, 1, 16),
+                     [1.0, 25.0, 50.0, 100.0, 150.0, 250.0])
+
+
 def q_sax_8m(spark, sf_dir):
     """SAX symbolic downsampling (Lin et al. 2003) over the 1m-tier
     mean series: per-source z-normalization, 8-minute PAA segments,
@@ -1569,6 +1585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quality": q_embedding_quality,
         "sax_8m": q_sax_8m,
         "ngram_contamination": q_ngram_contamination,
+        "psi_drift": q_psi_drift,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
     # driver's CORRECTNESS harness recorded the same 50-key list in
@@ -3506,6 +3523,38 @@ def oracle_sql() -> dict[str, str]:
             UNION SELECT source, t_vmin AS ts, vmin AS value FROM sel
             UNION SELECT source, t_vmax AS ts, vmax AS value FROM sel
             UNION SELECT source, tl AS ts, vl AS value FROM sel
+        """,
+        # PSI drift: branch-free indicator-sum binning, integer counts,
+        # one fixed term association, DECIMAL-quantized term sum;
+        # HUGEINT-vs-long folded by the BIGINT casts on the count cols
+        "psi_drift": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     (CAST(value >= 1.0e0 AS INT) + CAST(value >= 25.0e0 AS INT)
+                      + CAST(value >= 50.0e0 AS INT) + CAST(value >= 100.0e0 AS INT)
+                      + CAST(value >= 150.0e0 AS INT) + CAST(value >= 250.0e0 AS INT)) AS bin,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
+              FROM events WHERE value IS NOT NULL
+            ), per AS (
+              SELECT source, bin, sum(r) AS cref, sum(1 - r) AS ccur
+              FROM b GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, sum(cref) AS n_ref, sum(ccur) AS n_cur
+              FROM per GROUP BY source
+            ), t AS (
+              SELECT per.source, tot.n_ref, tot.n_cur,
+                     (CASE WHEN tot.n_ref = 0 THEN 0.000001e0
+                           ELSE greatest(per.cref / tot.n_ref, 0.000001e0) END) AS p,
+                     (CASE WHEN tot.n_cur = 0 THEN 0.000001e0
+                           ELSE greatest(per.ccur / tot.n_cur, 0.000001e0) END) AS q
+              FROM per JOIN tot USING (source)
+            )
+            SELECT source,
+                   CAST(min(n_ref) AS BIGINT) AS n_ref,
+                   CAST(min(n_cur) AS BIGINT) AS n_cur,
+                   round(CAST(sum(CAST(round((p - q) * ln(p / q), 9)
+                                       AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
+            FROM t GROUP BY source
         """,
         # decontamination: same shingle device as ngram_jaccard; the
         # bench gram set is DISTINCT so the mark join has multiplicity 1

@@ -390,6 +390,73 @@ def rollup_hist_up(
     ).agg(F.sum("cnt").alias("cnt"))
 
 
+def psi_drift(
+    df: DataFrame,
+    split_ts,
+    edges: list[float],
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per source between a reference window
+    (``ts < split_ts``) and the current window (``ts >= split_ts``) over
+    EXPLICIT value-bin edges: ``PSI = sum_bins (p_i - q_i) ln(p_i/q_i)``
+    with proportions floored at ``eps`` — the standard
+    distribution-drift monitor (PSI > 0.2 = major shift) a training-data
+    pipeline runs per source per day to catch upstream regressions
+    before they reach a model.
+
+    Plan shape: ONE (source, bin) shuffle with conditional counts
+    (map-side combinable), a tiny per-source totals aggregate broadcast
+    back, one final per-source reduce — no window, no UDF. Bins empty
+    in both windows contribute exactly 0, so only observed (source,
+    bin) rows ever materialize.
+
+    Determinism: counts are integers; each bin's PSI term is computed
+    with one fixed association ``(p - q) * ln(p / q)`` and the terms
+    are 1e-9-quantized DECIMAL-summed, so the score is bit-stable at
+    any parallelism and hash-equal to the SQL replay.
+    """
+    v = F.col(value_col)
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    is_ref = F.col(ts_col) < F.lit(split_ts)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(source_col, bin_expr.alias("bin"))
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("cref"),
+            F.sum(F.when(is_ref, 0).otherwise(1)).alias("ccur"),
+        )
+    )
+    tot = per.groupBy(source_col).agg(
+        F.sum("cref").alias("n_ref"), F.sum("ccur").alias("n_cur")
+    )
+    j = per.join(F.broadcast(tot), source_col)
+    p = F.when(F.col("n_ref") == 0, F.lit(eps)).otherwise(
+        F.greatest(F.col("cref") / F.col("n_ref"), F.lit(eps)))
+    q = F.when(F.col("n_cur") == 0, F.lit(eps)).otherwise(
+        F.greatest(F.col("ccur") / F.col("n_cur"), F.lit(eps)))
+    term = (p - q) * F.log(p / q)
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+            F.sum(F.round(term, 9).cast("decimal(38,9)"))
+            .cast("double").alias("_psi"),
+        )
+        .select(
+            source_col, "n_ref", "n_cur",
+            F.round("_psi", 6).alias("psi"),
+        )
+    )
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

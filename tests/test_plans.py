@@ -248,6 +248,38 @@ def test_sax_downsample_golden(spark):
         sax_downsample(df, alphabet=26)
 
 
+def test_psi_drift_golden(spark):
+    """PSI golden: a total bin swap between windows gives the textbook
+    2*(1-eps)*ln(1/eps) score; an identical distribution gives 0; a
+    source absent from the reference window floors p at eps."""
+    import datetime as dt
+    import math
+
+    from adtk_spark.plans.tiers import psi_drift
+
+    t_ref = dt.datetime(2025, 1, 1)
+    t_cur = dt.datetime(2025, 2, 1)
+    split = dt.datetime(2025, 1, 15)
+    rows = (
+        [("swap", t_ref, 5.0)] * 4 + [("swap", t_cur, 15.0)] * 4
+        + [("same", t_ref, 5.0)] * 2 + [("same", t_cur, 5.0)] * 2
+        + [("newsrc", t_cur, 15.0)] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    got = {r["source"]: (r["n_ref"], r["n_cur"], r["psi"])
+           for r in psi_drift(df, split, [10.0]).collect()}
+
+    eps = 1e-6
+    term = round((1.0 - eps) * math.log(1.0 / eps), 9)
+    want_swap = round(2 * term, 6)
+    assert got["swap"] == (4, 4, want_swap)
+    assert got["same"] == (2, 2, 0.0)
+    # n_ref = 0: p floors at eps in the one observed bin, q = 1
+    want_new = round(round((eps - 1.0) * math.log(eps / 1.0), 9), 6)
+    assert got["newsrc"] == (0, 3, want_new)
+
+
 def test_dst_day_buckets(spark):
     """r03 ADVICE: with a non-UTC session timezone, date_trunc('day')
     buckets around a DST transition are 23/25 h wide. The retention
