@@ -86,6 +86,12 @@ def main(argv=None):
                         "— the dashboard serve path (route to the coarsest "
                         "dividing tier, then keep only first/last/min/max "
                         "per column)")
+    p.add_argument("--psi-split", default=None, metavar="ISO_TS",
+                   help="commit a per-source PSI drift_report comparing "
+                        "the 1m tier's mean series before vs after this "
+                        "timestamp (the daily upstream-regression alarm)")
+    p.add_argument("--psi-edges", default="1,25,50,100,150,250",
+                   help="comma-separated PSI value-bin edges")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -202,6 +208,28 @@ def main(argv=None):
             }
             print(json.dumps({"lsh_drop_report": report["lsh"]}),
                   file=sys.stderr)
+
+    if args.psi_split:
+        import datetime as dt
+
+        from adtk_spark.plans.tiers import psi_drift, tier_series
+
+        t1m = read_tier_latest(catalog, spark, "tier_1m")
+        if t1m is not None:
+            split = dt.datetime.fromisoformat(args.psi_split)
+            edges = [float(x) for x in args.psi_edges.split(",")]
+            drift = psi_drift(tier_series(t1m, "mean"), split, edges)
+            snap = catalog.commit(
+                drift, "drift_report",
+                {"split": args.psi_split, "edges": args.psi_edges})
+            worst = (drift.orderBy(F.desc("psi")).limit(3)
+                     .select("source", "psi").collect())
+            report["psi"] = {
+                "snapshot": snap,
+                "split": args.psi_split,
+                "sources": drift.count(),
+                "worst": [(r["source"], float(r["psi"])) for r in worst],
+            }
 
     if args.retention_days_1m > 0:
         t1m = read_tier_latest(catalog, spark, "tier_1m")

@@ -146,6 +146,15 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     assert rep5["lsh"]["pairs_snapshot"] >= 1
     assert {"n_pairs", "max_bucket", "dropped_buckets",
             "dropped_doc_slots"} <= set(rep5["lsh"])
+    # PSI drift report over the 1m tier: committed as a drift_report
+    # snapshot, worst offenders listed in the job report
+    main(["--catalog", cat, "--cores", "4",
+          "--psi-split", "2025-01-04T00:00:00"])
+    rep6 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep6["psi"]["snapshot"] >= 1
+    assert rep6["psi"]["sources"] > 0
+    assert len(rep6["psi"]["worst"]) > 0
+    assert TierCatalog(cat).last_snapshot("drift_report") >= 1
 
 
 def test_streaming_persist_ad_matches_batch(spark, tmp_path):
