@@ -504,6 +504,9 @@ def main():
         "rollup_distinct_1h": eqs.get("rollup_distinct_1h"),
         "audio_features_2k": _audio_feats,
         "image_features_4k": _image_feats,
+        "sax_8m": eqs.get("sax_8m"),
+        "ngram_contamination": eqs.get("ngram_contamination"),
+        "psi_drift": eqs.get("psi_drift"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():

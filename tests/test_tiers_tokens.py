@@ -228,6 +228,59 @@ def test_m4_downsample_random_vs_reference(spark):
     assert got == _m4_pandas(rows, 3600)
 
 
+def test_sax_random_vs_numpy_reference(spark):
+    """Randomized SAX parity vs an independent numpy re-derivation that
+    replays the same quantize-then-exact-sum arithmetic — exact
+    equality on paa, z, and the symbol, across alphabets."""
+    import random
+    from decimal import Decimal
+
+    from adtk_spark.plans.tiers import SAX_BREAKPOINTS, sax_downsample
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2025, 3, 1)
+    rows = []
+    for src in ("x", "y"):
+        for i in range(240):
+            rows.append((src, t0 + dt.timedelta(minutes=i),
+                         round(rng.uniform(-50, 50), 3)))
+    df = spark.createDataFrame(
+        rows, "source string, bucket_ts timestamp, mean double")
+
+    def ref(alphabet):
+        bps = SAX_BREAKPOINTS[alphabet]
+        out = {}
+        for src in ("x", "y"):
+            vals = [(ts, v) for s, ts, v in rows if s == src]
+            q = lambda x: Decimal(repr(round(x, 9)))  # noqa: E731
+            s1 = float(sum(q(v) for _, v in vals))
+            s2 = float(sum(q(v * v) for _, v in vals))
+            n = len(vals)
+            mu = s1 / n
+            sigma = max((s2 - (s1 / n) * s1) / n, 0.0) ** 0.5
+            segs = {}
+            for ts, v in vals:
+                e = int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+                segs.setdefault(e - e % 480, []).append(v)
+            for seg_e, vs in segs.items():
+                paa = float(sum(q(v) for v in vs)) / len(vs)
+                z = 0.0 if sigma == 0.0 else (paa - mu) / sigma
+                sym = chr(ord("a") + len(bps))
+                for i in range(len(bps) - 1, -1, -1):
+                    if z < bps[i]:
+                        sym = chr(ord("a") + i)
+                out[(src, seg_e)] = (round(paa, 6), round(z, 6), sym)
+        return out
+
+    for alphabet in (2, 4, 8):
+        got = {(r["source"],
+                int(r["seg_ts"].replace(tzinfo=dt.timezone.utc).timestamp())):
+               (r["paa"], r["z"], r["symbol"])
+               for r in sax_downsample(df, segment_secs=480,
+                                       alphabet=alphabet).collect()}
+        assert got == ref(alphabet)
+
+
 def test_distinct_tiers_exact_and_sketch(spark):
     """Exact distinct rollup matches a python set re-derivation; the
     HLL sketch tier estimates within 3% and its upward union matches
