@@ -408,11 +408,14 @@ def psi_drift(
     pipeline runs per source per day to catch upstream regressions
     before they reach a model.
 
-    Plan shape: ONE (source, bin) shuffle with conditional counts
-    (map-side combinable), a tiny per-source totals aggregate broadcast
-    back, one final per-source reduce — no window, no UDF. Bins empty
-    in both windows contribute exactly 0, so only observed (source,
-    bin) rows ever materialize.
+    Plan shape: one (source, bin) shuffle with conditional counts
+    (map-side combinable), then the per-source totals as WINDOW sums
+    over the source partitioning and a final per-source reduce that
+    reuses that same partitioning — exactly two Exchanges, no join, no
+    duplicated aggregation subtree (a totals-aggregate + join-back
+    formulation plans the bin-count aggregate twice). Bins empty in
+    both windows contribute exactly 0, so only observed (source, bin)
+    rows ever materialize.
 
     Determinism: counts are integers; each bin's PSI term is computed
     with one fixed association ``(p - q) * ln(p / q)`` and the terms
@@ -433,10 +436,9 @@ def psi_drift(
             F.sum(F.when(is_ref, 0).otherwise(1)).alias("ccur"),
         )
     )
-    tot = per.groupBy(source_col).agg(
-        F.sum("cref").alias("n_ref"), F.sum("ccur").alias("n_cur")
-    )
-    j = per.join(F.broadcast(tot), source_col)
+    wsrc = Window.partitionBy(source_col)
+    j = per.withColumn("n_ref", F.sum("cref").over(wsrc)).withColumn(
+        "n_cur", F.sum("ccur").over(wsrc))
     p = F.when(F.col("n_ref") == 0, F.lit(eps)).otherwise(
         F.greatest(F.col("cref") / F.col("n_ref"), F.lit(eps)))
     q = F.when(F.col("n_cur") == 0, F.lit(eps)).otherwise(

@@ -75,6 +75,32 @@ def test_sax_two_exchanges_broadcast_stats(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan, plan
 
 
+def test_psi_drift_two_exchanges_broadcast_totals(spark):
+    from adtk_spark.plans.tiers import psi_drift
+
+    import datetime as dt
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(psi_drift(df, dt.datetime(2025, 1, 1, 12), [10.0, 20.0]))
+    # (source,bin) counts then a source repartition shared by the
+    # totals window AND the final reduce — two Exchanges, zero joins
+    assert count_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_ngram_contamination_broadcast_bench(spark):
+    from adtk_spark.operators.corpus import ngram_contamination
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    plan = plan_of(ngram_contamination(corpus, bench, n=5))
+    # the bench gram set must build-side broadcast — an SMJ here would
+    # shuffle the full corpus gram explosion on the gram key
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_scan_is_column_pruned(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     from adtk_spark.operators.corpus import token_count
