@@ -1325,6 +1325,25 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(corpus, bench, n=5)
 
 
+def q_sax_words(spark, sf_dir):
+    """SAX words: 8 consecutive alphabet-4 letters (480 s segments)
+    concatenated per 64-minute window — the indexable motif unit
+    (plans/tiers.py sax_words on top of sax_downsample). Oracle
+    replays the letter pipeline then string_agg ORDER BY seg_ts."""
+    from adtk_spark.plans.tiers import sax_downsample, sax_words
+
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count("value").alias("cnt"), _dsum().alias("vsum"))
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    return sax_words(sax_downsample(m1, segment_secs=480, alphabet=4))
+
+
 def q_psi_drift(spark, sf_dir):
     """PSI distribution-drift monitor (plans/tiers.py psi_drift):
     per-source Population Stability Index between the Jan 1-15
@@ -1586,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_8m": q_sax_8m,
         "ngram_contamination": q_ngram_contamination,
         "psi_drift": q_psi_drift,
+        "sax_words": q_sax_words,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
     # driver's CORRECTNESS harness recorded the same 50-key list in
@@ -3626,6 +3646,48 @@ def oracle_sql() -> dict[str, str]:
                         WHEN z < 0.6745e0 THEN 'c'
                         ELSE 'd' END AS symbol
             FROM zz
+        """,
+        # SAX words: the sax_8m letter pipeline + ordered string_agg
+        "sax_words": f"""
+            WITH m AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                     CAST({_DSUM_SQL} AS DOUBLE) / count(value) AS mean
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT source,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(round(mean * mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+                     count(mean) AS n
+              FROM m GROUP BY source
+            ), st AS (
+              SELECT source, s1 / n AS mu,
+                     sqrt(greatest((s2 - (s1 / n) * s1) / n, 0.0e0)) AS sigma
+              FROM s
+            ), p AS (
+              SELECT source,
+                     CAST(epoch(bucket_ts) AS BIGINT)
+                       - CAST(epoch(bucket_ts) AS BIGINT) % 480 AS seg_e,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ps,
+                     count(mean) AS n_buckets
+              FROM m GROUP BY 1, 2
+            ), zz AS (
+              SELECT p.source, p.seg_e,
+                     CASE WHEN st.sigma = 0.0e0 THEN 0.0e0
+                          ELSE (p.ps / p.n_buckets - st.mu) / st.sigma END AS z
+              FROM p JOIN st USING (source)
+            ), sym AS (
+              SELECT source, seg_e,
+                     CASE WHEN z < -0.6745e0 THEN 'a'
+                          WHEN z < 0.0e0 THEN 'b'
+                          WHEN z < 0.6745e0 THEN 'c'
+                          ELSE 'd' END AS symbol
+              FROM zz
+            )
+            SELECT source,
+                   make_timestamp((seg_e - seg_e % 3840) * 1000000) AS word_ts,
+                   string_agg(symbol, '' ORDER BY seg_e) AS word,
+                   count(*) AS n_segments
+            FROM sym GROUP BY 1, 2
         """,
         # exact-moment Pearson corr at each lag (identical association)
         "lagged_corr": """

@@ -716,6 +716,37 @@ def sax_downsample(
     )
 
 
+def sax_words(
+    sax: DataFrame,
+    word_secs: int = 3840,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Roll ``sax_downsample`` letters up into fixed-width WORDS — the
+    unit a motif/discord index actually stores (one word per source per
+    ``word_secs`` window, e.g. 8 letters x 480 s segments = one 64-min
+    word). Letters concatenate in segment order via a sorted struct
+    array, so the word is deterministic at any parallelism; one
+    algebraic groupBy on (source, word window).
+    """
+    _e = F.unix_timestamp(F.col("seg_ts")).cast("long")
+    word_ts = F.timestamp_seconds(_e - (_e % word_secs))
+    return (
+        sax.groupBy(source_col, word_ts.alias("word_ts"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("seg_ts").alias("t"),
+                                 F.col("symbol").alias("s")))),
+                    lambda x: x["s"],
+                ), "",
+            ).alias("word"),
+            F.count("*").alias("n_segments"),
+        )
+    )
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",

@@ -273,6 +273,17 @@ def test_sax_downsample_golden(spark):
     with pytest.raises(ValueError):
         sax_downsample(df, alphabet=26)
 
+    # words: two 4-min segments concatenate in segment order into one
+    # 8-min word, stable under repartitioning
+    from adtk_spark.plans.tiers import sax_words
+
+    for d in (df, df.repartition(13)):
+        words = {r["source"]: (r["word"], r["n_segments"])
+                 for r in sax_words(sax_downsample(d, segment_secs=240),
+                                    word_secs=480).collect()}
+        assert words["s"] == ("ad", 2)
+        assert words["flat"] == ("cc", 2)
+
 
 def test_psi_drift_golden(spark):
     """PSI golden: a total bin swap between windows gives the textbook
