@@ -1360,6 +1360,22 @@ def q_psi_drift(spark, sf_dir):
                      [1.0, 25.0, 50.0, 100.0, 150.0, 250.0])
 
 
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
+    ks_drift): the bin-free companion to psi_drift over the same
+    Jan 1-15 vs Jan 16+ split; the max ECDF gap is computed in exact
+    DECIMAL cross-products (max |rc*n_cur - cc*n_ref|) with a single
+    final division, so the statistic is parallelism-stable and
+    hash-equal to the SQL replay."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import ks_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return ks_drift(ev, dt.datetime(2024, 1, 16))
+
+
 def q_sax_8m(spark, sf_dir):
     """SAX symbolic downsampling (Lin et al. 2003) over the 1m-tier
     mean series: per-source z-normalization, 8-minute PAA segments,
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_8m": q_sax_8m,
         "ngram_contamination": q_ngram_contamination,
         "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
         "sax_words": q_sax_words,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
@@ -3575,6 +3592,34 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round((p - q) * ln(p / q), 9)
                                        AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
             FROM t GROUP BY source
+        """,
+        # KS drift: ECDF gap in exact integer/HUGEINT cross-products
+        # (max |rc*n_cur - cc*n_ref|), one final division + round;
+        # HUGEINT-vs-long folded by the BIGINT casts on the count cols
+        "ks_drift": """
+            WITH b AS (
+              SELECT event_type AS source, value AS v,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
+              FROM events WHERE value IS NOT NULL
+            ), per AS (
+              SELECT source, v, sum(r) AS cref, sum(1 - r) AS ccur
+              FROM b GROUP BY 1, 2
+            ), c AS (
+              SELECT source,
+                     sum(cref) OVER (PARTITION BY source) AS n_ref,
+                     sum(ccur) OVER (PARTITION BY source) AS n_cur,
+                     sum(cref) OVER (PARTITION BY source ORDER BY v) AS rc,
+                     sum(ccur) OVER (PARTITION BY source ORDER BY v) AS cc
+              FROM per
+            )
+            SELECT source,
+                   CAST(min(n_ref) AS BIGINT) AS n_ref,
+                   CAST(min(n_cur) AS BIGINT) AS n_cur,
+                   CASE WHEN min(n_ref) > 0 AND min(n_cur) > 0 THEN
+                     round(CAST(max(abs(rc * n_cur - cc * n_ref)) AS DOUBLE)
+                           / CAST(min(n_ref) * min(n_cur) AS DOUBLE), 6)
+                   END AS ks
+            FROM c GROUP BY source
         """,
         # decontamination: same shingle device as ngram_jaccard; the
         # bench gram set is DISTINCT so the mark join has multiplicity 1

@@ -459,6 +459,82 @@ def psi_drift(
     )
 
 
+def ks_drift(
+    df: DataFrame,
+    split_ts,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per source between the
+    reference window (``ts < split_ts``) and the current window
+    (``ts >= split_ts``): ``D = max_x |F_ref(x) - F_cur(x)|`` over the
+    empirical CDFs. The bin-free companion to ``psi_drift`` — PSI needs
+    explicit edges chosen in advance and saturates on unseen mass; KS
+    is parameter-free and catches any shape change, so a feed monitor
+    runs both (PSI for interpretable per-bin attribution, KS for the
+    edge-free alarm).
+
+    Plan shape: one (source, value) shuffle with conditional integer
+    counts (map-side combinable), then cumulative window sums over the
+    source partitioning ordered by value, and a final per-source max
+    that reuses that same partitioning — exactly two Exchanges, no
+    join, mirror of ``psi_drift``.
+
+    Determinism: the statistic is computed ENTIRELY in integers —
+    ``D = max |rc*n_cur - cc*n_ref| / (n_ref*n_cur)`` where rc/cc are
+    cumulative counts at each distinct value — so the max is exact (no
+    float ECDF subtraction ties) and the single final division makes
+    the score bit-stable at any parallelism and hash-equal to the SQL
+    replay. Sources empty on either side emit NULL ks.
+    """
+    v = F.col(value_col)
+    is_ref = F.col(ts_col) < F.lit(split_ts)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(source_col, v.alias("v"))
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("cref"),
+            F.sum(F.when(is_ref, 0).otherwise(1)).alias("ccur"),
+        )
+    )
+    wsrc = Window.partitionBy(source_col)
+    wcum = wsrc.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    j = (
+        per.withColumn("n_ref", F.sum("cref").over(wsrc))
+        .withColumn("n_cur", F.sum("ccur").over(wsrc))
+        .withColumn("rc", F.sum("cref").over(wcum))
+        .withColumn("cc", F.sum("ccur").over(wcum))
+    )
+    # DECIMAL cross-products: two ~1e12 per-source counts would
+    # overflow int64 multiplied; (20,0)x(20,0) -> (38,0) holds 1e26.
+    dec = "decimal(20,0)"
+    gap = F.abs(
+        F.col("rc").cast(dec) * F.col("n_cur").cast(dec)
+        - F.col("cc").cast(dec) * F.col("n_ref").cast(dec)
+    )
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+            F.max(gap).alias("_gap"),
+        )
+        .select(
+            source_col, "n_ref", "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round(
+                    F.col("_gap").cast("double")
+                    / (F.col("n_ref") * F.col("n_cur")).cast("double"),
+                    6,
+                ),
+            ).alias("ks"),
+        )
+    )
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

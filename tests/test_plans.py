@@ -88,6 +88,20 @@ def test_psi_drift_two_exchanges_broadcast_totals(spark):
     assert "Join" not in plan, plan
 
 
+def test_ks_drift_two_exchanges_no_join(spark):
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import ks_drift
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(ks_drift(df, dt.datetime(2025, 1, 1, 12)))
+    # (source,value) counts then a source repartition shared by the
+    # totals window, the cumulative window AND the final max — two
+    # Exchanges, zero joins (mirror of psi_drift)
+    assert count_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_ngram_contamination_broadcast_bench(spark):
     from adtk_spark.operators.corpus import ngram_contamination
 
@@ -315,6 +329,43 @@ def test_psi_drift_golden(spark):
     # n_ref = 0: p floors at eps in the one observed bin, q = 1
     want_new = round(round((eps - 1.0) * math.log(eps / 1.0), 9), 6)
     assert got["newsrc"] == (0, 3, want_new)
+
+
+def test_ks_drift_golden(spark):
+    """KS golden: a unit-shifted sample gives the hand-computed max
+    ECDF gap; identical samples give 0; cross-sample ties land on the
+    grouped-distinct evaluation points; a source empty on either side
+    emits NULL."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import ks_drift
+
+    t_ref = dt.datetime(2025, 1, 1)
+    t_cur = dt.datetime(2025, 2, 1)
+    split = dt.datetime(2025, 1, 15)
+    rows = (
+        [("shift", t_ref, v) for v in (1.0, 2.0, 3.0, 4.0)]
+        + [("shift", t_cur, v) for v in (3.0, 4.0, 5.0, 6.0)]
+        + [("same", t_ref, v) for v in (1.0, 2.0)]
+        + [("same", t_cur, v) for v in (1.0, 2.0)]
+        + [("ties", t_ref, v) for v in (1.0, 1.0, 2.0)]
+        + [("ties", t_cur, v) for v in (1.0, 2.0, 2.0)]
+        + [("newsrc", t_cur, 9.0)] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    got = {r["source"]: (r["n_ref"], r["n_cur"], r["ks"])
+           for r in ks_drift(df, split).collect()}
+    # shift: ECDF gaps at v=2 and v=3,4 are all 0.5
+    assert got["shift"] == (4, 4, 0.5)
+    assert got["same"] == (2, 2, 0.0)
+    # ties: at v=1 gap = |2/3 - 1/3| = 1/3 (evaluated after grouping)
+    assert got["ties"] == (3, 3, 0.333333)
+    assert got["newsrc"] == (0, 3, None)
+    # parallelism-stability: same result under a different partitioning
+    got13 = {r["source"]: (r["n_ref"], r["n_cur"], r["ks"])
+             for r in ks_drift(df.repartition(13), split).collect()}
+    assert got13 == got
 
 
 def test_dst_day_buckets(spark):
