@@ -558,6 +558,51 @@ def q_hash_sample(spark, sf_dir):
     return hash_sample(docs, 0.3).select("doc_id", "source")
 
 
+#: per-language target mixture for the mixture_* contract queries —
+#: en-heavy with zh deliberately untargeted (rate 0 / exclusion path)
+MIX_TARGETS = {"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (corpus.stratified_sample):
+    each language keeps docs at its own rate via the same
+    md5->uniform->threshold membership as hash_sample; zh is unlisted
+    and falls to the 0.0 default (explicit opt-in). Zero-shuffle
+    filter; the oracle replays the identical CASE'd threshold."""
+    from adtk_spark.operators.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, {"en": 0.25, "de": 0.75, "fr": 0.5, "es": 0.5}
+    ).select("doc_id", "lang")
+
+
+def q_mixture_budget(spark, sf_dir):
+    """Static domain-mixing budget (corpus.mixture_budget): per-lang
+    char totals vs a Pile-style target mixture; the binding stratum
+    (smallest available/target) takes rate 1.0 and sizes the whole
+    corpus, abundant strata downsample, untargeted zh gets rate 0.
+    Integer availability + fixed-association IEEE rate math replays
+    bit-equal in the SQL oracle."""
+    from adtk_spark.operators.corpus import mixture_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_budget(docs, MIX_TARGETS, weight_col="n_chars")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """End-to-end mixture re-balancing (corpus.mixture_sample): fit
+    the budget rates (tiny collect), apply as a zero-shuffle stratified
+    filter. The oracle recomputes the rates in a CTE and replays the
+    identical membership threshold."""
+    from adtk_spark.operators.corpus import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, MIX_TARGETS, weight_col="n_chars"
+    ).select("doc_id", "lang", "n_chars")
+
+
 def q_normalize_dedup(spark, sf_dir):
     """CCNet-style normalization (lowercase, strip punct, collapse
     whitespace) feeding exact dedup — case/punct/spacing variants
@@ -1607,6 +1652,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "normalize_dedup": q_normalize_dedup,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "mixture_budget": q_mixture_budget,
+        "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
         "robust_zscore_ad": q_robust_zscore_ad,
         "rollup_distinct_1h": q_rollup_distinct_1h,
@@ -2344,6 +2392,72 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
                        AS BIGINT) / 1152921504606846976.0 < 0.3
+        """,
+        # identical md5->uniform->threshold membership with a CASE'd
+        # per-language rate (unlisted zh falls to the 0.0 default)
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5('strat:' || doc_id), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.25e0 WHEN 'de' THEN 0.75e0
+                              WHEN 'fr' THEN 0.5e0 WHEN 'es' THEN 0.5e0
+                              ELSE 0.0e0 END
+        """,
+        # integer availability, single-IEEE-op rate math in the same
+        # association as Spark ((w * s_max) / available); floor not
+        # round for the budget (half-even vs half-up across engines)
+        "mixture_budget": """
+            WITH per AS (
+              SELECT lang, sum(n_chars) AS available
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT lang, available,
+                     CASE lang WHEN 'en' THEN 0.4e0 WHEN 'de' THEN 0.2e0
+                               WHEN 'fr' THEN 0.2e0 WHEN 'es' THEN 0.2e0
+                               ELSE 0.0e0 END AS target_w
+              FROM per
+            ), s AS (
+              SELECT lang, available, target_w,
+                     min(CASE WHEN target_w > 0
+                              THEN available / target_w END) OVER () AS s_max
+              FROM t
+            )
+            SELECT lang, CAST(available AS BIGINT) AS available, target_w,
+                   round(CASE WHEN target_w > 0
+                              THEN least(1.0e0, target_w * s_max / available)
+                              ELSE 0.0e0 END, 9) AS rate,
+                   CAST(CASE WHEN target_w > 0 THEN floor(target_w * s_max)
+                             ELSE 0 END AS BIGINT) AS budget
+            FROM s
+        """,
+        # the budget rates recomputed in a CTE, then the identical
+        # membership threshold replayed per stratum
+        "mixture_sample": """
+            WITH per AS (
+              SELECT lang, sum(n_chars) AS available
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT lang, available,
+                     CASE lang WHEN 'en' THEN 0.4e0 WHEN 'de' THEN 0.2e0
+                               WHEN 'fr' THEN 0.2e0 WHEN 'es' THEN 0.2e0
+                               ELSE 0.0e0 END AS target_w
+              FROM per
+            ), s AS (
+              SELECT lang, available, target_w,
+                     min(CASE WHEN target_w > 0
+                              THEN available / target_w END) OVER () AS s_max
+              FROM t
+            ), r AS (
+              SELECT lang,
+                     round(CASE WHEN target_w > 0
+                                THEN least(1.0e0, target_w * s_max / available)
+                                ELSE 0.0e0 END, 9) AS rate
+              FROM s
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN r USING (lang)
+            WHERE CAST(('0x' || substr(md5('mix:' || d.doc_id), 1, 15))
+                       AS BIGINT) / 1152921504606846976.0 < r.rate
         """,
         # CCNet normalization chain (identical in Java regex and RE2;
         # DuckDB regexp_replace needs the 'g' flag — Spark is global by

@@ -79,6 +79,9 @@ from .corpus import (  # noqa: F401
     lsh_bucket_stats,
     md5_hash64,
     minhash_lsh_pairs,
+    mixture_budget,
+    mixture_sample,
+    stratified_sample,
     ngram_contamination,
     ngram_jaccard_pairs,
     normalize_text,

@@ -961,6 +961,129 @@ def hash_sample(
     return docs.where(u < F.lit(rate))
 
 
+def _hash_uniform(key_col: str, salt: str, portable: bool) -> Column:
+    """The ``hash_sample`` membership uniform as a reusable column."""
+    h = _hash64(F.concat(F.lit(f"{salt}:"), F.col(key_col)), portable)
+    span = float(1 << 60) if portable else float(1 << 64)
+    return (h / F.lit(span)) if portable else (h / F.lit(span) + F.lit(0.5))
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "strat",
+    portable: bool = True,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling: each stratum
+    (language, source domain, quality band) keeps rows at its own rate,
+    with ``hash_sample``'s content-stable membership — the primitive
+    under every corpus re-balancing step (upsample low-resource
+    languages, downsample boilerplate domains). Strata absent from
+    ``rates`` fall back to ``default_rate`` (0.0 = drop, the explicit
+    opt-in philosophy: an unlisted stratum never silently floods the
+    mix).
+
+    Scale: pure filter projection over a literal CASE on the stratum
+    column — no shuffle, no join, no broadcast table; pushes past
+    column pruning exactly like ``hash_sample``. Membership depends
+    only on (salt, key), so nested samples with different salts are
+    independent and re-runs are reproducible across retries and
+    repartitioning.
+    """
+    u = _hash_uniform(key_col, salt, portable)
+    rate = F.lit(float(default_rate))
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(r))).otherwise(rate)
+    return docs.where(u < rate)
+
+
+def mixture_budget(
+    docs: DataFrame,
+    targets: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Static domain-mixing budget: given per-stratum target mixture
+    weights (The Pile / DoReMi-style, must sum to ~1), compute the
+    LARGEST total corpus ``S`` the data can supply at that mixture and
+    the per-stratum accept rate that realizes it. The binding stratum
+    (smallest ``available/target``) gets rate 1.0; abundant strata are
+    downsampled to keep the mix exact; strata not in ``targets`` get
+    rate 0. Output: one row per observed stratum with ``available``
+    (sum of ``weight_col``, or row count), ``target_w``, ``rate``,
+    and ``budget`` (floor of its share of S).
+
+    Scale: one groupBy(stratum) shuffle over the corpus; everything
+    after runs on the #strata-row result (the single-partition window
+    for the global min is over dozens of rows, not data). Determinism:
+    ``available`` is an exact integer sum; ``S = min(available/w)`` and
+    ``rate = least(1, w*S/available)`` are single IEEE ops in a fixed
+    association, so rates replay bit-equal in any engine; ``budget``
+    uses floor (round would straddle half-even vs half-up across
+    engines).
+    """
+    total = sum(targets.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"targets must sum to 1 (got {total}); "
+                         "pre-normalize so the replayed literals match")
+    w_doc = F.lit(1).cast("long") if weight_col is None else F.col(weight_col)
+    per = docs.groupBy(strata_col).agg(F.sum(w_doc).alias("available"))
+    tw = F.lit(0.0)
+    for k, r in sorted(targets.items()):
+        tw = F.when(F.col(strata_col) == F.lit(k), F.lit(float(r))).otherwise(tw)
+    per = per.withColumn("target_w", tw)
+    ratio = F.when(F.col("target_w") > 0,
+                   F.col("available") / F.col("target_w"))
+    s_max = F.min(ratio).over(Window.partitionBy())
+    rate = F.when(
+        F.col("target_w") > 0,
+        F.least(F.lit(1.0), F.col("target_w") * s_max / F.col("available")),
+    ).otherwise(F.lit(0.0))
+    budget = F.when(
+        F.col("target_w") > 0,
+        F.floor(F.col("target_w") * s_max),
+    ).otherwise(F.lit(0)).cast("long")
+    return per.select(
+        strata_col, "available", "target_w",
+        F.round(rate, 9).alias("rate"),
+        budget.alias("budget"),
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    targets: dict[str, float],
+    *,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+    portable: bool = True,
+) -> DataFrame:
+    """End-to-end mixture re-balancing: fit the ``mixture_budget``
+    rates (tiny #strata-row collect — the sanctioned fit-as-action
+    pattern), then apply them as a ``stratified_sample``. The result is
+    the largest deterministic sub-corpus matching the target mixture in
+    expectation.
+
+    Scale: one groupBy over the corpus at fit, then a zero-shuffle
+    filter at apply — the corpus is never joined against the rate
+    table.
+    """
+    rows = mixture_budget(
+        docs, targets, strata_col=strata_col, weight_col=weight_col
+    ).collect()
+    rates = {r[strata_col]: float(r["rate"]) for r in rows if r["rate"] > 0}
+    return stratified_sample(
+        docs, rates, strata_col=strata_col, key_col=key_col,
+        default_rate=0.0, salt=salt, portable=portable)
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,

@@ -587,6 +587,93 @@ def test_hash_sample_deterministic_and_composable(spark):
     assert 0.01 < inter < 0.09  # ~0.04 expected
 
 
+def _lang_docs(spark, counts: dict):
+    """n docs per lang with globally unique string keys."""
+    import pyspark.sql.functions as F
+
+    parts = []
+    base = 0
+    for lang, n in counts.items():
+        parts.append(
+            spark.range(base, base + n).select(
+                F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+                F.lit(lang).alias("lang")))
+        base += n
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def test_stratified_sample_per_stratum_membership(spark):
+    """Each stratum keeps rows at its own rate with hash_sample's
+    membership function: rate 1.0 keeps everything, unlisted strata
+    fall to the 0.0 default, and the sample is repartition-stable."""
+    from adtk_spark.operators.corpus import stratified_sample
+
+    docs = _lang_docs(spark, {"en": 1000, "de": 400, "zh": 300})
+    rates = {"en": 0.3, "de": 1.0}
+    got = stratified_sample(docs, rates).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    assert by["de"] == 400            # rate 1.0: all kept
+    assert "zh" not in by             # unlisted: default 0.0 drops
+    assert 240 < by["en"] < 360       # ~0.3 of 1000
+    s1 = {r["doc_id"] for r in stratified_sample(docs, rates).collect()}
+    s2 = {r["doc_id"]
+          for r in stratified_sample(docs.repartition(17), rates).collect()}
+    assert s1 == s2
+
+
+def test_mixture_budget_golden(spark):
+    """Hand-checkable budget: en=800/de=100/fr=100 docs at targets
+    (0.5, 0.25, 0.25) -> S = min(800/.5, 100/.25, 100/.25) = 400, so
+    de/fr bind at rate 1.0, en downsamples to 0.25, untargeted zh gets
+    rate 0; budgets are the exact per-stratum shares of S."""
+    from adtk_spark.operators.corpus import mixture_budget
+
+    docs = _lang_docs(spark, {"en": 800, "de": 100, "fr": 100, "zh": 50})
+    out = {r["lang"]: r for r in mixture_budget(
+        docs, {"en": 0.5, "de": 0.25, "fr": 0.25}).collect()}
+    assert out["en"]["available"] == 800
+    assert out["en"]["rate"] == 0.25 and out["en"]["budget"] == 200
+    assert out["de"]["rate"] == 1.0 and out["de"]["budget"] == 100
+    assert out["fr"]["rate"] == 1.0 and out["fr"]["budget"] == 100
+    assert out["zh"]["target_w"] == 0.0
+    assert out["zh"]["rate"] == 0.0 and out["zh"]["budget"] == 0
+
+
+def test_mixture_budget_rejects_unnormalized_targets(spark):
+    from adtk_spark.operators.corpus import mixture_budget
+
+    docs = _lang_docs(spark, {"en": 10})
+    try:
+        mixture_budget(docs, {"en": 0.5, "de": 0.2})
+    except ValueError as e:
+        assert "sum to 1" in str(e)
+    else:
+        raise AssertionError("expected ValueError on unnormalized targets")
+
+
+def test_mixture_sample_realizes_budget(spark):
+    """End-to-end: the binding stratum is fully kept, untargeted
+    strata vanish, abundant strata land near their budget, and the
+    sample is deterministic under repartitioning."""
+    from adtk_spark.operators.corpus import mixture_sample
+
+    docs = _lang_docs(spark, {"en": 800, "de": 100, "fr": 100, "zh": 50})
+    targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = mixture_sample(docs, targets)
+    by = {r["lang"]: r["count"]
+          for r in out.groupBy("lang").count().collect()}
+    assert by["de"] == 100 and by["fr"] == 100
+    assert "zh" not in by
+    assert 160 < by["en"] < 240       # budget 200 in expectation
+    s1 = {r["doc_id"] for r in out.collect()}
+    s2 = {r["doc_id"]
+          for r in mixture_sample(docs.repartition(13), targets).collect()}
+    assert s1 == s2
+
+
 def test_pack_sequences_invariants(spark):
     """Contiguous packing: offsets are a gap-free token layout per
     source (each doc starts where the previous ended), every bin except
