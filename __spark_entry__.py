@@ -603,6 +603,27 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-language quality gate (corpus.quality_quantile_gate): drop
+    each language's worst stopword-ratio quartile. The threshold is the
+    smallest observed score whose cumulative share exceeds p (integer
+    count rule, ks_drift's distinct-value-cumsum shape — never an
+    interpolated value, so the >= gate cannot flip on a ulp), fit in
+    two narrow shuffles and applied as a broadcast filter."""
+    from adtk_spark.operators.corpus import quality_quantile_gate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    score = F.round(
+        F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+        / F.size(words), 6)
+    scored = docs.select("doc_id", "lang", score.alias("stopword_ratio"))
+    return quality_quantile_gate(
+        scored, 0.25, score_col="stopword_ratio"
+    ).select("doc_id", "lang", "stopword_ratio", "q_thr")
+
+
 def q_normalize_dedup(spark, sf_dir):
     """CCNet-style normalization (lowercase, strip punct, collapse
     whitespace) feeding exact dedup — case/punct/spacing variants
@@ -1653,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_dedup": q_normalize_dedup,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
+        "quality_gate": q_quality_gate,
         "mixture_budget": q_mixture_budget,
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
@@ -2392,6 +2414,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
                        AS BIGINT) / 1152921504606846976.0 < 0.3
+        """,
+        # count-rule quantile threshold (smallest value with cumulative
+        # share > p) — integer decision, so the >= gate replays exactly
+        "quality_gate": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     round(len(list_filter(string_split(text, ' '),
+                               x -> x IN ('the','a','of','and','to','in','is')))
+                           / len(string_split(text, ' ')), 6) AS stopword_ratio
+              FROM documents
+            ), per AS (
+              SELECT lang, stopword_ratio AS v, count(*) AS c
+              FROM s WHERE stopword_ratio IS NOT NULL GROUP BY 1, 2
+            ), c AS (
+              SELECT lang, v,
+                     sum(c) OVER (PARTITION BY lang) AS n,
+                     sum(c) OVER (PARTITION BY lang ORDER BY v) AS cle
+              FROM per
+            ), thr AS (
+              SELECT lang, min(v) AS q_thr
+              FROM c WHERE cle > 0.25e0 * n GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.stopword_ratio, thr.q_thr
+            FROM s JOIN thr USING (lang)
+            WHERE s.stopword_ratio >= thr.q_thr
         """,
         # identical md5->uniform->threshold membership with a CASE'd
         # per-language rate (unlisted zh falls to the 0.0 default)

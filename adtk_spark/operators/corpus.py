@@ -1084,6 +1084,76 @@ def mixture_sample(
         default_rate=0.0, salt=salt, portable=portable)
 
 
+def quantile_thresholds(
+    docs: DataFrame,
+    p: float,
+    *,
+    score_col: str,
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum p-quantile threshold of ``score_col`` by the
+    COUNT rule: the smallest observed value whose cumulative share
+    strictly exceeds p. Unlike an interpolated quantile, the threshold
+    is always an actual data value decided by integer counts, so a
+    downstream ``score >= threshold`` gate can never flip on a 1-ulp
+    interpolation difference — membership is value-level all-or-nothing
+    on ties.
+
+    Scale: the ks_drift shape — one (stratum, value) shuffle with
+    map-side combine (cardinality = distinct scores per stratum, no
+    whole-stratum sort or collect), cumulative window sums over the
+    stratum partitioning, then a per-stratum min that reuses it. NULL
+    scores are excluded from the count base (skipna).
+    """
+    v = F.col(score_col)
+    per = (
+        docs.where(v.isNotNull())
+        .groupBy(strata_col, v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wsrc = Window.partitionBy(strata_col)
+    wcum = wsrc.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    j = per.withColumn("n", F.sum("c").over(wsrc)).withColumn(
+        "cle", F.sum("c").over(wcum))
+    return (
+        j.where(F.col("cle") > F.lit(float(p)) * F.col("n"))
+        .groupBy(strata_col)
+        .agg(F.min("n").alias("n"), F.min("v").alias("q_thr"))
+    )
+
+
+def quality_quantile_gate(
+    docs: DataFrame,
+    p: float = 0.25,
+    *,
+    score_col: str,
+    strata_col: str = "lang",
+    keep: str = "above",
+) -> DataFrame:
+    """Per-stratum quality gate: keep documents whose ``score_col`` is
+    at or above (``keep='above'``) / strictly below (``'below'``) the
+    stratum's p-quantile threshold from ``quantile_thresholds`` — the
+    fit+apply quality-filter step of a corpus pipeline (drop the worst
+    quartile per language, so a low-resource language is judged against
+    its own distribution, not swamped by the dominant one).
+
+    Scale: threshold fit is two narrow shuffles over distinct scores;
+    apply is a broadcast join of the #strata-row threshold table plus a
+    filter — the corpus itself is never re-shuffled. NULL scores and
+    strata with no non-NULL score are dropped (skipna; the inner
+    broadcast join makes that explicit).
+    """
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr = quantile_thresholds(
+        docs, p, score_col=score_col, strata_col=strata_col
+    ).select(strata_col, "q_thr")
+    out = docs.join(F.broadcast(thr), strata_col, "inner")
+    cond = (F.col(score_col) >= F.col("q_thr")) if keep == "above" \
+        else (F.col(score_col) < F.col("q_thr"))
+    return out.where(cond)
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,

@@ -674,6 +674,41 @@ def test_mixture_sample_realizes_budget(spark):
     assert s1 == s2
 
 
+def test_quantile_threshold_count_rule(spark):
+    """Threshold = smallest value whose cumulative share exceeds p:
+    scores 1..8 at p=0.25 give thr=3 (2/8 is NOT > 0.25, 3/8 is); an
+    all-ties stratum keeps everything (value-level all-or-nothing)."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.operators.corpus import (
+        quality_quantile_gate, quantile_thresholds)
+
+    rows = [("en", f"e{i}", float(i)) for i in range(1, 9)]
+    rows += [("zh", f"z{i}", 5.0) for i in range(4)]
+    docs = spark.createDataFrame(rows, "lang string, doc_id string, s double")
+    thr = {r["lang"]: (r["n"], r["q_thr"])
+           for r in quantile_thresholds(docs, 0.25, score_col="s").collect()}
+    assert thr["en"] == (8, 3.0)
+    assert thr["zh"] == (4, 5.0)
+    kept = quality_quantile_gate(docs, 0.25, score_col="s")
+    by = {r["lang"]: r["count"]
+          for r in kept.groupBy("lang").count().collect()}
+    assert by["en"] == 6 and by["zh"] == 4
+    below = quality_quantile_gate(docs, 0.25, score_col="s", keep="below")
+    ids = {r["doc_id"] for r in below.collect()}
+    assert ids == {"e1", "e2"}
+    # stable under a different partitioning
+    kept13 = quality_quantile_gate(docs.repartition(13), 0.25, score_col="s")
+    assert {r["doc_id"] for r in kept13.collect()} == {
+        r["doc_id"] for r in kept.collect()}
+    try:
+        quality_quantile_gate(docs, 0.25, score_col="s", keep="top")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError on bad keep")
+
+
 def test_pack_sequences_invariants(spark):
     """Contiguous packing: offsets are a gap-free token layout per
     source (each doc starts where the previous ended), every bin except
