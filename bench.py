@@ -507,6 +507,9 @@ def main():
         "sax_8m": eqs.get("sax_8m"),
         "ngram_contamination": eqs.get("ngram_contamination"),
         "psi_drift": eqs.get("psi_drift"),
+        "ks_drift": eqs.get("ks_drift"),
+        "mixture_sample": eqs.get("mixture_sample"),
+        "quality_gate": eqs.get("quality_gate"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():
