@@ -459,6 +459,41 @@ def psi_drift(
     )
 
 
+def psi_reference(
+    df: DataFrame,
+    edges: list[float],
+    *,
+    source_col: str = "source",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fit the per-source reference bin distribution ``psi_drift``
+    compares against: one row per source with ``n_ref`` and ``props``
+    (bin proportions, ``len(edges)+1`` entries). Feed the collected
+    result to ``streaming_psi_drift`` to monitor a live feed against a
+    frozen training-time distribution.
+
+    Scale: ONE groupBy(source) with the bins unrolled as conditional
+    integer sums (map-side combinable) — no (source, bin) row
+    materialization, no second pass. Proportions are single IEEE
+    divisions of exact integer counts, so the collected literals replay
+    bit-equal wherever they are re-embedded.
+    """
+    v = F.col(value_col)
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    k = len(edges) + 1
+    d = df.where(v.isNotNull()).withColumn("_bin", bin_expr)
+    agg = d.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_ref"),
+        *[F.sum((F.col("_bin") == i).cast("long")).alias(f"_c{i}")
+          for i in range(k)],
+    )
+    props = F.array(*[F.col(f"_c{i}") / F.col("n_ref") for i in range(k)])
+    return agg.select(source_col, "n_ref", props.alias("props"))
+
+
 def ks_drift(
     df: DataFrame,
     split_ts,

@@ -87,6 +87,82 @@ def streaming_rollup_1m_sketch(
     )
 
 
+def streaming_psi_drift(
+    spark: SparkSession,
+    source_dir: str,
+    edges: list[float],
+    reference: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "5 minutes",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Live distribution-drift monitor: every finalized tumbling window
+    of the stream gets a per-source PSI against a FROZEN reference
+    distribution (a ``plans.tiers.psi_reference`` fit — e.g. the
+    training corpus's value distribution), so an upstream feed
+    regression alarms within one window + watermark instead of at the
+    next batch audit.
+
+    Plan: ONE watermarked windowed aggregation with the bins unrolled
+    as conditional integer sums (a single stateful operator — no
+    chained streaming aggregation), then a pure projection: the tiny
+    reference is collected and embedded as literal maps, never joined.
+    Sources absent from the reference emit NULL psi (a streaming
+    monitor cannot invent a reference; fit first, or refit to admit new
+    sources).
+
+    Parity: bin proportions, the ``(p - q) * ln(p / q)`` association,
+    and the 1e-9 DECIMAL term quantization are identical to the batch
+    ``psi_drift``, and the summation (a fixed-order chain of exact
+    DECIMALs) equals its order-free DECIMAL sum — so a window's
+    streamed psi is bit-equal to batch psi_drift run over
+    reference + that window (verified in tests).
+    """
+    ref_rows = reference.collect()
+    k = len(edges) + 1
+    map_entries, n_entries = [], []
+    for r in ref_rows:
+        map_entries += [F.lit(r["source"]),
+                        F.array(*[F.lit(float(p)) for p in r["props"]])]
+        n_entries += [F.lit(r["source"]), F.lit(int(r["n_ref"]))]
+    props_of = F.create_map(*map_entries)
+    nref_of = F.create_map(*n_entries)
+
+    v = F.col("value")
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+
+    stream = spark.readStream.schema(RAW_SCHEMA).parquet(source_dir)
+    agged = (
+        stream.where(v.isNotNull())
+        .withColumn("_bin", bin_expr)
+        .withWatermark("ts", watermark)
+        .groupBy("source", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            *[F.sum((F.col("_bin") == i).cast("long")).alias(f"_c{i}")
+              for i in range(k)],
+        )
+    )
+    props = props_of[F.col("source")]
+    terms = None
+    for i in range(k):
+        p = F.greatest(props[i], F.lit(eps))
+        q = F.greatest(F.col(f"_c{i}") / F.col("n_cur"), F.lit(eps))
+        term = F.round((p - q) * F.log(p / q), 9).cast("decimal(38,9)")
+        terms = term if terms is None else terms + term
+    # F.greatest skips NULLs, so a missing reference would silently
+    # degrade to the eps floor — gate the whole score on a fitted ref
+    psi = F.when(props.isNotNull(), F.round(terms.cast("double"), 6))
+    return agged.select(
+        "source", F.col("w.start").alias("w_start"),
+        nref_of[F.col("source")].alias("n_ref"), "n_cur",
+        psi.alias("psi"),
+    )
+
+
 def run_available_now(agg: DataFrame, out_dir: str, checkpoint: str) -> None:
     """Drain everything currently in the source (availableNow trigger),
     append to parquet, then stop — the batch-boundary-friendly mode the

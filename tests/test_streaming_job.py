@@ -42,6 +42,63 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     assert closed <= g
 
 
+def test_streaming_psi_drift_matches_batch(spark, tmp_path):
+    """Streamed per-window PSI against a frozen psi_reference fit is
+    bit-equal to batch psi_drift over reference + that window (same
+    proportions, term association and DECIMAL quantization); sources
+    absent from the reference emit NULL psi."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import psi_drift, psi_reference
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.rollup_stream import (
+        run_available_now,
+        streaming_psi_drift,
+    )
+
+    edges = [10.0, 30.0, 60.0, 120.0]
+    # reference: 4 sources in hour 0; current: 6 sources (2 unknown to
+    # the reference) in hour 2, one tumbling 1h window
+    ref_df = token_series(token_corpus(
+        spark, 1200, n_sources=4, seed=31, span_secs=3600,
+        start="2025-01-01 00:00:00"))
+    cur_df = token_series(token_corpus(
+        spark, 900, n_sources=6, seed=32, span_secs=3600,
+        start="2025-01-01 02:00:00"))
+    hb = token_series(token_corpus(
+        spark, 5, n_sources=1, seed=33, span_secs=60,
+        start="2025-01-01 05:00:00"))
+
+    ref = psi_reference(ref_df, edges)
+    ref_sources = {r["source"] for r in ref.select("source").collect()}
+
+    src = str(tmp_path / "psi_stream")
+    out = str(tmp_path / "psi_out")
+    ckpt = str(tmp_path / "psi_ckpt")
+    for arrival in (cur_df, hb):
+        arrival.write.mode("append").parquet(src)
+        run_available_now(
+            streaming_psi_drift(spark, src, edges, ref, window="1 hour"),
+            out, ckpt)
+
+    w2 = dt.datetime(2025, 1, 1, 2, 0)
+    got = {r["source"]: (r["n_ref"], r["n_cur"], r["psi"])
+           for r in spark.read.parquet(out).collect()
+           if r["w_start"] == w2}
+    want = {r["source"]: (r["n_ref"], r["n_cur"], r["psi"])
+            for r in psi_drift(
+                ref_df.unionByName(cur_df),
+                dt.datetime(2025, 1, 1, 2, 0), edges).collect()}
+    assert got, "window never finalized — watermark did not advance"
+    for s, row in got.items():
+        if s in ref_sources:
+            assert row == want[s], (s, row, want[s])
+        else:
+            assert row[0] is None and row[2] is None, (s, row)
+    # exactly the current-window sources were emitted
+    assert {s for s in want if want[s][1] > 0} == set(got)
+
+
 def test_streaming_into_catalog_routes(spark, tmp_path):
     """Stream -> catalog snapshots -> latest-wins read -> tier router:
     each drained micro-batch commits one snapshot, and the routed answer
