@@ -212,23 +212,32 @@ def main(argv=None):
     if args.psi_split:
         import datetime as dt
 
-        from adtk_spark.plans.tiers import psi_drift, tier_series
+        from adtk_spark.plans.tiers import ks_drift, psi_drift, tier_series
 
         t1m = read_tier_latest(catalog, spark, "tier_1m")
         if t1m is not None:
             split = dt.datetime.fromisoformat(args.psi_split)
             edges = [float(x) for x in args.psi_edges.split(",")]
-            drift = psi_drift(tier_series(t1m, "mean"), split, edges)
+            series = tier_series(t1m, "mean")
+            # both monitors in one report: PSI for per-bin attribution,
+            # KS for the bin-free alarm — same split, tiny per-source
+            # tables joined broadcast-side
+            drift = psi_drift(series, split, edges).join(
+                F.broadcast(ks_drift(series, split).select("source", "ks")),
+                "source", "left")
             snap = catalog.commit(
                 drift, "drift_report",
                 {"split": args.psi_split, "edges": args.psi_edges})
-            worst = (drift.orderBy(F.desc("psi")).limit(3)
-                     .select("source", "psi").collect())
+            rows = drift.select("source", "psi", "ks").collect()
+            worst = sorted(rows, key=lambda r: -(r["psi"] or 0))[:3]
+            worst_ks = sorted(rows, key=lambda r: -(r["ks"] or 0))[:3]
             report["psi"] = {
                 "snapshot": snap,
                 "split": args.psi_split,
-                "sources": drift.count(),
+                "sources": len(rows),
                 "worst": [(r["source"], float(r["psi"])) for r in worst],
+                "worst_ks": [(r["source"], float(r["ks"]))
+                             for r in worst_ks if r["ks"] is not None],
             }
 
     if args.retention_days_1m > 0:

@@ -211,6 +211,9 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     assert rep6["psi"]["snapshot"] >= 1
     assert rep6["psi"]["sources"] > 0
     assert len(rep6["psi"]["worst"]) > 0
+    # the same report carries the bin-free KS companion score
+    assert len(rep6["psi"]["worst_ks"]) > 0
+    assert all(0.0 <= k <= 1.0 for _, k in rep6["psi"]["worst_ks"])
     assert TierCatalog(cat).last_snapshot("drift_report") >= 1
 
 
