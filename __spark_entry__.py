@@ -603,6 +603,19 @@ def q_mixture_sample(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def q_stratified_take(spark, sf_dir):
+    """Exact-size per-stratum sample (corpus.stratified_take): the 25
+    smallest (md5-uniform, key) docs per language — fixed-size
+    eval/audit sampling where Bernoulli only hits size in expectation.
+    The verified pre-filter ranks ~4k survivors per stratum instead of
+    sorting whole strata; the oracle ranks everything — equality IS the
+    proof the pre-filter preserved the exact answer."""
+    from adtk_spark.operators.corpus import stratified_take
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_take(docs, 25).select("doc_id", "lang")
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language quality gate (corpus.quality_quantile_gate): drop
     each language's worst stopword-ratio quartile. The threshold is the
@@ -1675,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "quality_gate": q_quality_gate,
+        "stratified_take": q_stratified_take,
         "mixture_budget": q_mixture_budget,
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
@@ -2414,6 +2428,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
                        AS BIGINT) / 1152921504606846976.0 < 0.3
+        """,
+        # full rank over the identical md5 uniform (ties by key) — the
+        # Spark side ranks only pre-filter survivors; hash equality
+        # proves the pre-filter kept every top-k row
+        "stratified_take": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     CAST(('0x' || substr(md5('take:' || doc_id), 1, 15))
+                          AS BIGINT) / 1152921504606846976.0 AS u
+              FROM documents WHERE lang IS NOT NULL
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY u, doc_id) AS rn
+              FROM u
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 25
         """,
         # count-rule quantile threshold (smallest value with cumulative
         # share > p) — integer decision, so the >= gate replays exactly

@@ -1084,6 +1084,65 @@ def mixture_sample(
         default_rate=0.0, salt=salt, portable=portable)
 
 
+def stratified_take(
+    docs: DataFrame,
+    k: int,
+    *,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "take",
+    portable: bool = True,
+    prefilter_margin: float | None = 4.0,
+) -> DataFrame:
+    """EXACTLY ``min(k, n_stratum)`` rows per stratum, deterministically:
+    the k smallest (membership-uniform, key) pairs — the fixed-size
+    eval/audit sample, where ``stratified_sample``'s Bernoulli draw only
+    hits its size in expectation. Membership is still a pure function of
+    (salt, key): stable across runs, retries and parallelism.
+
+    Scale: a naive rank window sorts every stratum end-to-end — with a
+    handful of language strata that is a whole-corpus sort in a few
+    tasks. Instead, rows are pre-filtered to a ``margin*k/n`` uniform
+    slice per stratum (per-stratum counts are one tiny agg), so the
+    rank window sorts only ~margin*k survivors per stratum. The
+    pre-filter provably preserves the exact answer iff every stratum
+    keeps >= min(k, n) survivors; that is VERIFIED (tiny count action)
+    and the op raises if the margin was too thin (u is uniform, so at
+    margin 4 underflow needs a ~4-sigma-per-stratum fluke; raise the
+    margin, or pass ``prefilter_margin=None`` for the single-sort exact
+    path on small data). Cost: two corpus scans (count + filtered rank)
+    instead of one whole-corpus sort. NULL strata are dropped.
+    """
+    u = _hash_uniform(key_col, salt, portable)
+    d = docs.where(F.col(strata_col).isNotNull()).withColumn("_u", u)
+    if prefilter_margin is not None:
+        counts = {r[strata_col]: r["n"]
+                  for r in d.groupBy(strata_col).agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+        rate = F.lit(0.0)
+        for s, n in sorted(counts.items()):
+            r = min(1.0, prefilter_margin * k / max(n, 1))
+            rate = F.when(F.col(strata_col) == F.lit(s), F.lit(r)).otherwise(rate)
+        d = d.where(F.col("_u") < rate)
+        got = {r[strata_col]: r["n"]
+               for r in d.groupBy(strata_col).agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+        thin = {s: (got.get(s, 0), min(k, n)) for s, n in counts.items()
+                if got.get(s, 0) < min(k, n)}
+        if thin:
+            raise ValueError(
+                f"stratified_take pre-filter underflow {thin} "
+                f"(survivors < min(k, n)); raise prefilter_margin "
+                f"(got {prefilter_margin}) or pass None for the exact "
+                "single-sort path")
+    w = Window.partitionBy(strata_col).orderBy("_u", key_col)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_u", "_rn")
+    )
+
+
 def quantile_thresholds(
     docs: DataFrame,
     p: float,

@@ -674,6 +674,32 @@ def test_mixture_sample_realizes_budget(spark):
     assert s1 == s2
 
 
+def test_stratified_take_exact_sizes(spark):
+    """Exactly min(k, n) per stratum; pre-filtered path == exact
+    single-sort path == itself under repartitioning; a too-thin margin
+    raises instead of silently dropping top-k rows."""
+    from adtk_spark.operators.corpus import stratified_take
+
+    docs = _lang_docs(spark, {"en": 500, "de": 120, "zh": 8})
+    out = stratified_take(docs, 20)
+    by = {r["lang"]: r["count"]
+          for r in out.groupBy("lang").count().collect()}
+    assert by == {"en": 20, "de": 20, "zh": 8}
+    ids = {r["doc_id"] for r in out.collect()}
+    exact = {r["doc_id"]
+             for r in stratified_take(docs, 20, prefilter_margin=None).collect()}
+    assert ids == exact
+    again = {r["doc_id"]
+             for r in stratified_take(docs.repartition(17), 20).collect()}
+    assert ids == again
+    try:
+        stratified_take(docs, 100, prefilter_margin=0.05)
+    except ValueError as e:
+        assert "underflow" in str(e)
+    else:
+        raise AssertionError("expected underflow ValueError")
+
+
 def test_quantile_threshold_count_rule(spark):
     """Threshold = smallest value whose cumulative share exceeds p:
     scores 1..8 at p=0.25 give thr=3 (2/8 is NOT > 0.25, 3/8 is); an
