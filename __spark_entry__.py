@@ -995,6 +995,21 @@ def q_sessionize(spark, sf_dir):
     return sessionize(s, gap_secs=1800)
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Cross-source incident correlation (events.event_cooccurrence):
+    sessionize each source's series (30-minute gap), then count and
+    time-weigh overlapping session pairs across sources — bucketized
+    self-join with ownership dedup (a pair sharing several hour buckets
+    counts once, in the bucket holding the later start); overlap micros
+    DECIMAL-summed, one final division."""
+    from adtk_spark.operators.events import event_cooccurrence, sessionize
+
+    s = _series(spark, sf_dir)
+    sess = sessionize(s, gap_secs=1800)
+    return event_cooccurrence(
+        sess, start_col="session_start", end_col="session_end")
+
+
 def q_pca_projection(spark, sf_dir):
     """PCA k=1 projection score on the 2-feature table. |score| is
     invariant to the SVD sign convention, so the oracle's closed-form
@@ -1678,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customized_aggregator": q_customized_aggregator,
         "rollup_ohlc_1h": q_rollup_ohlc_1h,
         "sessionize": q_sessionize,
+        "event_cooccurrence": q_event_cooccurrence,
         "lagged_corr": q_lagged_corr,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
@@ -3613,6 +3629,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         # cumulative-sum-of-session-starts gaps-and-islands
+        # sessions replayed, then a plain overlap self-join (the Spark
+        # side's bucket explode + ownership dedup must reduce to exactly
+        # this); DECIMAL micros sum -> one division
+        "event_cooccurrence": _DEDUP_CTE + """
+            , g AS (
+              SELECT source, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM d
+              WINDOW w AS (PARTITION BY source ORDER BY ts)
+            ), sess AS (
+              SELECT source, ts,
+                     sum(ns) OVER (PARTITION BY source ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+              FROM g
+            ), sl AS (
+              SELECT source, min(ts) AS s, max(ts) AS e
+              FROM sess GROUP BY source, sid
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_pairs,
+                   round(CAST(sum(epoch_us(least(a.e, b.e))
+                                  - epoch_us(greatest(a.s, b.s)))
+                              AS DOUBLE) / 1000000.0, 6) AS overlap_secs
+            FROM sl a JOIN sl b
+              ON a.source < b.source
+             AND greatest(a.s, b.s) <= least(a.e, b.e)
+            GROUP BY 1, 2
+        """,
         "sessionize": _DEDUP_CTE + """
             , g AS (
               SELECT source, ts,

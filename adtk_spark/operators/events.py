@@ -258,3 +258,67 @@ def sessionize(
         )
         .drop("_sid")
     )
+
+
+def event_cooccurrence(
+    intervals: DataFrame,
+    *,
+    source_col: str = "source",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Cross-source event co-occurrence: for every pair of sources,
+    how many of their event intervals overlap in time (closed-interval
+    touch counts) and for how long in total — the systemic-incident
+    view over per-source anomaly events (many sources alarming at once
+    is an infrastructure problem, one source alarming alone is a data
+    problem; reference events are per-series only,
+    /root/reference/src/adtk/data/_data.py has no cross-series op).
+
+    Scale: the bucketized self-join — each interval explodes to the
+    coarse time buckets it spans (``interval_join``'s device, same
+    granularity trade-off), candidates equi-join on the bucket, and a
+    pair that shares several buckets is counted ONCE via bucket
+    ownership (only in the bucket containing the later start), so no
+    distinct pass over pairs. Overlap micros sum as exact DECIMAL with
+    one final division.
+    """
+    step = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    b_start = F.unix_timestamp(F.date_trunc(bucket, F.col(start_col)))
+    b_end = F.unix_timestamp(F.date_trunc(bucket, F.col(end_col)))
+    iv = intervals.select(
+        F.col(source_col), F.col(start_col), F.col(end_col),
+        F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
+    )
+
+    def side(tag: str) -> DataFrame:
+        return iv.select(
+            F.col(source_col).alias(f"s_{tag}"),
+            F.col(start_col).alias(f"st_{tag}"),
+            F.col(end_col).alias(f"en_{tag}"),
+            "_b",
+        )
+
+    a, b = side("a"), side("b")
+    later_start = F.greatest(F.col("st_a"), F.col("st_b"))
+    first_end = F.least(F.col("en_a"), F.col("en_b"))
+    own = F.unix_timestamp(F.date_trunc(bucket, later_start))
+    pairs = (
+        a.join(b, on="_b", how="inner")
+        .where(
+            (F.col("s_a") < F.col("s_b"))
+            & (later_start <= first_end)
+            & (F.col("_b") == own)
+        )
+    )
+    ov_us = (_micros(first_end) - _micros(later_start)).cast("decimal(38,0)")
+    return (
+        pairs.groupBy(
+            F.col("s_a").alias("source_a"), F.col("s_b").alias("source_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum(ov_us).cast("double") / 1000000.0, 6)
+            .alias("overlap_secs"),
+        )
+    )

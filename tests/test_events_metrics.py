@@ -233,3 +233,34 @@ def test_to_events_to_labels_roundtrip_property(spark, labels):
             for r in to_labels(ev, spine, freq="1 hour").collect()}
     for i, (_, ts, v) in enumerate(rows):
         assert back[ts] == v, (i, labels)
+
+
+def test_event_cooccurrence_golden(spark):
+    """Hand-checked pair overlaps: closed-interval touch counts with
+    overlap 0; non-overlapping pairs are absent; a pair spanning many
+    buckets is counted ONCE (ownership dedup), at any bucket width."""
+    base = dt.datetime(2025, 1, 1)
+
+    def iv(src, s, e):
+        return (src, base + dt.timedelta(seconds=s),
+                base + dt.timedelta(seconds=e))
+
+    rows = [iv("A", 0, 100), iv("A", 200, 210), iv("B", 50, 150),
+            iv("C", 205, 300), iv("D", 150, 160)]
+    df = spark.createDataFrame(
+        rows, "source string, start_ts timestamp, end_ts timestamp")
+    got = {(r["source_a"], r["source_b"]): (r["n_pairs"], r["overlap_secs"])
+           for r in E.event_cooccurrence(df).collect()}
+    assert got == {
+        ("A", "B"): (1, 50.0),
+        ("A", "C"): (1, 5.0),
+        ("B", "D"): (1, 0.0),   # touching closed intervals
+    }
+    # ownership: one pair across 61 shared minute buckets counts once
+    wide = spark.createDataFrame(
+        [iv("X", 0, 7200), iv("Y", 3600, 10800)],
+        "source string, start_ts timestamp, end_ts timestamp")
+    for bucket in ("minute", "hour"):
+        out = E.event_cooccurrence(wide, bucket=bucket).collect()
+        assert [(r["source_a"], r["source_b"], r["n_pairs"],
+                 r["overlap_secs"]) for r in out] == [("X", "Y", 1, 3600.0)]
