@@ -1454,6 +1454,69 @@ def q_psi_drift(spark, sf_dir):
                      [1.0, 25.0, 50.0, 100.0, 150.0, 250.0])
 
 
+PSI_EDGES = [1.0, 25.0, 50.0, 100.0, 150.0, 250.0]
+
+
+def q_psi_timeline(spark, sf_dir):
+    """PSI drift timeline (plans/tiers.py psi_timeline): each source's
+    daily value distribution scored against its previous observed day —
+    the dashboard drift series, vs psi_drift's single split. One
+    groupBy with bins unrolled + one lag window (two Exchanges, no
+    join); same DECIMAL term quantization, so hash-equal to the SQL
+    replay; first day per source emits NULL psi."""
+    from adtk_spark.plans.tiers import psi_timeline
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return psi_timeline(ev, PSI_EDGES, "1d")
+
+
+def _psi_timeline_oracle_sql(edges) -> str:
+    """Generated replay of psi_timeline: unrolled per-day conditional
+    bin counts, lag window over the source partitioning, identical term
+    association and DECIMAL quantization."""
+    k = len(edges) + 1
+    bin_expr = " + ".join(f"CAST(value >= {e!r}e0 AS INT)" for e in edges)
+    cs = ",\n                     ".join(
+        f"sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS c{i}"
+        for i in range(k))
+    lags = ",\n                     ".join(
+        f"lag(c{i}) OVER w AS p{i}" for i in range(k))
+    keep = ", ".join(f"c{i}" for i in range(k))
+    terms = "\n                 + ".join(
+        f"CAST(round((greatest(p{i} / n_prev, 0.000001e0)"
+        f" - greatest(c{i} / n_cur, 0.000001e0))"
+        f" * ln(greatest(p{i} / n_prev, 0.000001e0)"
+        f" / greatest(c{i} / n_cur, 0.000001e0)), 9) AS DECIMAL(38,9))"
+        for i in range(k))
+    return f"""
+            WITH b AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                     ({bin_expr}) AS bin
+              FROM events WHERE value IS NOT NULL
+            ), per AS (
+              SELECT source, bucket_ts, count(*) AS n_cur,
+                     {cs}
+              FROM b GROUP BY 1, 2
+            ), l AS (
+              SELECT source, bucket_ts, n_cur, {keep},
+                     lag(bucket_ts) OVER w AS prev_bucket_ts,
+                     lag(n_cur) OVER w AS n_prev,
+                     {lags}
+              FROM per
+              WINDOW w AS (PARTITION BY source ORDER BY bucket_ts)
+            )
+            SELECT source, bucket_ts, prev_bucket_ts,
+                   CAST(n_prev AS BIGINT) AS n_prev,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   CASE WHEN n_prev IS NOT NULL THEN
+                     round(CAST(({terms}) AS DOUBLE), 6)
+                   END AS psi
+            FROM l
+        """
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
     ks_drift): the bin-free companion to psi_drift over the same
@@ -1722,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "psi_timeline": q_psi_timeline,
         "sax_words": q_sax_words,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
@@ -3833,6 +3897,9 @@ def oracle_sql() -> dict[str, str]:
                                        AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
             FROM t GROUP BY source
         """,
+        # generated replay: unrolled per-day bin counts, lag window,
+        # identical term association and DECIMAL quantization
+        "psi_timeline": _psi_timeline_oracle_sql(PSI_EDGES),
         # KS drift: ECDF gap in exact integer/HUGEINT cross-products
         # (max |rc*n_cur - cc*n_ref|), one final division + round;
         # HUGEINT-vs-long folded by the BIGINT casts on the count cols

@@ -570,6 +570,77 @@ def ks_drift(
     )
 
 
+def psi_timeline(
+    df: DataFrame,
+    edges: list[float],
+    tier: str = "1d",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI drift TIMELINE: each tier bucket's value distribution scored
+    against the source's previous observed bucket — ``psi_drift`` gives
+    one number for one chosen split; this gives the per-source
+    day-over-day (or hour-over-hour) drift series a feed dashboard
+    plots and alerts on. Emits ``prev_bucket_ts`` so a consumer can see
+    when "previous" skipped an ingest gap; the first bucket per source
+    has NULL psi.
+
+    Plan shape: ONE (source, bucket) groupBy with the bins unrolled as
+    conditional integer sums (no (source, bucket, bin) row
+    materialization — a lag over sparse bin rows would silently skip
+    empty bins), then ONE lag window over the source partitioning —
+    two Exchanges, no join. Same association and DECIMAL term
+    quantization as psi_drift/streaming_psi_drift: bit-stable at any
+    parallelism.
+    """
+    trunc = TIER_INTERVALS[tier]
+    v = F.col(value_col)
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    k = len(edges) + 1
+    per = (
+        df.where(v.isNotNull())
+        .withColumn("_bin", bin_expr)
+        .groupBy(source_col,
+                 F.date_trunc(trunc, F.col(ts_col)).alias("bucket_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cur"),
+            *[F.sum((F.col("_bin") == i).cast("long")).alias(f"_c{i}")
+              for i in range(k)],
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy("bucket_ts")
+    lagged = per.select(
+        source_col, "bucket_ts", "n_cur",
+        F.lag("bucket_ts").over(w).alias("prev_bucket_ts"),
+        F.lag("n_cur").over(w).alias("n_prev"),
+        *[F.col(f"_c{i}") for i in range(k)],
+        *[F.lag(f"_c{i}").over(w).alias(f"_p{i}") for i in range(k)],
+    )
+    # decimal(20,9), NOT (38,9): Spark grows precision by 1 per chained
+    # add and SILENTLY DROPS SCALE (9 -> 8 -> ... -> 6) once the cap of
+    # 38 is hit — (20,9) leaves 18 digits of headroom for the chain
+    terms = None
+    for i in range(k):
+        p = F.greatest(F.col(f"_p{i}") / F.col("n_prev"), F.lit(eps))
+        q = F.greatest(F.col(f"_c{i}") / F.col("n_cur"), F.lit(eps))
+        term = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
+        terms = term if terms is None else terms + term
+    # F.greatest skips NULLs: without the gate, the first bucket would
+    # score against an eps-floored phantom instead of emitting NULL
+    psi = F.when(F.col("n_prev").isNotNull(),
+                 F.round(terms.cast("double"), 6))
+    return lagged.select(
+        source_col, "bucket_ts", "prev_bucket_ts", "n_prev", "n_cur",
+        psi.alias("psi"),
+    )
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

@@ -147,11 +147,14 @@ def streaming_psi_drift(
         )
     )
     props = props_of[F.col("source")]
+    # decimal(20,9), NOT (38,9): chained decimal adds grow precision by
+    # 1 each and Spark silently reduces SCALE once the 38 cap is hit —
+    # (20,9) keeps the full 9-digit scale through any realistic chain
     terms = None
     for i in range(k):
         p = F.greatest(props[i], F.lit(eps))
         q = F.greatest(F.col(f"_c{i}") / F.col("n_cur"), F.lit(eps))
-        term = F.round((p - q) * F.log(p / q), 9).cast("decimal(38,9)")
+        term = F.round((p - q) * F.log(p / q), 9).cast("decimal(20,9)")
         terms = term if terms is None else terms + term
     # F.greatest skips NULLs, so a missing reference would silently
     # degrade to the eps floor — gate the whole score on a fitted ref

@@ -88,6 +88,17 @@ def test_psi_drift_two_exchanges_broadcast_totals(spark):
     assert "Join" not in plan, plan
 
 
+def test_psi_timeline_two_exchanges_no_join(spark):
+    from adtk_spark.plans.tiers import psi_timeline
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(psi_timeline(df, [10.0, 20.0], "1d"))
+    # (source,bucket) bin counts then a source repartition for the lag
+    # window — two Exchanges, zero joins, bins live in columns
+    assert count_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_ks_drift_two_exchanges_no_join(spark):
     import datetime as dt
 
@@ -329,6 +340,33 @@ def test_psi_drift_golden(spark):
     # n_ref = 0: p floors at eps in the one observed bin, q = 1
     want_new = round(round((eps - 1.0) * math.log(eps / 1.0), 9), 6)
     assert got["newsrc"] == (0, 3, want_new)
+
+
+def test_psi_timeline_golden(spark):
+    """Timeline golden: day 2 scored vs day 1 gives the same value the
+    split-based psi_drift gives for that pair; day 1 emits NULL psi;
+    a skipped day scores against the previous OBSERVED day and reports
+    it in prev_bucket_ts; stable under repartitioning."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import psi_drift, psi_timeline
+
+    d1, d2, d4 = (dt.datetime(2025, 1, i) for i in (1, 2, 4))
+    rows = ([("s", d1, 5.0)] * 4 + [("s", d2, 15.0)] * 4
+            + [("s", d4, 5.0)] * 2 + [("s", d4, 15.0)] * 2)
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    tl = {r["bucket_ts"]: r for r in psi_timeline(df, [10.0]).collect()}
+    assert tl[d1]["psi"] is None and tl[d1]["prev_bucket_ts"] is None
+    split_want = psi_drift(
+        df.where(F.col("ts") < dt.datetime(2025, 1, 3)),
+        d2, [10.0]).collect()[0]["psi"]
+    assert tl[d2]["psi"] == split_want
+    assert tl[d4]["prev_bucket_ts"] == d2  # gap skipped, reported
+    assert tl[d4]["n_prev"] == 4 and tl[d4]["n_cur"] == 4
+    got13 = {r["bucket_ts"]: r["psi"]
+             for r in psi_timeline(df.repartition(13), [10.0]).collect()}
+    assert got13 == {k: v["psi"] for k, v in tl.items()}
 
 
 def test_ks_drift_golden(spark):
