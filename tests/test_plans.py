@@ -113,6 +113,35 @@ def test_ks_drift_two_exchanges_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_quality_gate_broadcast_thresholds(spark):
+    from adtk_spark.operators.corpus import quality_quantile_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(quality_quantile_gate(
+        docs, 0.25, score_col="n_chars", strata_col="lang"))
+    # the #strata-row threshold table must broadcast back — an SMJ here
+    # would re-shuffle the whole corpus on the stratum key
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_event_cooccurrence_equi_join_only(spark):
+    import datetime as dt
+
+    from adtk_spark.operators.events import event_cooccurrence
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [("s%d" % i, base + dt.timedelta(seconds=i * 30),
+             base + dt.timedelta(seconds=i * 30 + 600)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "source string, start_ts timestamp, end_ts timestamp")
+    plan = plan_of(event_cooccurrence(df))
+    # bucketized overlap: candidates pair via an EQUI-join on the
+    # bucket — a raw BETWEEN self-join plans as nested-loop/cartesian
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_ngram_contamination_broadcast_bench(spark):
     from adtk_spark.operators.corpus import ngram_contamination
 
