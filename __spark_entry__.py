@@ -616,6 +616,20 @@ def q_stratified_take(spark, sf_dir):
     return stratified_take(docs, 25).select("doc_id", "lang")
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-source winsorization (corpus.winsorize): clip each source's
+    values to its own [p5, p95] count-rule thresholds — spike taming
+    that keeps row count. Bounds are observed values decided by integer
+    counts (both fit in ONE cumsum pass), applied as a broadcast clamp;
+    no arithmetic on the clipped values, so the replay is exact."""
+    from adtk_spark.operators.corpus import winsorize
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return winsorize(ev, 0.05, 0.95, out_col="w_value").select(
+        "source", "ts", "w_value")
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language quality gate (corpus.quality_quantile_gate): drop
     each language's worst stopword-ratio quartile. The threshold is the
@@ -1768,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "quality_gate": q_quality_gate,
         "stratified_take": q_stratified_take,
+        "winsorize": q_winsorize,
         "mixture_budget": q_mixture_budget,
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
@@ -2508,6 +2523,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
                        AS BIGINT) / 1152921504606846976.0 < 0.3
+        """,
+        # both clip bounds from one cumsum (count rule: lo = smallest v
+        # with cle > p_lo*n, hi = smallest v with cle >= p_hi*n); the
+        # clamp moves values to OBSERVED values — no arithmetic at all
+        "winsorize": """
+            WITH s AS (
+              SELECT event_type AS source, ts, value FROM events
+            ), per AS (
+              SELECT source, value AS v, count(*) AS c
+              FROM s WHERE value IS NOT NULL GROUP BY 1, 2
+            ), c AS (
+              SELECT source, v,
+                     sum(c) OVER (PARTITION BY source) AS n,
+                     sum(c) OVER (PARTITION BY source ORDER BY v) AS cle
+              FROM per
+            ), thr AS (
+              SELECT source,
+                     min(CASE WHEN cle > 0.05e0 * n THEN v END) AS lo,
+                     min(CASE WHEN cle >= 0.95e0 * n THEN v END) AS hi
+              FROM c GROUP BY source
+            )
+            SELECT s.source, s.ts,
+                   CASE WHEN s.value IS NULL THEN NULL
+                        ELSE least(greatest(s.value, thr.lo), thr.hi)
+                   END AS w_value
+            FROM s LEFT JOIN thr USING (source)
         """,
         # full rank over the identical md5 uniform (ties by key) — the
         # Spark side ranks only pre-filter survivors; hash equality

@@ -1213,6 +1213,59 @@ def quality_quantile_gate(
     return out.where(cond)
 
 
+def winsorize(
+    df: DataFrame,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    *,
+    score_col: str = "value",
+    strata_col: str = "source",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-stratum winsorization: clip ``score_col`` to its stratum's
+    [p_lo, p_hi] count-rule quantile thresholds — the robust spike
+    tamer for sensor glitches / fat-tail doc scores that keeps row
+    count (unlike the quantile GATE, which drops). Clip bounds are
+    actual observed values decided by integer counts
+    (``quantile_thresholds``), so the clamp replays exactly in any
+    engine — no interpolated bound a comparison could straddle.
+
+    Scale: two narrow shuffles over distinct scores per stratum to fit
+    both thresholds in ONE pass (shared cumsum), then a broadcast join
+    + pure clamp projection; the data is never re-shuffled. NULL scores
+    pass through NULL; out_col defaults to overwriting score_col.
+    """
+    if not 0.0 <= p_lo < p_hi <= 1.0:
+        raise ValueError(f"need 0 <= p_lo < p_hi <= 1, got ({p_lo}, {p_hi})")
+    out_col = out_col or score_col
+    v = F.col(score_col)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(strata_col, v.alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wsrc = Window.partitionBy(strata_col)
+    wcum = wsrc.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    j = per.withColumn("n", F.sum("c").over(wsrc)).withColumn(
+        "cle", F.sum("c").over(wcum))
+    thr = (
+        j.groupBy(strata_col)
+        .agg(
+            F.min(F.when(F.col("cle") > F.lit(float(p_lo)) * F.col("n"),
+                         F.col("v"))).alias("lo"),
+            F.min(F.when(F.col("cle") >= F.lit(float(p_hi)) * F.col("n"),
+                         F.col("v"))).alias("hi"),
+        )
+    )
+    clipped = F.when(v.isNull(), F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(v, F.col("lo")), F.col("hi")))
+    return (
+        df.join(F.broadcast(thr), strata_col, "left")
+        .withColumn(out_col, clipped)
+        .drop("lo", "hi")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,

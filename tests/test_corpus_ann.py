@@ -735,6 +735,33 @@ def test_quantile_threshold_count_rule(spark):
         raise AssertionError("expected ValueError on bad keep")
 
 
+def test_winsorize_golden(spark):
+    """Clip bounds are observed values by the count rule: for 1..20 at
+    (0.05, 0.95), lo=2 (1/20 is NOT > 0.05) and hi=19 (19/20 >= 0.95);
+    NULLs pass through NULL; row count is preserved; p checks raise."""
+    import pyspark.sql.functions as F
+
+    from adtk_spark.operators.corpus import winsorize
+
+    rows = [("s", float(i)) for i in range(1, 21)] + [("s", None)]
+    df = spark.createDataFrame(rows, "source string, value double")
+    out = winsorize(df, 0.05, 0.95, strata_col="source",
+                    score_col="value", out_col="w")
+    vals = sorted((r["w"] for r in out.collect()),
+                  key=lambda x: (x is None, x))
+    assert len(vals) == 21 and vals[-1] is None
+    ws = [v for v in vals if v is not None]
+    assert min(ws) == 2.0 and max(ws) == 19.0
+    assert ws.count(2.0) == 2 and ws.count(19.0) == 2  # 1->2, 20->19
+    assert sorted(set(ws)) == [float(i) for i in range(2, 20)]
+    try:
+        winsorize(df, 0.9, 0.1)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for p_lo >= p_hi")
+
+
 def test_pack_sequences_invariants(spark):
     """Contiguous packing: offsets are a gap-free token layout per
     source (each doc starts where the previous ended), every bin except
