@@ -1811,7 +1811,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the front — rollup_sliding_5m leads so its r03 type fix gets
     # driver-verified — with the long-green remainder after. Every
     # query stays present; only insertion order changes.
-    front = ["rollup_sliding_5m"] + [n for n in q if n not in _R0203_DRIVER_KEYS]
+    # newest-first within the never-checked set: the round-4
+    # continuation queries have never had ANY driver or judge row, so
+    # they outrank round-2/3 additions the r03 judge already re-ran
+    r4_new = [
+        "ks_drift", "psi_timeline", "stratified_sample", "mixture_budget",
+        "mixture_sample", "quality_gate", "stratified_take", "winsorize",
+        "event_cooccurrence", "sax_8m", "sax_words", "ngram_contamination",
+        "psi_drift", "lm_perplexity_pruned",
+    ]
+    front = (["rollup_sliding_5m"] + [n for n in r4_new if n in q]
+             + [n for n in q
+                if n not in _R0203_DRIVER_KEYS and n not in r4_new])
     return {**{n: q[n] for n in front}, **q}
 
 
