@@ -866,3 +866,42 @@ def test_embedding_quality_flags(spark):
     assert got[4]["is_bad"] == 1
     assert got[5]["n_dims"] == 0 and got[5]["is_bad"] == 1
     assert got[6]["dim_drift"] == 1 and got[1]["dim_drift"] == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-50, max_value=50),
+                     min_size=1, max_size=60),
+       p=st.floats(min_value=0.01, max_value=0.99))
+def test_count_rule_threshold_property(spark, vals, p):
+    """Property vs a direct python reference: the threshold is the
+    smallest distinct value whose cumulative count strictly exceeds
+    p*n, and winsorize's (lo, hi) bounds follow their (>, >=) rules —
+    for any multiset (ties included) and any p. Guards the machinery
+    under quality_quantile_gate, winsorize, and stratified_take."""
+    from adtk_spark.operators.corpus import quantile_thresholds, winsorize
+
+    fvals = [float(v) for v in vals]
+    n = len(fvals)
+    sv = sorted(set(fvals))
+
+    def ref_thr(rule_ge: bool, prob: float) -> float:
+        cum = 0
+        for v in sv:
+            cum += fvals.count(v)
+            if (cum >= prob * n) if rule_ge else (cum > prob * n):
+                return v
+        return sv[-1]
+
+    df = spark.createDataFrame(
+        [("s", v) for v in fvals], "source string, value double")
+    thr = quantile_thresholds(
+        df, p, score_col="value", strata_col="source").collect()[0]
+    assert thr["n"] == n
+    assert thr["q_thr"] == ref_thr(False, p)
+
+    p_lo, p_hi = min(p, 1 - p) / 2, max(p, 1 - p)
+    lo, hi = ref_thr(False, p_lo), ref_thr(True, p_hi)
+    out = [r["w"] for r in winsorize(
+        df, p_lo, p_hi, strata_col="source", score_col="value",
+        out_col="w").collect()]
+    assert sorted(out) == sorted(min(max(v, lo), hi) for v in fvals)
