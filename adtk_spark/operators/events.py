@@ -287,7 +287,9 @@ def event_cooccurrence(
     step = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
     b_start = F.unix_timestamp(F.date_trunc(bucket, F.col(start_col)))
     b_end = F.unix_timestamp(F.date_trunc(bucket, F.col(end_col)))
-    iv = intervals.select(
+    # end < start would make F.sequence throw mid-job; NULL bounds
+    # produce NULL sequences that explode() already drops
+    iv = intervals.where(F.col(end_col) >= F.col(start_col)).select(
         F.col(source_col), F.col(start_col), F.col(end_col),
         F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
     )
