@@ -1471,6 +1471,20 @@ def q_psi_drift(spark, sf_dir):
 PSI_EDGES = [1.0, 25.0, 50.0, 100.0, 150.0, 250.0]
 
 
+def q_rollup_twa(spark, sf_dir):
+    """Time-weighted average tier for irregular series (plans/tiers.py
+    rollup_twa, TimescaleDB time_weight LOCF analogue): each point's
+    value holds until the next observation, segments split across the
+    hour buckets they span — the sampling-rate-unbiased mean. Integer
+    overlap micros; value x seconds terms quantized to 1e-6 and
+    DECIMAL-summed; one final division."""
+    from adtk_spark.plans.tiers import rollup_twa
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return rollup_twa(ev, "1h")
+
+
 def q_psi_timeline(spark, sf_dir):
     """PSI drift timeline (plans/tiers.py psi_timeline): each source's
     daily value distribution scored against its previous observed day —
@@ -1801,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "psi_timeline": q_psi_timeline,
+        "rollup_twa_1h": q_rollup_twa,
         "sax_words": q_sax_words,
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
@@ -3952,6 +3967,41 @@ def oracle_sql() -> dict[str, str]:
         # generated replay: unrolled per-day bin counts, lag window,
         # identical term association and DECIMAL quantization
         "psi_timeline": _psi_timeline_oracle_sql(PSI_EDGES),
+        # LOCF segments via lead(), split across hour buckets with the
+        # inclusive generate_series explode; integer overlap micros,
+        # value*(us/1e6) terms quantized to 1e-6, DECIMAL sum, one
+        # division at the end — same association as the Spark side
+        "rollup_twa_1h": """
+            WITH s AS (
+              SELECT event_type AS source, ts, value
+              FROM events WHERE value IS NOT NULL
+            ), seg AS (
+              SELECT source, ts AS st,
+                     lead(ts) OVER (PARTITION BY source ORDER BY ts) AS en,
+                     value AS v
+              FROM s
+            ), ex AS (
+              SELECT source, st, en, v,
+                     unnest(generate_series(
+                       CAST(epoch(date_trunc('hour', st)) AS BIGINT),
+                       CAST(epoch(date_trunc('hour', en)) AS BIGINT),
+                       3600)) AS b
+              FROM seg WHERE en IS NOT NULL AND en > st
+            ), ov AS (
+              SELECT source, b, v,
+                     least(epoch_us(en), (b + 3600) * 1000000)
+                     - greatest(epoch_us(st), b * 1000000) AS us
+              FROM ex
+            )
+            SELECT source, make_timestamp(b * 1000000) AS bucket_ts,
+                   round(CAST(sum(us) AS DOUBLE) / 1000000.0, 6)
+                     AS covered_secs,
+                   round(CAST(sum(CAST(round(v * (CAST(us AS DOUBLE)
+                                                  / 1000000.0), 6)
+                                       AS DECIMAL(38,6))) AS DOUBLE)
+                         / (CAST(sum(us) AS DOUBLE) / 1000000.0), 6) AS twa
+            FROM ov WHERE us > 0 GROUP BY 1, 2
+        """,
         # KS drift: ECDF gap in exact integer/HUGEINT cross-products
         # (max |rc*n_cur - cc*n_ref|), one final division + round;
         # HUGEINT-vs-long folded by the BIGINT casts on the count cols

@@ -459,6 +459,76 @@ def psi_drift(
     )
 
 
+def rollup_twa(
+    df: DataFrame,
+    tier: str = "1h",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted average per (source, bucket) for IRREGULAR series
+    (TimescaleDB ``time_weight('LOCF')`` analogue): each observation
+    holds its value until the next one, so a sensor that reports every
+    second and then sleeps an hour doesn't get its sleep value counted
+    once — plain ``mean`` is sampling-rate-biased, TWA is not. A
+    point's segment [ts, next_ts) is split across every tier bucket it
+    spans (the interval-explode device, so month-long silences weight
+    their buckets correctly); the series' last point ends its segment
+    (no extrapolation past the final observation).
+
+    Plan shape: ONE (source, ts) window for the lead + ONE
+    (source, bucket) groupBy — two Exchanges. Determinism: overlap
+    micros are integers, each ``value x overlap-seconds`` term is
+    quantized to 1e-6 and DECIMAL-summed, the weight sum is an exact
+    integer — one final division, bit-stable at any parallelism.
+    """
+    trunc = TIER_INTERVALS[tier]
+    step = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    w = Window.partitionBy(source_col).orderBy(ts_col)
+    seg = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            source_col,
+            F.col(ts_col).alias("_s"),
+            F.lead(ts_col).over(w).alias("_e"),
+            F.col(value_col).alias("_v"),
+        )
+        .where(F.col("_e").isNotNull() & (F.col("_e") > F.col("_s")))
+    )
+    b_start = F.unix_timestamp(F.date_trunc(trunc, F.col("_s")))
+    b_end = F.unix_timestamp(F.date_trunc(trunc, F.col("_e")))
+    ex = seg.select(
+        source_col, "_s", "_e", "_v",
+        F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
+    )
+    us = F.unix_micros
+    b_lo = F.col("_b") * 1_000_000
+    b_hi = (F.col("_b") + step) * 1_000_000
+    ov = (F.least(us(F.col("_e").cast("timestamp")), b_hi)
+          - F.greatest(us(F.col("_s").cast("timestamp")), b_lo))
+    term = F.round(F.col("_v") * (ov.cast("double") / 1000000.0), 6) \
+        .cast("decimal(38,6)")
+    return (
+        ex.where(ov > 0)
+        .groupBy(source_col,
+                 F.timestamp_seconds(F.col("_b")).alias("bucket_ts"))
+        .agg(
+            F.sum(ov).alias("_w_us"),
+            F.sum(term).alias("_vw"),
+        )
+        .select(
+            source_col, "bucket_ts",
+            F.round(F.col("_w_us").cast("double") / 1000000.0, 6)
+            .alias("covered_secs"),
+            F.round(
+                F.col("_vw").cast("double")
+                / (F.col("_w_us").cast("double") / 1000000.0), 6,
+            ).alias("twa"),
+        )
+    )
+
+
 def psi_reference(
     df: DataFrame,
     edges: list[float],

@@ -371,6 +371,35 @@ def test_psi_drift_golden(spark):
     assert got["newsrc"] == (0, 3, want_new)
 
 
+def test_rollup_twa_golden(spark):
+    """TWA golden: v=0 held for 59 min then v=100 for 1 min gives hour
+    twa 100*60/3600 = 1.666667 where the plain mean of the two points
+    would say 50 — the sampling-rate unbias TWA exists for. The
+    segment crossing into hour 1 weights it fully; the last observation
+    opens no segment; repartition-stable."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import rollup_twa
+
+    base = dt.datetime(2025, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [("s", t(0), 0.0), ("s", t(3540), 100.0), ("s", t(7200), 7.0)]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    got = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+           for r in rollup_twa(df, "1h").collect()}
+    assert got == {
+        t(0): (3600.0, 1.666667),     # 0*3540s + 100*60s over 3600s
+        t(3600): (3600.0, 100.0),     # the 100-segment spans all of h1
+    }
+    got13 = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+             for r in rollup_twa(df.repartition(13), "1h").collect()}
+    assert got13 == got
+
+
 def test_psi_timeline_golden(spark):
     """Timeline golden: day 2 scored vs day 1 gives the same value the
     split-based psi_drift gives for that pair; day 1 emits NULL psi;
