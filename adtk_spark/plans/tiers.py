@@ -571,6 +571,7 @@ def ks_drift(
     source_col: str = "source",
     ts_col: str = "ts",
     value_col: str = "value",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic per source between the
     reference window (``ts < split_ts``) and the current window
@@ -593,8 +594,19 @@ def ks_drift(
     float ECDF subtraction ties) and the single final division makes
     the score bit-stable at any parallelism and hash-equal to the SQL
     replay. Sources empty on either side emit NULL ks.
+
+    Scale caveat: the second stage's per-source cumsum runs over the
+    DISTINCT values of that source — already-quantized data (token
+    counts, integer gauges) keeps it tiny, but continuous floats
+    degenerate toward one sorted pass per source. For those, set
+    ``round_to`` (decimal places) to bound distinct values; the KS
+    statistic of the rounded sample differs from the raw one by at
+    most the mass within half an ulp of each cut — at round_to=3 that
+    is far below any actionable drift threshold.
     """
     v = F.col(value_col)
+    if round_to is not None:
+        v = F.round(v, round_to)
     is_ref = F.col(ts_col) < F.lit(split_ts)
     per = (
         df.where(v.isNotNull())
