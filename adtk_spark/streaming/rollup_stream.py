@@ -209,3 +209,36 @@ def run_into_catalog(agg: DataFrame, catalog, table: str, checkpoint: str) -> No
         .start()
     )
     q.awaitTermination()
+
+
+DOC_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def streaming_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+    *,
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exact dedup at the STREAM ingest edge: drop any document whose
+    content hash was already seen within the watermark horizon — the
+    cheap first pass that keeps bulk re-posts and crawler replays from
+    ever landing, while the batch ``corpus.dedup_exact`` (whole-corpus,
+    md5 keep-min-id) remains the system of record — the same
+    lambda split as the tier rollups (streaming handles the edge,
+    batch owns restatements).
+
+    State is BOUNDED: ``dropDuplicatesWithinWatermark`` expires each
+    hash key once the watermark passes it, so state size tracks the
+    ingest rate x horizon, not corpus size — an unbounded
+    ``dropDuplicates`` would OOM a year-long stream. Keys are 16-byte
+    md5 hashes (never raw text), same as the batch path's shuffle.
+    """
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    return (
+        stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

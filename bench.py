@@ -510,6 +510,11 @@ def main():
         "ks_drift": eqs.get("ks_drift"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
+        "psi_timeline": eqs.get("psi_timeline"),
+        "rollup_twa_1h": eqs.get("rollup_twa_1h"),
+        "event_cooccurrence": eqs.get("event_cooccurrence"),
+        "stratified_take": eqs.get("stratified_take"),
+        "winsorize": eqs.get("winsorize"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():

@@ -99,6 +99,42 @@ def test_streaming_psi_drift_matches_batch(spark, tmp_path):
     assert {s for s in want if want[s][1] > 0} == set(got)
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Ingest-edge exact dedup: duplicate content is dropped within a
+    micro-batch AND across batches inside the watermark horizon; each
+    distinct text survives exactly once (first arrival), matching the
+    batch dedup_exact key set."""
+    import datetime as dt
+
+    from adtk_spark.streaming.rollup_stream import (
+        run_available_now,
+        streaming_dedup_exact,
+    )
+
+    base = dt.datetime(2025, 1, 1)
+    texts = [f"document body number {i}" for i in range(5)]
+    b1 = [(i, base, texts[i % 5]) for i in range(10)]          # 5 in-batch dups
+    b2 = [(100 + i, base + dt.timedelta(minutes=5),
+           texts[i]) for i in range(3)]                        # cross-batch dups
+    b2 += [(200, base + dt.timedelta(minutes=5), "a brand new document")]
+
+    src = str(tmp_path / "docs_stream")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "docs_ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).write.mode("append").parquet(src)
+        run_available_now(
+            streaming_dedup_exact(spark, src, watermark="10 minutes"),
+            out, ckpt)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 6                       # 5 originals + 1 new
+    assert {r["text"] for r in got} == set(texts) | {"a brand new document"}
+    # first arrival wins: every original text kept its batch-1 doc_id
+    assert all(r["doc_id"] < 100 for r in got if r["text"] in texts)
+
+
 def test_streaming_into_catalog_routes(spark, tmp_path):
     """Stream -> catalog snapshots -> latest-wins read -> tier router:
     each drained micro-batch commits one snapshot, and the routed answer
