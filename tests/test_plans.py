@@ -500,3 +500,51 @@ def test_dst_day_buckets(spark):
         assert abs(out[9] - 115.0 / 82800.0) < 1e-12
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_rollup_twa_property_vs_python_locf(spark):
+    """Randomized parity vs a direct python LOCF reference: for random
+    irregular (ts, value) series, every hour bucket's covered seconds
+    and TWA match the per-segment clip-and-weigh computed row by row
+    in python (same 1e-6 term quantization and final rounding)."""
+    import datetime as dt
+    import random
+    from decimal import Decimal
+
+    rng = random.Random(20250818)
+    base = dt.datetime(2025, 1, 1)
+    for trial in range(5):
+        n = rng.randint(2, 40)
+        secs = sorted(rng.sample(range(0, 6 * 3600), n))
+        vals = [round(rng.uniform(-50, 150), 3) for _ in range(n)]
+        rows = [("s", base + dt.timedelta(seconds=s), v)
+                for s, v in zip(secs, vals)]
+
+        # python reference: split each [t_i, t_{i+1}) across hour
+        # buckets, quantize value*overlap-seconds to 1e-6, sum exactly
+        from collections import defaultdict
+        w_us = defaultdict(int)
+        vw = defaultdict(Decimal)
+        for (s0, v), s1 in zip(zip(secs, vals), secs[1:]):
+            b = (s0 // 3600) * 3600
+            while b <= ((s1 // 3600) * 3600):
+                ov = min(s1, b + 3600) * 1_000_000 - max(s0, b) * 1_000_000
+                if ov > 0:
+                    w_us[b] += ov
+                    vw[b] += Decimal(repr(round(v * (ov / 1e6), 6)))
+                b += 3600
+        want = {
+            base + dt.timedelta(seconds=b): (
+                round(w_us[b] / 1e6, 6),
+                round(float(vw[b]) / (w_us[b] / 1e6), 6),
+            )
+            for b in w_us
+        }
+
+        from adtk_spark.plans.tiers import rollup_twa
+
+        df = spark.createDataFrame(
+            rows, "source string, ts timestamp, value double")
+        got = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+               for r in rollup_twa(df, "1h").collect()}
+        assert got == want, (trial, secs, vals)
