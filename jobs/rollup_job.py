@@ -92,6 +92,11 @@ def main(argv=None):
                         "timestamp (the daily upstream-regression alarm)")
     p.add_argument("--psi-edges", default="1,25,50,100,150,250",
                    help="comma-separated PSI value-bin edges")
+    p.add_argument("--psi-timeline", action="store_true",
+                   help="commit a drift_timeline table: each day's 1m-"
+                        "tier mean distribution scored against the "
+                        "source's previous observed day (the dashboard "
+                        "drift series; uses --psi-edges)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -238,6 +243,25 @@ def main(argv=None):
                 "worst": [(r["source"], float(r["psi"])) for r in worst],
                 "worst_ks": [(r["source"], float(r["ks"]))
                              for r in worst_ks if r["ks"] is not None],
+            }
+
+    if args.psi_timeline:
+        from adtk_spark.plans.tiers import psi_timeline, tier_series
+
+        t1m = read_tier_latest(catalog, spark, "tier_1m")
+        if t1m is not None:
+            edges = [float(x) for x in args.psi_edges.split(",")]
+            tl = psi_timeline(tier_series(t1m, "mean"), edges, "1d")
+            snap = catalog.commit(tl, "drift_timeline",
+                                  {"edges": args.psi_edges, "tier": "1d"})
+            scored = tl.where(F.col("psi").isNotNull())
+            worst = (scored.orderBy(F.desc("psi")).limit(3)
+                     .select("source", "bucket_ts", "psi").collect())
+            report["psi_timeline"] = {
+                "snapshot": snap,
+                "rows": tl.count(),
+                "worst": [(r["source"], str(r["bucket_ts"]),
+                           float(r["psi"])) for r in worst],
             }
 
     if args.retention_days_1m > 0:

@@ -251,6 +251,13 @@ def test_rollup_job_cli(spark, tmp_path, capsys):
     assert len(rep6["psi"]["worst_ks"]) > 0
     assert all(0.0 <= k <= 1.0 for _, k in rep6["psi"]["worst_ks"])
     assert TierCatalog(cat).last_snapshot("drift_report") >= 1
+    # day-over-day drift timeline: committed as its own table, worst
+    # (source, day) offenders in the report
+    main(["--catalog", cat, "--cores", "4", "--psi-timeline"])
+    rep7 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep7["psi_timeline"]["snapshot"] >= 1
+    assert rep7["psi_timeline"]["rows"] > 0
+    assert TierCatalog(cat).last_snapshot("drift_timeline") >= 1
 
 
 def test_streaming_persist_ad_matches_batch(spark, tmp_path):
