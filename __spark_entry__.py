@@ -1830,7 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # continuation queries have never had ANY driver or judge row, so
     # they outrank round-2/3 additions the r03 judge already re-ran
     r4_new = [
-        "ks_drift", "psi_timeline", "stratified_sample", "mixture_budget",
+        "ks_drift", "psi_timeline", "rollup_twa_1h", "stratified_sample",
+        "mixture_budget",
         "mixture_sample", "quality_gate", "stratified_take", "winsorize",
         "event_cooccurrence", "sax_8m", "sax_words", "ngram_contamination",
         "psi_drift", "lm_perplexity_pruned",
