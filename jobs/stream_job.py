@@ -43,6 +43,14 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=24)
     p.add_argument("--min-periods", type=int, default=12)
     p.add_argument("--c", type=float, default=3.0)
+    p.add_argument("--psi-ref-from", default=None,
+                   help="tier-catalog root holding a raw table to fit the "
+                        "frozen psi_reference from (enables the live "
+                        "per-window PSI drift monitor)")
+    p.add_argument("--psi-edges", default="1,25,50,100,150,250",
+                   help="comma-separated PSI value-bin edges")
+    p.add_argument("--psi-window", default="1 hour",
+                   help="tumbling window for the streamed PSI score")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -87,6 +95,24 @@ def main(argv=None):
                  .start())
             q.awaitTermination()
             report["label_rows"] = spark.read.parquet(f"{args.out}/labels").count()
+
+    if args.psi_ref_from:
+        from adtk_spark.plans.tiers import psi_reference
+        from adtk_spark.sources.catalog import TierCatalog
+        from adtk_spark.streaming.rollup_stream import streaming_psi_drift
+
+        cat = TierCatalog(args.psi_ref_from)
+        train = cat.read(spark, "raw")
+        if train is not None:
+            edges = [float(x) for x in args.psi_edges.split(",")]
+            ref = psi_reference(train.select("source", "ts", "value"), edges)
+            drift = streaming_psi_drift(
+                spark, args.source, edges, ref,
+                window=args.psi_window, watermark=args.watermark)
+            run_available_now(drift, f"{args.out}/drift",
+                              f"{args.out}/ckpt_drift")
+            report["drift_rows"] = spark.read.parquet(
+                f"{args.out}/drift").count()
 
     report["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(report))

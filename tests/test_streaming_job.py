@@ -412,10 +412,15 @@ def test_stream_job_cli(spark, tmp_path, capsys):
     out = str(tmp_path / "out")
     main(["--source", src, "--out", out,
           "--score-bounds-from", str(tmp_path / "cat"),
+          "--psi-ref-from", str(tmp_path / "cat"),
+          "--psi-edges", "5,20,60", "--psi-window", "1 day",
           "--window", "5", "--min-periods", "3", "--cores", "4"])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["t1m_rows"] > 0
     assert rep["label_rows"] == raw.count()
+    # live PSI monitor: finalized windows scored against the frozen
+    # reference fit from the catalog's raw table
+    assert rep["drift_rows"] > 0
 
     # rerun, nothing new: checkpoint resume, counts unchanged
     main(["--source", src, "--out", out,
