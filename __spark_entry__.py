@@ -1820,7 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Driver-rotation ordering (r03 VERDICT process item #8): the
     # driver's CORRECTNESS harness recorded the same 50-key list in
-    # rounds 2 and 3 while the contract grew to 92 queries, so the 42
+    # rounds 2 and 3 while the contract grew (now 106 queries), so
     # queries added since have no driver row despite passing the
     # identical local harness. Rotate the never-driver-checked queries
     # to the front — rollup_sliding_5m leads so its r03 type fix gets
