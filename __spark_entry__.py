@@ -630,6 +630,22 @@ def q_winsorize(spark, sf_dir):
         "source", "ts", "w_value")
 
 
+def q_mixture_epochs(spark, sf_dir):
+    """Up-sampling mixture (corpus.mixture_sample_epochs): equal-weight
+    language targets with max_epochs=2 — the binding language repeats
+    every doc twice, rare ones land between 1 and 2 epochs via a
+    deterministic fractional draw, the dominant one downsamples; the
+    epoch column indexes the copies. Explode factor bounded by
+    max_epochs; rates replay bit-equal in the SQL CTE."""
+    from adtk_spark.operators.corpus import mixture_sample_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample_epochs(
+        docs, {"en": 0.25, "de": 0.25, "fr": 0.25, "es": 0.25}, 2.0,
+        weight_col="n_chars",
+    ).select("doc_id", "lang", "epoch")
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language quality gate (corpus.quality_quantile_gate): drop
     each language's worst stopword-ratio quartile. The threshold is the
@@ -1797,6 +1813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gate": q_quality_gate,
         "stratified_take": q_stratified_take,
         "winsorize": q_winsorize,
+        "mixture_epochs": q_mixture_epochs,
         "mixture_budget": q_mixture_budget,
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
@@ -2550,6 +2567,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source FROM documents
             WHERE CAST(('0x' || substr(md5('sample:' || doc_id), 1, 15))
                        AS BIGINT) / 1152921504606846976.0 < 0.3
+        """,
+        # the epoch-capped budget rates in a CTE, then per-doc copies =
+        # floor(rate) + one fractional hash draw, exploded row-wise
+        "mixture_epochs": """
+            WITH per AS (
+              SELECT lang, sum(n_chars) AS available
+              FROM documents GROUP BY lang
+            ), t AS (
+              SELECT lang, available,
+                     CASE lang WHEN 'en' THEN 0.25e0 WHEN 'de' THEN 0.25e0
+                               WHEN 'fr' THEN 0.25e0 WHEN 'es' THEN 0.25e0
+                               ELSE 0.0e0 END AS target_w
+              FROM per
+            ), s AS (
+              SELECT lang, available, target_w,
+                     min(CASE WHEN target_w > 0
+                              THEN available * 2.0e0 / target_w END)
+                       OVER () AS s_max
+              FROM t
+            ), r AS (
+              SELECT lang,
+                     round(CASE WHEN target_w > 0
+                                THEN least(2.0e0, target_w * s_max / available)
+                                ELSE 0.0e0 END, 9) AS rate
+              FROM s
+            ), c AS (
+              SELECT d.doc_id, d.lang,
+                     CAST(floor(r.rate) AS INT)
+                     + CASE WHEN CAST(('0x' || substr(md5('mixep:' || d.doc_id),
+                                                      1, 15)) AS BIGINT)
+                                 / 1152921504606846976.0
+                                 < r.rate - floor(r.rate)
+                            THEN 1 ELSE 0 END AS n
+              FROM documents d JOIN r USING (lang)
+            )
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(0, n - 1)) AS INT) AS epoch
+            FROM c WHERE n >= 1
         """,
         # both clip bounds from one cumsum (count rule: lo = smallest v
         # with cle > p_lo*n, hi = smallest v with cle >= p_hi*n); the

@@ -1007,6 +1007,7 @@ def mixture_budget(
     *,
     strata_col: str = "lang",
     weight_col: str | None = None,
+    max_epochs: float = 1.0,
 ) -> DataFrame:
     """Static domain-mixing budget: given per-stratum target mixture
     weights (The Pile / DoReMi-style, must sum to ~1), compute the
@@ -1017,6 +1018,13 @@ def mixture_budget(
     rate 0. Output: one row per observed stratum with ``available``
     (sum of ``weight_col``, or row count), ``target_w``, ``rate``,
     and ``budget`` (floor of its share of S).
+
+    ``max_epochs > 1`` allows UP-sampling (The Pile repeats rare
+    domains a few epochs rather than letting the scarcest one cap the
+    whole corpus): the binding stratum then takes rate max_epochs and
+    ``S = min(available * max_epochs / target)``. The default 1.0 is
+    bit-identical to the no-repeat form (``x * 1.0`` is exact), so
+    existing replays are unaffected.
 
     Scale: one groupBy(stratum) shuffle over the corpus; everything
     after runs on the #strata-row result (the single-partition window
@@ -1036,13 +1044,17 @@ def mixture_budget(
     tw = F.lit(0.0)
     for k, r in sorted(targets.items()):
         tw = F.when(F.col(strata_col) == F.lit(k), F.lit(float(r))).otherwise(tw)
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     per = per.withColumn("target_w", tw)
-    ratio = F.when(F.col("target_w") > 0,
-                   F.col("available") / F.col("target_w"))
+    ratio = F.when(
+        F.col("target_w") > 0,
+        F.col("available") * F.lit(float(max_epochs)) / F.col("target_w"))
     s_max = F.min(ratio).over(Window.partitionBy())
     rate = F.when(
         F.col("target_w") > 0,
-        F.least(F.lit(1.0), F.col("target_w") * s_max / F.col("available")),
+        F.least(F.lit(float(max_epochs)),
+                F.col("target_w") * s_max / F.col("available")),
     ).otherwise(F.lit(0.0))
     budget = F.when(
         F.col("target_w") > 0,
@@ -1140,6 +1152,46 @@ def stratified_take(
         d.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_u", "_rn")
+    )
+
+
+def mixture_sample_epochs(
+    docs: DataFrame,
+    targets: dict[str, float],
+    max_epochs: float,
+    *,
+    strata_col: str = "lang",
+    weight_col: str | None = None,
+    key_col: str = "doc_id",
+    salt: str = "mixep",
+    portable: bool = True,
+) -> DataFrame:
+    """Mixture re-balancing WITH repetition: realize a
+    ``mixture_budget(max_epochs=E)`` plan by emitting each document
+    ``floor(rate)`` times plus one more with probability
+    ``rate - floor(rate)`` (deterministic hash draw) — rare domains
+    repeat up to E epochs, abundant ones downsample, and the output hits
+    the target mixture in expectation. Adds an ``epoch`` column
+    (0-based copy index) so downstream packing/shuffling can salt
+    repeats apart.
+
+    Scale: tiny fit collect + a zero-shuffle projection whose explode
+    factor is bounded by max_epochs; the corpus is never joined.
+    """
+    rows = mixture_budget(
+        docs, targets, strata_col=strata_col, weight_col=weight_col,
+        max_epochs=max_epochs).collect()
+    rates = {r[strata_col]: float(r["rate"]) for r in rows if r["rate"] > 0}
+    rate = F.lit(0.0)
+    for k, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(r)).otherwise(rate)
+    u = _hash_uniform(key_col, salt, portable)
+    copies = F.floor(rate).cast("int") + (u < (rate - F.floor(rate))).cast("int")
+    return (
+        docs.withColumn("_n", copies)
+        .where(F.col("_n") >= 1)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
     )
 
 

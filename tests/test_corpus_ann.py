@@ -654,6 +654,45 @@ def test_mixture_budget_rejects_unnormalized_targets(spark):
         raise AssertionError("expected ValueError on unnormalized targets")
 
 
+def test_mixture_epochs_upsampling(spark):
+    """max_epochs=2 with equal targets: the binding stratum repeats
+    every doc exactly twice (epoch 0 and 1), the abundant stratum
+    downsamples below 1 epoch, a fractional-rate stratum lands between
+    1x and 2x with every doc present at least once; repartition-stable."""
+    from adtk_spark.operators.corpus import mixture_budget, mixture_sample_epochs
+
+    docs = _lang_docs(spark, {"en": 800, "de": 100, "fr": 150})
+    targets = {"en": 1 / 3, "de": 1 / 3, "fr": 1 / 3}
+    # S = min(800*2/w, 100*2/w, 150*2/w) -> de binds at rate 2.0;
+    # fr rate = 200/150 = 4/3; en rate = 200/800 = 0.25
+    b = {r["lang"]: r["rate"] for r in mixture_budget(
+        docs, targets, max_epochs=2.0).collect()}
+    assert b["de"] == 2.0 and abs(b["fr"] - 4 / 3) < 1e-9
+    out = mixture_sample_epochs(docs, targets, 2.0)
+    by = {r["lang"]: r["count"]
+          for r in out.groupBy("lang").count().collect()}
+    assert by["de"] == 200                     # every doc exactly twice
+    assert 150 <= by["fr"] <= 300 and by["fr"] > 160  # ~200 expected
+    assert 120 < by["en"] < 280                # ~200 expected (0.25x)
+    # every binding-stratum doc carries epochs {0,1}; floor copies are
+    # unconditional so every fr doc appears at least once
+    de_epochs = {(r["doc_id"], r["epoch"]) for r in
+                 out.where(F.col("lang") == "de").collect()}
+    assert len(de_epochs) == 200
+    fr_ids = {r["doc_id"] for r in out.where(F.col("lang") == "fr").collect()}
+    assert len(fr_ids) == 150
+    s1 = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    s2 = {(r["doc_id"], r["epoch"]) for r in
+          mixture_sample_epochs(docs.repartition(17), targets, 2.0).collect()}
+    assert s1 == s2
+    try:
+        mixture_budget(docs, targets, max_epochs=0.5)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError for max_epochs < 1")
+
+
 def test_mixture_sample_realizes_budget(spark):
     """End-to-end: the binding stratum is fully kept, untargeted
     strata vanish, abundant strata land near their budget, and the
