@@ -1849,7 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r4_new = [
         "ks_drift", "psi_timeline", "rollup_twa_1h", "stratified_sample",
         "mixture_budget",
-        "mixture_sample", "quality_gate", "stratified_take", "winsorize",
+        "mixture_sample", "mixture_epochs", "quality_gate",
+        "stratified_take", "winsorize",
         "event_cooccurrence", "sax_8m", "sax_words", "ngram_contamination",
         "psi_drift", "lm_perplexity_pruned",
     ]

@@ -515,6 +515,7 @@ def main():
         "event_cooccurrence": eqs.get("event_cooccurrence"),
         "stratified_take": eqs.get("stratified_take"),
         "winsorize": eqs.get("winsorize"),
+        "mixture_epochs": eqs.get("mixture_epochs"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():
