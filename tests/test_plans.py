@@ -548,3 +548,43 @@ def test_rollup_twa_property_vs_python_locf(spark):
         got = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
                for r in rollup_twa(df, "1h").collect()}
         assert got == want, (trial, secs, vals)
+
+
+def test_drift_ops_null_robustness(spark):
+    """All-NULL and NULL-mixed inputs: ks_drift drops NULL values from
+    the count base (an all-NULL source vanishes); psi_timeline likewise;
+    winsorize passes NULL scores through and leaves a no-threshold
+    stratum unclipped; stratified ops drop NULL strata explicitly."""
+    import datetime as dt
+
+    from adtk_spark.operators.corpus import stratified_take, winsorize
+    from adtk_spark.plans.tiers import ks_drift, psi_timeline
+
+    t0, t1 = dt.datetime(2025, 1, 1), dt.datetime(2025, 1, 2)
+    rows = [("a", t0, 1.0), ("a", t1, 2.0),
+            ("a", t0, None), ("a", t1, None),
+            ("allnull", t0, None), ("allnull", t1, None)]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+
+    ks = {r["source"]: r for r in ks_drift(df, t1).collect()}
+    assert set(ks) == {"a"}          # the all-NULL source vanishes
+    assert ks["a"]["n_ref"] == 1 and ks["a"]["n_cur"] == 1
+
+    tl = {(r["source"], r["bucket_ts"]): r["n_cur"]
+          for r in psi_timeline(df, [1.5]).collect()}
+    assert set(tl) == {("a", t0), ("a", t1)}
+    assert all(v == 1 for v in tl.values())
+
+    w = winsorize(df, 0.25, 0.75, strata_col="source", score_col="value",
+                  out_col="w")
+    got = {(r["source"], r["ts"], r["value"]): r["w"] for r in w.collect()}
+    assert got[("a", t0, None)] is None          # NULL passes as NULL
+    assert got[("allnull", t0, None)] is None    # no thresholds fit
+    assert len(got) == 6                          # row count preserved
+
+    docs = spark.createDataFrame(
+        [("d1", "en"), ("d2", "en"), ("d3", None)],
+        "doc_id string, lang string")
+    taken = stratified_take(docs, 5)
+    assert {r["doc_id"] for r in taken.collect()} == {"d1", "d2"}
