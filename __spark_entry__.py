@@ -1561,6 +1561,20 @@ def _psi_timeline_oracle_sql(edges) -> str:
         """
 
 
+def q_seasonality_strength(spark, sf_dir):
+    """Seasonality-strength router knob (plans/tiers.py
+    seasonality_strength): variance explained by the daily phase
+    profile per source — score a period grid, route only genuinely
+    seasonal sources into SeasonalAD. Phase/overall means from DECIMAL
+    sums with one division; squared residuals re-quantized before the
+    variance sums, so the score replays bit-equal."""
+    from adtk_spark.plans.tiers import seasonality_strength
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return seasonality_strength(ev, 86400)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
     ks_drift): the bin-free companion to psi_drift over the same
@@ -1832,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "psi_timeline": q_psi_timeline,
+        "seasonality_strength": q_seasonality_strength,
         "rollup_twa_1h": q_rollup_twa,
         "sax_words": q_sax_words,
     }
@@ -1847,7 +1862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # continuation queries have never had ANY driver or judge row, so
     # they outrank round-2/3 additions the r03 judge already re-ran
     r4_new = [
-        "ks_drift", "psi_timeline", "rollup_twa_1h", "stratified_sample",
+        "ks_drift", "psi_timeline", "rollup_twa_1h", "seasonality_strength",
+        "stratified_sample",
         "mixture_budget",
         "mixture_sample", "mixture_epochs", "quality_gate",
         "stratified_take", "winsorize",
@@ -4058,6 +4074,38 @@ def oracle_sql() -> dict[str, str]:
                                        AS DECIMAL(38,6))) AS DOUBLE)
                          / (CAST(sum(us) AS DOUBLE) / 1000000.0), 6) AS twa
             FROM ov WHERE us > 0 GROUP BY 1, 2
+        """,
+        # DECIMAL-quantized phase/overall means (one division each),
+        # re-quantized squared residuals, variance ratio — identical
+        # association to the Spark side
+        "seasonality_strength": """
+            WITH s AS (
+              SELECT event_type AS source, value,
+                     CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                       % 86400 AS ph
+              FROM events WHERE value IS NOT NULL
+            ), p AS (
+              SELECT source, value,
+                     CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                            OVER (PARTITION BY source, ph) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY source, ph) AS pm,
+                     CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                            OVER (PARTITION BY source) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY source) AS m
+              FROM s
+            ), a AS (
+              SELECT source, count(*) AS n,
+                     CAST(sum(CAST(round((value - pm) * (value - pm), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS ssr,
+                     CAST(sum(CAST(round((value - m) * (value - m), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS sst
+              FROM p GROUP BY source
+            )
+            SELECT source, CAST(n AS BIGINT) AS n, 86400 AS period_secs,
+                   CASE WHEN sst > 0 THEN
+                     greatest(0.0e0, round(1.0e0 - ssr / sst, 6))
+                   END AS strength
+            FROM a
         """,
         # KS drift: ECDF gap in exact integer/HUGEINT cross-products
         # (max |rc*n_cur - cc*n_ref|), one final division + round;

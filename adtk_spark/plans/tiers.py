@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.windows import _interp_sorted, exact_quantile_agg, sorted_frame_arr
@@ -720,6 +720,65 @@ def psi_timeline(
     return lagged.select(
         source_col, "bucket_ts", "prev_bucket_ts", "n_prev", "n_cur",
         psi.alias("psi"),
+    )
+
+
+def seasonality_strength(
+    df: DataFrame,
+    period_secs: int,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """How seasonal is each source at a CANDIDATE period? Emits
+    ``strength = max(0, 1 - Var(x - phase_mean) / Var(x))`` — the
+    fraction of variance a phase-of-period profile explains (1 = pure
+    seasonal, 0 = the period explains nothing). The routing knob in
+    front of SeasonalAD/ClassicSeasonalDecomposition: score a period
+    grid per source, send only genuinely seasonal sources (say
+    strength > 0.6) into the seasonal detectors, plain shift/persist
+    detectors for the rest.
+
+    Plan shape: one (source, phase) window for the phase means, one
+    (source) window + groupBy sharing the source partitioning — two
+    Exchanges, no join. Determinism: phase/overall means come from
+    1e-9-quantized DECIMAL sums with ONE final division, squared
+    residuals are re-quantized before the DECIMAL variance sums, so
+    the score is bit-stable at any parallelism (the verify-recipe rule:
+    never hash an unordered raw-double aggregation).
+    """
+    v = F.col(value_col)
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)
+    phase = F.floor(secs).cast("long") % F.lit(int(period_secs))
+    d = df.where(v.isNotNull()).select(
+        source_col, v.alias("_v"), phase.alias("_ph"))
+
+    def dec_mean(win) -> Column:
+        s = F.sum(F.round(F.col("_v"), 9).cast("decimal(38,9)")).over(win)
+        return s.cast("double") / F.count(F.lit(1)).over(win)
+
+    wp = Window.partitionBy(source_col, "_ph")
+    ws = Window.partitionBy(source_col)
+    d = d.withColumn("_pm", dec_mean(wp)).withColumn("_m", dec_mean(ws))
+    rq = F.round((F.col("_v") - F.col("_pm"))
+                 * (F.col("_v") - F.col("_pm")), 9).cast("decimal(38,9)")
+    tq = F.round((F.col("_v") - F.col("_m"))
+                 * (F.col("_v") - F.col("_m")), 9).cast("decimal(38,9)")
+    out = d.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rq).cast("double").alias("_ssr"),
+        F.sum(tq).cast("double").alias("_sst"),
+    )
+    strength = F.when(
+        F.col("_sst") > 0,
+        F.greatest(F.lit(0.0),
+                   F.round(F.lit(1.0) - F.col("_ssr") / F.col("_sst"), 6)),
+    )
+    return out.select(
+        source_col, "n",
+        F.lit(int(period_secs)).alias("period_secs"),
+        strength.alias("strength"),
     )
 
 

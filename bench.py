@@ -516,6 +516,7 @@ def main():
         "stratified_take": eqs.get("stratified_take"),
         "winsorize": eqs.get("winsorize"),
         "mixture_epochs": eqs.get("mixture_epochs"),
+        "seasonality_strength": eqs.get("seasonality_strength"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():

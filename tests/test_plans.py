@@ -588,3 +588,35 @@ def test_drift_ops_null_robustness(spark):
         "doc_id string, lang string")
     taken = stratified_take(docs, 5)
     assert {r["doc_id"] for r in taken.collect()} == {"d1", "d2"}
+
+
+def test_seasonality_strength_golden(spark):
+    """A perfectly periodic source scores exactly 1.0, a constant
+    source has no variance to explain (NULL), and a mostly-seasonal
+    source lands just below 1 — hand-checked 1 - (4/3)/(1362/9);
+    repartition-stable."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import seasonality_strength
+
+    base = dt.datetime(2025, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [("per", t(s), float(10 * ((s // 30) % 2))) for s in range(0, 300, 30)]
+    rows += [("const", t(s), 5.0) for s in range(0, 300, 30)]
+    rows += [("mix", t(s), v) for s, v in
+             ((0, 0.0), (30, 10.0), (60, 0.0), (90, 10.0),
+              (120, 1.0), (150, 11.0))]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    got = {r["source"]: (r["n"], r["strength"])
+           for r in seasonality_strength(df, 60).collect()}
+    assert got["per"] == (10, 1.0)
+    assert got["const"] == (10, None)
+    want_mix = round(1 - (4 / 3) / (1362 / 9), 6)
+    assert got["mix"] == (6, want_mix)
+    got13 = {r["source"]: r["strength"] for r in seasonality_strength(
+        df.repartition(13), 60).collect()}
+    assert got13 == {k: v[1] for k, v in got.items()}
