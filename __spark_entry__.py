@@ -1575,6 +1575,18 @@ def q_seasonality_strength(spark, sf_dir):
     return seasonality_strength(ev, 86400)
 
 
+def q_seasonality_scan(spark, sf_dir):
+    """Period-grid seasonality scan (plans/tiers.py seasonality_scan):
+    hour/day/week candidate periods scored for every source in ONE
+    two-Exchange plan (explode + shared window pass) — the router call
+    that picks each source's best period."""
+    from adtk_spark.plans.tiers import seasonality_scan
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return seasonality_scan(ev, [3600, 86400, 604800])
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
     ks_drift): the bin-free companion to psi_drift over the same
@@ -1847,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
+        "seasonality_scan": q_seasonality_scan,
         "rollup_twa_1h": q_rollup_twa,
         "sax_words": q_sax_words,
     }
@@ -1863,7 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they outrank round-2/3 additions the r03 judge already re-ran
     r4_new = [
         "ks_drift", "psi_timeline", "rollup_twa_1h", "seasonality_strength",
-        "stratified_sample",
+        "seasonality_scan", "stratified_sample",
         "mixture_budget",
         "mixture_sample", "mixture_epochs", "quality_gate",
         "stratified_take", "winsorize",
@@ -4074,6 +4087,47 @@ def oracle_sql() -> dict[str, str]:
                                        AS DECIMAL(38,6))) AS DOUBLE)
                          / (CAST(sum(us) AS DOUBLE) / 1000000.0), 6) AS twa
             FROM ov WHERE us > 0 GROUP BY 1, 2
+        """,
+        # the same quantized variance-ratio math CROSS JOINed with the
+        # period grid (the Spark side explodes once and shares one
+        # window pass)
+        "seasonality_scan": """
+            WITH s AS (
+              SELECT source, value, secs, period_secs,
+                     secs % period_secs AS ph
+              FROM (
+                SELECT event_type AS source, value,
+                       CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS secs
+                FROM events WHERE value IS NOT NULL
+              )
+              CROSS JOIN (SELECT unnest([3600, 86400, 604800])
+                          AS period_secs)
+            ), p AS (
+              SELECT source, value, period_secs,
+                     CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                            OVER (PARTITION BY source, period_secs, ph)
+                          AS DOUBLE)
+                       / count(*) OVER (PARTITION BY source, period_secs,
+                                        ph) AS pm,
+                     CAST(sum(CAST(round(value, 9) AS DECIMAL(38,9)))
+                            OVER (PARTITION BY source, period_secs)
+                          AS DOUBLE)
+                       / count(*) OVER (PARTITION BY source, period_secs)
+                       AS m
+              FROM s
+            ), a AS (
+              SELECT source, period_secs, count(*) AS n,
+                     CAST(sum(CAST(round((value - pm) * (value - pm), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS ssr,
+                     CAST(sum(CAST(round((value - m) * (value - m), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS sst
+              FROM p GROUP BY 1, 2
+            )
+            SELECT source, CAST(n AS BIGINT) AS n, period_secs,
+                   CASE WHEN sst > 0 THEN
+                     greatest(0.0e0, round(1.0e0 - ssr / sst, 6))
+                   END AS strength
+            FROM a
         """,
         # DECIMAL-quantized phase/overall means (one division each),
         # re-quantized squared residuals, variance ratio — identical

@@ -782,6 +782,61 @@ def seasonality_strength(
     )
 
 
+def seasonality_scan(
+    df: DataFrame,
+    periods: list[int],
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """``seasonality_strength`` over a whole CANDIDATE-PERIOD GRID in
+    one plan: the input is exploded once per period and every
+    (source, period, phase) mean comes from a single shared window pass
+    — two Exchanges for the entire grid, where p separate strength
+    calls would cost 2p. The practical router call: scan
+    [hour, day, week], route each source by its best period.
+
+    Output one row per (source, period_secs) with n and strength;
+    same DECIMAL quantization as seasonality_strength, so values for
+    any single period are identical to the single-period op's.
+    """
+    v = F.col(value_col)
+    secs = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000)
+    d = (
+        df.where(v.isNotNull())
+        .select(source_col, v.alias("_v"),
+                F.floor(secs).cast("long").alias("_secs"))
+        .withColumn("period_secs",
+                    F.explode(F.array(*[F.lit(int(p)) for p in periods])))
+        .withColumn("_ph", F.col("_secs") % F.col("period_secs"))
+    )
+
+    def dec_mean(win) -> Column:
+        s = F.sum(F.round(F.col("_v"), 9).cast("decimal(38,9)")).over(win)
+        return s.cast("double") / F.count(F.lit(1)).over(win)
+
+    wp = Window.partitionBy(source_col, "period_secs", "_ph")
+    ws = Window.partitionBy(source_col, "period_secs")
+    d = d.withColumn("_pm", dec_mean(wp)).withColumn("_m", dec_mean(ws))
+    rq = F.round((F.col("_v") - F.col("_pm"))
+                 * (F.col("_v") - F.col("_pm")), 9).cast("decimal(38,9)")
+    tq = F.round((F.col("_v") - F.col("_m"))
+                 * (F.col("_v") - F.col("_m")), 9).cast("decimal(38,9)")
+    out = d.groupBy(source_col, "period_secs").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rq).cast("double").alias("_ssr"),
+        F.sum(tq).cast("double").alias("_sst"),
+    )
+    strength = F.when(
+        F.col("_sst") > 0,
+        F.greatest(F.lit(0.0),
+                   F.round(F.lit(1.0) - F.col("_ssr") / F.col("_sst"), 6)),
+    )
+    return out.select(source_col, "n", "period_secs",
+                      strength.alias("strength"))
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

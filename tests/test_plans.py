@@ -620,3 +620,27 @@ def test_seasonality_strength_golden(spark):
     got13 = {r["source"]: r["strength"] for r in seasonality_strength(
         df.repartition(13), 60).collect()}
     assert got13 == {k: v[1] for k, v in got.items()}
+
+
+def test_seasonality_scan_matches_single_period_one_plan(spark):
+    """The grid scan's values equal the single-period op for each
+    period, and the WHOLE grid costs exactly two Exchanges (p separate
+    strength calls would cost 2p)."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import seasonality_scan, seasonality_strength
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [("s", base + dt.timedelta(seconds=s),
+             float(10 * ((s // 30) % 2)) + (s % 7) * 0.1)
+            for s in range(0, 600, 30)]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    scan = {(r["source"], r["period_secs"]): (r["n"], r["strength"])
+            for r in seasonality_scan(df, [60, 120, 300]).collect()}
+    for p in (60, 120, 300):
+        single = seasonality_strength(df, p).collect()[0]
+        assert scan[("s", p)] == (single["n"], single["strength"]), p
+    plan = plan_of(seasonality_scan(df, [60, 120, 300]))
+    assert count_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
