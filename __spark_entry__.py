@@ -443,6 +443,20 @@ def q_gap_report(spark, sf_dir):
     return gap_report(hourly, "1 hour")
 
 
+def q_rollup_topk_up(spark, sf_dir):
+    """Mergeable heavy hitters (plans/tiers.py rollup_topk_up): daily
+    top-3 users merged from stored hourly top-8 rows without touching
+    the raw key level (the Datasketches frequent-items device); counts
+    are lower bounds, exact when hitters are skewed enough to make
+    every hourly top-8. The oracle replays the identical
+    store-then-merge chain."""
+    from adtk_spark.plans.tiers import rollup_topk, rollup_topk_up
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "user_id")
+    return rollup_topk_up(rollup_topk(ev, "1h", k=8), "1d", k=3)
+
+
 def q_rollup_topk_1h(spark, sf_dir):
     """Exact heavy hitters per tier bucket: top-3 users by event count
     per (event_type, hour), ties broken (count DESC, user ASC) on both
@@ -1860,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
+        "rollup_topk_up": q_rollup_topk_up,
         "rollup_twa_1h": q_rollup_twa,
         "sax_words": q_sax_words,
     }
@@ -1876,7 +1891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # they outrank round-2/3 additions the r03 judge already re-ran
     r4_new = [
         "ks_drift", "psi_timeline", "rollup_twa_1h", "seasonality_strength",
-        "seasonality_scan", "stratified_sample",
+        "seasonality_scan", "rollup_topk_up", "stratified_sample",
         "mixture_budget",
         "mixture_sample", "mixture_epochs", "quality_gate",
         "stratified_take", "winsorize",
@@ -2499,6 +2514,32 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY source, grp
         """,
         # exact heavy hitters with deterministic tie-breaks
+        # identical store-then-merge replay: hourly top-8, re-agg to
+        # day, re-rank — counts are lower bounds by construction
+        "rollup_topk_up": """
+            WITH c AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,
+                     user_id AS key, count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3
+            ), t AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY source, bucket_ts
+                          ORDER BY cnt DESC, key ASC) AS rank
+                FROM c
+              ) WHERE rank <= 8
+            ), m AS (
+              SELECT source,
+                     CAST(date_trunc('day', bucket_ts) AS TIMESTAMP)
+                       AS bucket_ts,
+                     key, CAST(sum(cnt) AS BIGINT) AS cnt
+              FROM t GROUP BY 1, 2, 3
+            )
+            SELECT source, bucket_ts, key, cnt, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY source, bucket_ts
+                        ORDER BY cnt DESC, key ASC) AS rank
+              FROM m
+            ) WHERE rank <= 3
+        """,
         "rollup_topk_1h": """
             WITH c AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS bucket_ts,

@@ -335,6 +335,46 @@ def rollup_topk(
     )
 
 
+def rollup_topk_up(
+    topk_finer: DataFrame,
+    tier: str = "1d",
+    k: int = 3,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Heavy hitters at a COARSER tier merged from the finer tier's
+    stored top-``m`` rows, without re-reading the raw key level — the
+    Datasketches frequent-items pattern completing the mergeable-tier
+    family (t-digest quantiles, HLL distincts, fixed-bin histograms,
+    and now top-k). Same output shape as ``rollup_topk``.
+
+    Approximation contract (Misra-Gries truncation): merged counts are
+    LOWER BOUNDS — a key outside some finer bucket's stored top-m
+    contributes 0 there, and its true coarse count exceeds the merged
+    one by at most the sum of those buckets' m-th counts. The merge is
+    EXACT (identical to re-reading raw) whenever every coarse top-k key
+    made every finer bucket's top-m — store m comfortably above the
+    serving k (m = 4k is the usual slack) and skewed hitters satisfy it.
+
+    Plan: one (source, coarse bucket, key) groupBy over rows that
+    number at most m per finer bucket, then the same deterministic rank
+    window — the whole merge touches tier rows only.
+    """
+    trunc = TIER_INTERVALS[tier]
+    g = topk_finer.groupBy(
+        source_col,
+        F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts"),
+        "key",
+    ).agg(F.sum("cnt").alias("cnt"))
+    w = Window.partitionBy(source_col, "bucket_ts").orderBy(
+        F.col("cnt").desc(), F.col("key").asc()
+    )
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def rollup_hist(
     df: DataFrame,
     edges: list[float],

@@ -396,3 +396,44 @@ def test_rollup_hist_bins_and_merge(spark):
     direct = {(r["bucket_ts"], r["bin"]): r["cnt"]
               for r in rollup_hist(df, edges, "1h").collect()}
     assert up == direct
+
+
+def test_rollup_topk_up_exact_on_skew_and_lower_bound(spark):
+    """Mergeable heavy hitters: (a) with hitters skewed enough to make
+    every hourly top-m, the merged daily top-k EQUALS re-reading raw;
+    (b) on adversarial data (a key just below every hourly top-m) the
+    merged count is a LOWER BOUND of the true count, never an
+    overcount."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import rollup_topk, rollup_topk_up
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+    # skew case: key "hot" dominates every hour; "warm" second
+    for h in range(6):
+        for i in range(10):
+            rows.append(("s", base + dt.timedelta(hours=h, seconds=i), "hot"))
+        for i in range(5):
+            rows.append(("s", base + dt.timedelta(hours=h, seconds=100 + i),
+                         "warm"))
+        rows.append(("s", base + dt.timedelta(hours=h, seconds=200),
+                     f"noise{h}"))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, user_id string")
+    merged = rollup_topk_up(rollup_topk(df, "1h", k=2), "1d", k=2)
+    direct = rollup_topk(df, "1d", k=2)
+    key = lambda r: (r["source"], r["bucket_ts"], r["key"], r["cnt"], r["rank"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+    # adversarial: "sneaky" is 3rd in every hour (m=2 drops it), so its
+    # merged count underestimates; counts never overcount
+    rows2 = rows + [("s", base + dt.timedelta(hours=h, seconds=300 + i),
+                     "sneaky") for h in range(6) for i in range(3)]
+    df2 = spark.createDataFrame(rows2, "source string, ts timestamp, user_id string")
+    m2 = {r["key"]: r["cnt"]
+          for r in rollup_topk_up(rollup_topk(df2, "1h", k=2), "1d", k=5).collect()}
+    d2 = {r["key"]: r["cnt"] for r in rollup_topk(df2, "1d", k=5).collect()}
+    assert "sneaky" not in m2            # truncated out of every hour
+    assert d2["sneaky"] == 18            # the truth the merge lower-bounds
+    for k_, v in m2.items():
+        assert v <= d2.get(k_, v)        # lower bound, never overcount
