@@ -506,6 +506,7 @@ def rollup_twa(
     source_col: str = "source",
     ts_col: str = "ts",
     value_col: str = "value",
+    carry_sums: bool = False,
 ) -> DataFrame:
     """Time-weighted average per (source, bucket) for IRREGULAR series
     (TimescaleDB ``time_weight('LOCF')`` analogue): each observation
@@ -522,6 +523,9 @@ def rollup_twa(
     micros are integers, each ``value x overlap-seconds`` term is
     quantized to 1e-6 and DECIMAL-summed, the weight sum is an exact
     integer — one final division, bit-stable at any parallelism.
+    ``carry_sums=True`` additionally emits the exact ``_w_us``/``_vw``
+    partials so ``rollup_twa_up`` can merge the tier upward without
+    re-reading raw points.
     """
     trunc = TIER_INTERVALS[tier]
     step = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
@@ -549,23 +553,54 @@ def rollup_twa(
           - F.greatest(us(F.col("_s").cast("timestamp")), b_lo))
     term = F.round(F.col("_v") * (ov.cast("double") / 1000000.0), 6) \
         .cast("decimal(38,6)")
-    return (
-        ex.where(ov > 0)
-        .groupBy(source_col,
-                 F.timestamp_seconds(F.col("_b")).alias("bucket_ts"))
-        .agg(
-            F.sum(ov).alias("_w_us"),
-            F.sum(term).alias("_vw"),
-        )
-        .select(
-            source_col, "bucket_ts",
-            F.round(F.col("_w_us").cast("double") / 1000000.0, 6)
-            .alias("covered_secs"),
-            F.round(
-                F.col("_vw").cast("double")
-                / (F.col("_w_us").cast("double") / 1000000.0), 6,
-            ).alias("twa"),
-        )
+    agged = ex.where(ov > 0).groupBy(
+        source_col, F.timestamp_seconds(F.col("_b")).alias("bucket_ts")
+    ).agg(
+        F.sum(ov).alias("_w_us"),
+        F.sum(term).alias("_vw"),
+    )
+    out = agged.select(
+        source_col, "bucket_ts", "_w_us", "_vw",
+        F.round(F.col("_w_us").cast("double") / 1000000.0, 6)
+        .alias("covered_secs"),
+        F.round(
+            F.col("_vw").cast("double")
+            / (F.col("_w_us").cast("double") / 1000000.0), 6,
+        ).alias("twa"),
+    )
+    if carry_sums:
+        return out
+    return out.drop("_w_us", "_vw")
+
+
+def rollup_twa_up(
+    twa_finer: DataFrame,
+    tier: str = "1d",
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """TWA at a COARSER tier merged from the finer tier's carried sums
+    (``rollup_twa(..., carry_sums=True)``) — one groupBy over tier
+    rows, the raw point level never re-read: the weight micros sum
+    EXACTLY (integers) and the value-seconds DECIMALs sum exactly, so
+    the merged TWA differs from a direct coarse rollup only by where
+    segments were cut for quantization (hour vs day boundaries) —
+    bounded by 5e-7 x pieces / covered_secs, far below the 1e-6 output
+    rounding for any real bucket (tolerance-tested).
+    """
+    trunc = TIER_INTERVALS[tier]
+    g = twa_finer.groupBy(
+        source_col,
+        F.date_trunc(trunc, F.col("bucket_ts")).alias("bucket_ts"),
+    ).agg(F.sum("_w_us").alias("_w_us"), F.sum("_vw").alias("_vw"))
+    return g.select(
+        source_col, "bucket_ts",
+        F.round(F.col("_w_us").cast("double") / 1000000.0, 6)
+        .alias("covered_secs"),
+        F.round(
+            F.col("_vw").cast("double")
+            / (F.col("_w_us").cast("double") / 1000000.0), 6,
+        ).alias("twa"),
     )
 
 

@@ -644,3 +644,42 @@ def test_seasonality_scan_matches_single_period_one_plan(spark):
     plan = plan_of(seasonality_scan(df, [60, 120, 300]))
     assert count_exchanges(plan) == 2, plan
     assert "Join" not in plan, plan
+
+
+def test_rollup_twa_up_merges_exactly(spark):
+    """The upward TWA merge: weight micros sum exactly, merged TWA
+    equals a direct coarse rollup within the hour-vs-day quantization
+    bound (5e-7 per piece / covered), and on hour-aligned data the two
+    are IDENTICAL (same pieces, same quantization)."""
+    import datetime as dt
+    import random
+
+    from adtk_spark.plans.tiers import rollup_twa, rollup_twa_up
+
+    base = dt.datetime(2025, 1, 1)
+    rng = random.Random(7)
+    rows = [("s", base + dt.timedelta(seconds=s),
+             round(rng.uniform(-20, 120), 3))
+            for s in sorted(rng.sample(range(0, 3 * 86400), 500))]
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    merged = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+              for r in rollup_twa_up(
+                  rollup_twa(df, "1h", carry_sums=True), "1d").collect()}
+    direct = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+              for r in rollup_twa(df, "1d").collect()}
+    assert set(merged) == set(direct)
+    for b in direct:
+        assert merged[b][0] == direct[b][0], b          # weights exact
+        assert abs(merged[b][1] - direct[b][1]) < 1e-3, b
+
+    # hour-aligned observations: identical piece set -> identical twa
+    rows2 = [("a", base + dt.timedelta(hours=h), float(h % 5))
+             for h in range(49)]
+    df2 = spark.createDataFrame(
+        rows2, "source string, ts timestamp, value double")
+    m2 = {r["bucket_ts"]: (r["covered_secs"], r["twa"]) for r in
+          rollup_twa_up(rollup_twa(df2, "1h", carry_sums=True), "1d").collect()}
+    d2 = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
+          for r in rollup_twa(df2, "1d").collect()}
+    assert m2 == d2
