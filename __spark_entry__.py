@@ -660,6 +660,18 @@ def q_mixture_epochs(spark, sf_dir):
     ).select("doc_id", "lang", "epoch")
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Word-granular exact duplicate spans (corpus.duplicate_spans,
+    Lee et al. 2022 ExactSubstr at word granularity): maximal runs of
+    word positions whose 5-gram occurs >= 2 times corpus-wide — the
+    spans a pipeline cuts out of otherwise-unique docs. One 8-byte
+    gram-hash shuffle + equi-join + per-doc islands window."""
+    from adtk_spark.operators.corpus import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, k=5)
+
+
 def q_quality_gate(spark, sf_dir):
     """Per-language quality gate (corpus.quality_quantile_gate): drop
     each language's worst stopword-ratio quartile. The threshold is the
@@ -1851,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "quality_gate": q_quality_gate,
+        "duplicate_spans": q_duplicate_spans,
         "stratified_take": q_stratified_take,
         "winsorize": q_winsorize,
         "mixture_epochs": q_mixture_epochs,
@@ -1894,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonality_scan", "rollup_topk_up", "stratified_sample",
         "mixture_budget",
         "mixture_sample", "mixture_epochs", "quality_gate",
+        "duplicate_spans",
         "stratified_take", "winsorize",
         "event_cooccurrence", "sax_8m", "sax_words", "ngram_contamination",
         "psi_drift", "lm_perplexity_pruned",
@@ -2719,6 +2733,44 @@ def oracle_sql() -> dict[str, str]:
               FROM u
             )
             SELECT doc_id, lang FROM r WHERE rn <= 25
+        """,
+        # same 60-bit md5 gram hash, global df >= 2 filter, and the
+        # gap > k islands rule replayed over explicit word positions
+        "duplicate_spans": """
+            WITH wd AS (
+              SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            ), g0 AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 4)) AS i
+              FROM wd WHERE len(w) >= 5
+            ), g AS (
+              SELECT doc_id, i - 1 AS i,
+                     CAST(('0x' || substr(md5(array_to_string(
+                          list_slice(w, i, i + 4), ' ')), 1, 15))
+                          AS BIGINT) AS h
+              FROM g0
+            ), c AS (
+              SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+            ), d AS (
+              SELECT g.doc_id, g.i FROM g JOIN c USING (h)
+            ), p AS (
+              SELECT doc_id, i,
+                     lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+              FROM d
+            ), isl AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN prev IS NULL OR i - prev > 5
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(min(i) AS INT) AS span_start,
+                   CAST(max(i) + 4 AS INT) AS span_end,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, sid
         """,
         # count-rule quantile threshold (smallest value with cumulative
         # share > p) — integer decision, so the >= gate replays exactly

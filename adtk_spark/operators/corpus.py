@@ -1195,6 +1195,64 @@ def mixture_sample_epochs(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    portable: bool = True,
+) -> DataFrame:
+    """Exact duplicate SPANS, word-granular (the Lee et al. 2022
+    ExactSubstr idea at word granularity): every maximal run of word
+    positions whose k-gram occurs >= ``min_df`` times anywhere in the
+    corpus — the spans a pipeline CUTS OUT of otherwise-unique
+    documents (boilerplate headers, license blocks, quoted reposts)
+    where doc-level dedup (exact/MinHash) keeps or drops whole
+    documents only. Output: (id, span_start, span_end, n_grams) in
+    word offsets, spans merged when their k-grams overlap or touch.
+
+    Scale: ONE (gram-hash) shuffle with map-side combine for the
+    global occurrence counts (the hash is the 60-bit md5 device — 8
+    bytes per gram on the wire, never gram text), an equi-join of the
+    gram table against the duplicated-hash set, then a per-doc
+    gaps-and-islands window. No suffix array needed at word
+    granularity: positions are explicit, merging is a cumsum.
+    """
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    d = (
+        docs.where(n >= k)
+        .select(id_col, words.alias("_w"))
+        .select(id_col, "_w",
+                F.explode(F.sequence(F.lit(0), F.size("_w") - k)).alias("i"))
+        .select(
+            id_col, "i",
+            _hash64(F.concat_ws(" ", F.slice("_w", F.col("i") + 1, k)),
+                    portable).alias("h"),
+        )
+    )
+    dup_h = d.groupBy("h").agg(F.count(F.lit(1)).alias("df")) \
+        .where(F.col("df") >= min_df).select("h")
+    hits = d.join(dup_h, "h").select(id_col, "i")
+    w = Window.partitionBy(id_col).orderBy("i")
+    sid = F.sum(
+        F.when(F.lag("i").over(w).isNull()
+               | ((F.col("i") - F.lag("i").over(w)) > k), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_sid", sid)
+        .groupBy(id_col, "_sid")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + k - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_sid")
+    )
+
+
 def quantile_thresholds(
     docs: DataFrame,
     p: float,

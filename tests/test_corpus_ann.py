@@ -944,3 +944,30 @@ def test_count_rule_threshold_property(spark, vals, p):
         df, p_lo, p_hi, strata_col="source", score_col="value",
         out_col="w").collect()]
     assert sorted(out) == sorted(min(max(v, lo), hi) for v in fvals)
+
+
+def test_duplicate_spans_golden(spark):
+    """Hand-built corpus: a 5-word phrase shared by two docs yields one
+    merged span in each (3 overlapping 3-grams -> one island); a
+    within-doc repeat counts toward df and yields two separate islands
+    (gap > k); a unique doc emits nothing; repartition-stable."""
+    from adtk_spark.operators.corpus import duplicate_spans
+
+    rows = [
+        (1, "x1 x2 THE QUICK BROWN FOX JUMPS x3"),
+        (2, "y1 THE QUICK BROWN FOX JUMPS"),
+        (3, "u v w p q r u v w"),
+        (4, "totally unique words nothing shared here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+           for r in duplicate_spans(docs, k=3).collect()}
+    assert got == {
+        (1, 2, 6, 3),   # THE..JUMPS at words 2-6, 3 merged grams
+        (2, 1, 5, 3),
+        (3, 0, 2, 1),   # u v w, first occurrence
+        (3, 6, 8, 1),   # u v w again, gap 6 > k -> its own span
+    }
+    got13 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+             for r in duplicate_spans(docs.repartition(13), k=3).collect()}
+    assert got13 == got
