@@ -517,6 +517,7 @@ def main():
         "winsorize": eqs.get("winsorize"),
         "mixture_epochs": eqs.get("mixture_epochs"),
         "seasonality_strength": eqs.get("seasonality_strength"),
+        "duplicate_spans": eqs.get("duplicate_spans"),
     }
     extras, extras_steal = {}, {}
     for name, fn in extra_fns.items():
