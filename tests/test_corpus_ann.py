@@ -971,3 +971,45 @@ def test_duplicate_spans_golden(spark):
     got13 = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
              for r in duplicate_spans(docs.repartition(13), k=3).collect()}
     assert got13 == got
+
+
+@settings(max_examples=8, deadline=None)
+@given(seeds=st.lists(st.integers(min_value=0, max_value=5),
+                      min_size=6, max_size=60))
+def test_duplicate_spans_property(spark, seeds):
+    """Randomized parity vs a direct python reference on a tiny
+    vocabulary (ties and repeats everywhere): positions whose k-gram
+    occurs >= 2 times corpus-wide, merged with the gap > k rule."""
+    from collections import Counter
+
+    from adtk_spark.operators.corpus import duplicate_spans
+
+    k = 3
+    # two docs drawn from the same 6-word vocabulary
+    words = [f"w{s}" for s in seeds]
+    half = len(words) // 2
+    texts = {1: words[:half], 2: words[half:]}
+    grams = Counter()
+    for ws in texts.values():
+        for i in range(len(ws) - k + 1):
+            grams[tuple(ws[i:i + k])] += 1
+    want = set()
+    for doc, ws in texts.items():
+        dup_i = [i for i in range(len(ws) - k + 1)
+                 if grams[tuple(ws[i:i + k])] >= 2]
+        runs, cur = [], None
+        for i in dup_i:
+            if cur is not None and i - cur[-1] <= k:
+                cur.append(i)
+            else:
+                cur = [i]
+                runs.append(cur)
+        for r in runs:
+            want.add((doc, r[0], r[-1] + k - 1, len(r)))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(ws)) for d, ws in texts.items()],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+           for r in duplicate_spans(df, k=k).collect()}
+    assert got == want, (texts, got, want)
