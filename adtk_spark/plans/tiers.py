@@ -518,8 +518,10 @@ def rollup_twa(
     their buckets correctly); the series' last point ends its segment
     (no extrapolation past the final observation).
 
-    Plan shape: ONE (source, ts) window for the lead + ONE
-    (source, bucket) groupBy — two Exchanges. Determinism: overlap
+    Plan shape: ONE (source, ts) window for the lead; the
+    (source, bucket) groupBy's clustering is satisfied by that same
+    source partitioning, so the WHOLE operator is one Exchange
+    (asserted in tests). Determinism: overlap
     micros are integers, each ``value x overlap-seconds`` term is
     quantized to 1e-6 and DECIMAL-summed, the weight sum is an exact
     integer — one final division, bit-stable at any parallelism.

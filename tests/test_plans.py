@@ -683,3 +683,26 @@ def test_rollup_twa_up_merges_exactly(spark):
     d2 = {r["bucket_ts"]: (r["covered_secs"], r["twa"])
           for r in rollup_twa(df2, "1d").collect()}
     assert m2 == d2
+
+
+def test_rollup_twa_two_exchanges(spark):
+    from adtk_spark.plans.tiers import rollup_twa
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(rollup_twa(df, "1h"))
+    # the bucket groupBy's (source, bucket) clustering is satisfied by
+    # the lead window's source partitioning — ONE Exchange total
+    assert count_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_duplicate_spans_equi_join_narrow_key(spark):
+    from adtk_spark.operators.corpus import duplicate_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(duplicate_spans(docs, k=5))
+    # gram matching must be an equi-join on the 8-byte hash — never a
+    # nested-loop — and the df counts must combine map-side
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan
