@@ -279,6 +279,79 @@ def extract_features(
     return media.mapInPandas(run, schema=schema)
 
 
+def image_stats(media: DataFrame, decode_fn: Callable | None = None) -> DataFrame:
+    """Contract-grade image statistics through the REAL decode path:
+    (doc_id, n_px, px_mean, px_std) per payload, where every intermediate
+    is an EXACT integer (pixel sum, pixel sum-of-squares) and the only
+    float ops are the final divisions/sqrt — so a SQL oracle reading the
+    decoded pixel arrays from a parquet fixture reproduces the doubles
+    bit-for-bit (``sqrt((ssq - s*s/n)/n)``, identical association).
+    ``extract_features`` stays the production op (adds entropy, numpy
+    two-pass std); this one exists so the multimodal decode path has a
+    DuckDB-oracled driver row (r4 VERDICT item #3)."""
+    decode = decode_fn or decode_image
+
+    def one(doc_id, media, width, height):
+        if media is None:
+            return (doc_id, None, None, None)
+        arr = decode(bytes(media), int(width), int(height)).astype(np.int64)
+        n = int(arr.size)
+        s = int(arr.sum())
+        ssq = int((arr * arr).sum())
+        import math
+        return (doc_id, n, s / n, math.sqrt((ssq - s * s / n) / n))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(d, m, w, h)
+                   for d, m, w, h in zip(pdf["doc_id"].values,
+                                         pdf["media"].values,
+                                         pdf["width"].values,
+                                         pdf["height"].values)]
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_px", "px_mean", "px_std"])
+
+    schema = "doc_id string, n_px long, px_mean double, px_std double"
+    return media.mapInPandas(run, schema=schema)
+
+
+def audio_stats(media: DataFrame, decode_fn: Callable | None = None) -> DataFrame:
+    """Contract-grade audio statistics through the REAL WAV decode path:
+    (doc_id, n_samples, duration_sec, rms, zcr_hz). The decoded float32
+    samples are int16/32768 exactly (both exact in float32), so the
+    recovered integer samples make RMS an exact-integer sum-of-squares
+    with one division + sqrt, and the zero-crossing count an exact
+    integer — a SQL oracle over the raw int16 arrays reproduces every
+    double bit-for-bit. ``extract_audio_features`` stays the production
+    op (adds the rfft spectral centroid, not SQL-replayable)."""
+    decode = decode_fn or wav_decode
+
+    def one(doc_id, media):
+        if media is None:
+            return (doc_id, None, None, None, None)
+        x, rate = decode(bytes(media))
+        v = np.round(np.asarray(x, dtype=np.float64) * 32768.0).astype(np.int64)
+        n = int(v.size)
+        ssq = int((v * v).sum())
+        crossings = int(((v[:-1] < 0) != (v[1:] < 0)).sum())
+        import math
+        rms = math.sqrt(ssq / n) / 32768.0
+        zcr = (crossings / (n - 1)) * rate / 2.0 if n > 1 else 0.0
+        return (doc_id, n, n / rate, rms, zcr)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(d, m)
+                   for d, m in zip(pdf["doc_id"].values, pdf["media"].values)]
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_samples", "duration_sec",
+                              "rms", "zcr_hz"])
+
+    schema = ("doc_id string, n_samples long, duration_sec double, "
+              "rms double, zcr_hz double")
+    return media.mapInPandas(run, schema=schema)
+
+
 def frame_sample(media: DataFrame, every_k: int = 8) -> DataFrame:
     """Frame sampling plan: explode frame indices 0, k, 2k, ... per video
     row — pure expressions; the per-frame decode would plug into

@@ -530,7 +530,14 @@ def rollup_twa(
     re-reading raw points.
     """
     trunc = TIER_INTERVALS[tier]
-    step = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    # CALENDAR interval stepping, not fixed 60/3600/86400 s: with a
+    # non-UTC session timezone, date_trunc('day') buckets around DST
+    # transitions are 23/25 h wide, and a fixed-seconds explode would
+    # mislabel or skip those buckets — same hazard fixed in
+    # rollup_retention and counter_rate (r04 ADVICE). In UTC the
+    # arithmetic is bit-identical to the fixed-step version.
+    shift = {"1m": "INTERVAL 1 MINUTE", "1h": "INTERVAL 1 HOUR",
+             "1d": "INTERVAL 1 DAY"}[tier]
     w = Window.partitionBy(source_col).orderBy(ts_col)
     seg = (
         df.where(F.col(value_col).isNotNull())
@@ -542,21 +549,21 @@ def rollup_twa(
         )
         .where(F.col("_e").isNotNull() & (F.col("_e") > F.col("_s")))
     )
-    b_start = F.unix_timestamp(F.date_trunc(trunc, F.col("_s")))
-    b_end = F.unix_timestamp(F.date_trunc(trunc, F.col("_e")))
     ex = seg.select(
         source_col, "_s", "_e", "_v",
-        F.explode(F.sequence(b_start, b_end, F.lit(step))).alias("_b"),
+        F.explode(F.sequence(F.date_trunc(trunc, F.col("_s")),
+                             F.date_trunc(trunc, F.col("_e")),
+                             F.expr(shift))).alias("_bts"),
     )
     us = F.unix_micros
-    b_lo = F.col("_b") * 1_000_000
-    b_hi = (F.col("_b") + step) * 1_000_000
+    b_lo = us(F.col("_bts"))
+    b_hi = us(F.col("_bts") + F.expr(shift))
     ov = (F.least(us(F.col("_e").cast("timestamp")), b_hi)
           - F.greatest(us(F.col("_s").cast("timestamp")), b_lo))
     term = F.round(F.col("_v") * (ov.cast("double") / 1000000.0), 6) \
         .cast("decimal(38,6)")
     agged = ex.where(ov > 0).groupBy(
-        source_col, F.timestamp_seconds(F.col("_b")).alias("bucket_ts")
+        source_col, F.col("_bts").alias("bucket_ts")
     ).agg(
         F.sum(ov).alias("_w_us"),
         F.sum(term).alias("_vw"),
@@ -721,7 +728,11 @@ def ks_drift(
                 (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
                 F.round(
                     F.col("_gap").cast("double")
-                    / (F.col("n_ref") * F.col("n_cur")).cast("double"),
+                    # the denominator needs the same DECIMAL treatment as
+                    # the numerator: two ~3e9+ per-source counts multiplied
+                    # as int64 would silently wrap (r04 ADVICE)
+                    / (F.col("n_ref").cast(dec) * F.col("n_cur").cast(dec))
+                    .cast("double"),
                     6,
                 ),
             ).alias("ks"),

@@ -230,6 +230,14 @@ class TierCatalog:
         """All committed snapshots (uncommitted orphan dirs invisible)."""
         return self._read_ids(spark, table, self.snapshots(table))
 
+    def read_snapshot(self, spark: SparkSession, table: str,
+                      snapshot_id: int) -> DataFrame | None:
+        """Exactly one committed snapshot — e.g. re-reading what a
+        ``commit()`` just wrote for reporting, instead of re-executing
+        the uncached pipeline that produced it (r04 ADVICE)."""
+        ids = [i for i in self.snapshots(table) if i == snapshot_id]
+        return self._read_ids(spark, table, ids)
+
     def read_since(self, spark: SparkSession, table: str, snapshot_id: int) -> DataFrame | None:
         """Rows committed strictly after ``snapshot_id`` — the
         incremental-refresh cursor."""

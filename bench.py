@@ -536,20 +536,12 @@ def main():
     # costs); wall_sec additionally counts the best-of-2 repeat runs
     total = round(sum(queries.values()), 3)
     probe_end = noise_probe()
-    print(json.dumps({
+    headline = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "wall_sec": wall,
         "queries": queries,
-        "extra_queries_sec": extras,
-        # per-query steal-time (sec of hypervisor steal during the BEST
-        # attempt, /proc/stat col 8): a query whose time jumped while
-        # its steal is ~0 regressed in code; one with large steal was
-        # hit by the sandbox's noisy neighbor — mechanically separable
-        "query_steal_sec": {**bench_queries.steal,
-                            "tiers_tokens": getattr(run_tiers, "steal_sec", None)},
-        "extra_query_steal_sec": extras_steal,
         "sf": sf,
         "tier_points": tier_points,
         "tier_points_per_sec": round(tier_points / tier_sec),
@@ -560,7 +552,34 @@ def main():
         "noise_probe_sec": probe,
         "noise_probe_end_sec": probe_end,
         "noise_probe_quiet_sec": 1.5,
-    }))
+    }
+    # Full report (extras + per-query steal attribution) goes to a FILE:
+    # the driver captures only the tail 2000 chars of stdout, and r4's
+    # ~4 KB single line came back `parsed: null` (r4 VERDICT item #1).
+    # The printed line stays under 1 KB — headline scalars + the 12
+    # recorded main-suite timings, exactly the r3 shape that parsed.
+    report = {
+        **headline,
+        "extra_queries_sec": extras,
+        # per-query steal-time (sec of hypervisor steal during the BEST
+        # attempt, /proc/stat col 8): a query whose time jumped while
+        # its steal is ~0 regressed in code; one with large steal was
+        # hit by the sandbox's noisy neighbor — mechanically separable
+        "query_steal_sec": {**bench_queries.steal,
+                            "tiers_tokens": getattr(run_tiers, "steal_sec", None)},
+        "extra_query_steal_sec": extras_steal,
+    }
+    report_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_REPORT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "report_r05.json"),
+    )
+    os.makedirs(os.path.dirname(report_path), exist_ok=True)
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=1)
+    headline["report_file"] = os.path.relpath(
+        report_path, os.path.dirname(os.path.abspath(__file__)))
+    print(json.dumps(headline))
     spark.stop()
 
 

@@ -254,12 +254,16 @@ def main(argv=None):
             tl = psi_timeline(tier_series(t1m, "mean"), edges, "1d")
             snap = catalog.commit(tl, "drift_timeline",
                                   {"edges": args.psi_edges, "tier": "1d"})
-            scored = tl.where(F.col("psi").isNotNull())
-            worst = (scored.orderBy(F.desc("psi")).limit(3)
+            # report from the snapshot just written — counting/sorting
+            # the uncached `tl` would re-execute the whole tier-scan
+            # pipeline once per report field (r04 ADVICE)
+            committed = catalog.read_snapshot(spark, "drift_timeline", snap)
+            worst = (committed.where(F.col("psi").isNotNull())
+                     .orderBy(F.desc("psi")).limit(3)
                      .select("source", "bucket_ts", "psi").collect())
             report["psi_timeline"] = {
                 "snapshot": snap,
-                "rows": tl.count(),
+                "rows": committed.count(),
                 "worst": [(r["source"], str(r["bucket_ts"]),
                            float(r["psi"])) for r in worst],
             }

@@ -309,6 +309,55 @@ def test_extract_audio_features_real_wav_decode(spark):
         float(np.sqrt(np.mean(x * x))), abs=1e-12)
 
 
+def test_media_stats_match_fixture_ground_truth(spark):
+    """The committed contract fixtures pair BINARY payloads with their
+    ground-truth decoded arrays (tools/gen_media_fixture.py). image_stats
+    / audio_stats decode the payloads through the real codecs inside
+    mapInPandas; every statistic must equal a driver-side recompute from
+    the ground-truth arrays BIT-FOR-BIT (exact integer sums, single IEEE
+    divisions) — the same invariant the DuckDB oracle checks in the
+    driver contract (image_features / audio_features)."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from adtk_spark.operators.multimodal import audio_stats, image_stats
+
+    fx = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "fixtures")
+    if not os.path.exists(os.path.join(fx, "media_bmp.parquet")):
+        pytest.skip("media fixtures not generated")
+
+    img = {r["doc_id"]: r for r in image_stats(
+        spark.read.parquet(os.path.join(fx, "media_bmp.parquet"))).collect()}
+    truth = pq.read_table(os.path.join(fx, "media_bmp_pixels.parquet")).to_pylist()
+    assert len(img) == len(truth) == 50
+    for row in truth:
+        px = np.asarray(row["pixels"], dtype=np.int64)
+        n, s, ssq = px.size, int(px.sum()), int((px * px).sum())
+        got = img[row["doc_id"]]
+        assert got["n_px"] == n
+        assert got["px_mean"] == s / n  # bitwise
+        assert got["px_std"] == math.sqrt((ssq - s * s / n) / n)
+
+    aud = {r["doc_id"]: r for r in audio_stats(
+        spark.read.parquet(os.path.join(fx, "media_wav.parquet"))).collect()}
+    truth = pq.read_table(os.path.join(fx, "media_wav_samples.parquet")).to_pylist()
+    assert len(aud) == len(truth) == 50
+    for row in truth:
+        v = np.asarray(row["samples"], dtype=np.int64)
+        n, rate = v.size, row["sample_rate"]
+        ssq = int((v * v).sum())
+        c = int(((v[:-1] < 0) != (v[1:] < 0)).sum())
+        got = aud[row["doc_id"]]
+        assert got["n_samples"] == n
+        assert got["duration_sec"] == n / rate
+        assert got["rms"] == math.sqrt(ssq / n) / 32768.0
+        assert got["zcr_hz"] == (c / (n - 1)) * rate / 2.0
+
+
 def test_dedup_groups_connected_components(spark):
     """Min-label propagation over dup pairs: two components (one a
     3-edge chain, so convergence needs >1 round), plus a singleton that
