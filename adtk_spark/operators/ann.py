@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -73,8 +73,13 @@ def ivf_fit(
     X = np.array([r[0] for r in rows], dtype=float)
     if n_iter == 0:
         return [list(c) for c in X[: min(n_lists, len(X))]]
+    return [list(c) for c in _kmeans(X, n_lists, seed=seed, n_iter=n_iter)]
+
+
+def _kmeans(X: np.ndarray, k: int, seed: int = 0, n_iter: int = 20) -> np.ndarray:
+    """Bounded driver-side Lloyd on an already-collected sample."""
     rng = np.random.RandomState(seed)
-    centers = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    centers = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
     for _ in range(n_iter):
         d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         lab = d.argmin(axis=1)
@@ -85,7 +90,7 @@ def ivf_fit(
         if np.allclose(new, centers):
             break
         centers = new
-    return [list(c) for c in centers]
+    return centers
 
 
 def _dist_sq_to(vec_col: str, c) -> Column:
@@ -153,10 +158,88 @@ def ivf_search(
     return cosine_topk(subset, query_vec, k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_cell_stats(
+    assign: DataFrame, max_cell: int | None = None,
+    *, list_col: str = "list_id",
+) -> DataFrame:
+    """Cell-population report for an IVF assignment: one row per cell
+    with its cardinality and, when ``max_cell`` is given, whether a
+    capped candidate-generation run would drop it. The ANN twin of
+    ``lsh_bucket_stats`` — run (and log) it before/after a big
+    ``embedding_dup_pairs`` job so any capped recall loss is measured,
+    never silent (r04 VERDICT item #6)."""
+    out = assign.groupBy(list_col).agg(F.count("*").alias("n_vecs"))
+    if max_cell is not None:
+        out = out.withColumn(
+            "dropped", (F.col("n_vecs") > max_cell).cast("int"))
+    return out
+
+
+def ivf_split_oversized(
+    idx: DataFrame, max_cell: int,
+    *, vec_col: str = "v", list_col: str = "list_id",
+    max_depth: int = 3, sample: int = 512, cells_per_round: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Recursively re-cluster oversized IVF cells (r04 VERDICT item #6).
+
+    Each round: count cells, take the (bounded) worst offenders over
+    ``max_cell``, collect a deterministic md5-ordered sample per cell
+    (bounded driver transfer: cells x sample x dim), fit
+    ``ceil(n/max_cell)`` sub-centroids with the same Lloyd kernel as
+    ``ivf_fit``, and reassign ONLY those cells' rows to hierarchical ids
+    (``"3/1"``) via pure argmin expressions. Rounds are localCheckpointed
+    so the loop's lineage stays constant-size (same device as the CC
+    loop, corpus.py). Cells still oversized after ``max_depth`` rounds
+    are genuinely unsplittable (near-identical vectors); they are left
+    in place for the caller to cap + count via ``ivf_cell_stats``.
+
+    Input/output contract: ``idx`` rows are (id, v, list_id); list_id is
+    returned as STRING (hierarchical path ids).
+    """
+    idx = idx.withColumn(list_col, F.col(list_col).cast("string"))
+    for _depth in range(max_depth):
+        counts = (idx.groupBy(list_col).agg(F.count("*").alias("_n"))
+                  .where(F.col("_n") > max_cell)
+                  .orderBy(F.desc("_n")).limit(cells_per_round).collect())
+        if not counts:
+            break
+        hot = {r[list_col]: r["_n"] for r in counts}
+        wnd = Window.partitionBy(list_col).orderBy(
+            F.md5(F.col("id").cast("string")), "id")
+        samp = (idx.where(F.col(list_col).isin(list(hot)))
+                .withColumn("_rn", F.row_number().over(wnd))
+                .where(F.col("_rn") <= sample)
+                .select(list_col, vec_col).collect())
+        by_cell: dict = {}
+        for r in samp:
+            by_cell.setdefault(r[list_col], []).append(r[vec_col])
+        sub_centers = {}
+        for cell, vecs in by_cell.items():
+            k = max(2, min(8, -(-hot[cell] // max_cell)))
+            sub_centers[cell] = _kmeans(np.asarray(vecs, dtype=float), k,
+                                        seed=seed, n_iter=10)
+        # per-cell argmin over its sub-centroids, pure expressions
+        new_id = F.col(list_col)
+        for cell, centers in sub_centers.items():
+            cells_arr = F.array(*[
+                F.struct(_dist_sq_to(vec_col, c).alias("d"),
+                         F.lit(j).alias("j"))
+                for j, c in enumerate(centers)
+            ])
+            sub = F.array_min(cells_arr)["j"].cast("string")
+            new_id = F.when(F.col(list_col) == cell,
+                            F.concat(F.col(list_col), F.lit("/"), sub)
+                            ).otherwise(new_id)
+        idx = idx.withColumn(list_col, new_id).localCheckpoint(eager=False)
+    return idx
+
+
 def embedding_dup_pairs(
     emb: DataFrame, centers: list[list[float]], threshold: float = 0.95,
     *, id_col: str = "vec_id", vec_col: str = "embedding",
     max_cell: int | None = None, probes: int = 2,
+    split_oversized: bool = True, split_depth: int = 3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates inside one IVF
     cell, exact cosine verification, id_a < id_b.
@@ -168,11 +251,15 @@ def embedding_dup_pairs(
     deduplicated before verification. ``probes=1`` is the classic
     single-assignment IVF.
 
-    ``max_cell`` drops cells holding more than that many (multi-probe)
-    assignments from candidate generation — the within-cell join is
-    quadratic in cell size, so one degenerate cell (e.g. a big cluster
-    of zero-ish embeddings) would otherwise dominate the whole job. At
-    scale, re-cluster oversized cells with more centroids instead.
+    ``max_cell`` bounds the quadratic within-cell join. With
+    ``split_oversized`` (default), oversized cells are first recursively
+    re-clustered with fresh sub-centroids (``ivf_split_oversized``) —
+    dup concentrations are exactly where oversized cells form, so
+    dropping them outright is silent recall loss precisely on the
+    duplicates (r04 VERDICT item #6). Only cells STILL oversized after
+    ``split_depth`` rounds (near-identical vector blobs no centroids can
+    separate) are dropped from candidate generation; measure those with
+    ``ivf_cell_stats`` before trusting a capped run.
     """
     assign = (ivf_assign_multi(emb, centers, probes) if probes > 1
               else ivf_assign(emb, centers))
@@ -180,6 +267,8 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     )
     if max_cell is not None:
+        if split_oversized:
+            idx = ivf_split_oversized(idx, max_cell, max_depth=split_depth)
         hot = (idx.groupBy("list_id").agg(F.count("*").alias("_n"))
                .where(F.col("_n") > max_cell).drop("_n"))
         idx = idx.join(F.broadcast(hot), ["list_id"], "left_anti")

@@ -326,6 +326,7 @@ def esd_ad_fit(
     ts_col: str = "ts",
     value_col: str = "value",
     portable: bool = False,
+    max_rows_per_source: int | None = None,
 ) -> DataFrame:
     """GeneralizedESDTestAD._fit_core (_detector_1d.py:309-344).
 
@@ -353,9 +354,12 @@ def esd_ad_fit(
         return (n - i) * tq / math.sqrt((n - i - 1 + tq * tq) * (n - i + 1))
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.rolling_udf import guard_source_rows
+
+        src = pdf[source_col].iloc[0]
+        guard_source_rows(len(pdf), max_rows_per_source, src, "esd_ad_fit")
         pdf = pdf.sort_values(ts_col)  # deterministic idxmax tie-breaks
         s = pdf[value_col].to_numpy(dtype=float)
-        src = pdf[source_col].iloc[0]
         n = int(np.count_nonzero(~np.isnan(s)))
         if n == 0:
             raise ValueError(f"source {src!r}: no valid values for ESD fit")
@@ -735,15 +739,33 @@ def seasonal_ad(
     ts_col: str = "ts",
     value_col: str = "value",
     out_col: str = "label",
+    checkpoint: bool = True,
 ) -> DataFrame:
-    """SeasonalAD fit_detect (_detector_1d.py:1023-1164)."""
+    """SeasonalAD fit_detect (_detector_1d.py:1023-1164).
+
+    The chain is fit-heavy: the input feeds the ACF/phase fit AND the
+    residual transform, and the residual feeds BOTH the IQR bounds fit
+    and the final detect. Lazy ``localCheckpoint``s cut those shared
+    lineages so each stage materializes once instead of re-deriving its
+    upstream per consumer (the r04 plan census read 14 Exchanges from
+    exactly that re-derivation). ``checkpoint=False`` opts out for
+    callers that manage their own persistence (checkpoint blocks live on
+    executors; on clusters with aggressive executor churn prefer an
+    explicit snapshot commit between fit and detect).
+    """
     from .transformers import seasonal_fit, seasonal_transform
 
+    if checkpoint:
+        df = df.localCheckpoint(eager=False)
     model = seasonal_fit(df, freq=freq, trend=trend, source_col=source_col,
                          ts_col=ts_col, value_col=value_col)
+    if checkpoint:
+        model = model.localCheckpoint(eager=False)
     resid = seasonal_transform(df, model, trend=trend, source_col=source_col,
                                ts_col=ts_col, value_col=value_col, out_col="_diff")
     resid = resid.withColumn("_mag", F.abs(F.col("_diff")))
+    if checkpoint:
+        resid = resid.localCheckpoint(eager=False)
     bounds = iqr_ad_fit(resid, c=(None, c), source_col=source_col, value_col="_mag")
     return _compound_detect(resid, bounds, side, source_col=source_col,
                             diff_col="_diff", mag_col="_mag", out_col=out_col)

@@ -14,9 +14,10 @@ patterns — pure JVM window aggregates, one shuffle per partitionBy.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from adtk_spark.functions.windows import td_micros
 
 US = "1 microsecond"
 
@@ -77,6 +78,7 @@ def events_and(
     source_col: str = "source",
     start_col: str = "start_ts",
     end_col: str = "end_ts",
+    validate: bool = True,
 ) -> DataFrame:
     """AndAggregator on event lists (_aggregator.py:154-204).
 
@@ -84,11 +86,17 @@ def events_and(
     each list contributes at most one active interval at any instant),
     emit (+1 at start, -1 at end + 1us) deltas, running-sum per source;
     covered where the sum equals the number of lists; sessionize.
+
+    ``validate=False`` skips the per-input merge for callers that
+    already hold ``validate_events`` output (the metrics ops pre-validate
+    and reuse the result) — the sweep's disjointness precondition is then
+    the CALLER's contract.
     """
     n = len(event_dfs)
     deltas = None
     for d in event_dfs:
-        v = validate_events(d, source_col=source_col, start_col=start_col, end_col=end_col)
+        v = (validate_events(d, source_col=source_col, start_col=start_col,
+                             end_col=end_col) if validate else d)
         dd = v.select(
             source_col, _micros(F.col(start_col)).alias("_t"), F.lit(1).alias("_d")
         ).unionByName(
@@ -135,7 +143,7 @@ def to_events(
     """
     if merge_consecutive is None:
         merge_consecutive = freq is not None
-    freq_us = int(pd.Timedelta(freq).value // 1000) if freq else 0
+    freq_us = td_micros(freq) if freq else 0
     pos = (F.col(label_col) == 1).cast("int")
     flagged = labels.where(F.col(label_col) == 1)
     end_of_point = (
@@ -185,7 +193,7 @@ def to_labels(
     overlap predicate; the big spine never shuffles.
     """
     ev = validate_events(events, source_col=source_col)
-    freq_us = int(pd.Timedelta(freq).value // 1000) if freq else 0
+    freq_us = td_micros(freq) if freq else 0
     t = _micros(F.col(ts_col))
     period_end = t + freq_us - 1 if freq else t
     cond = (
@@ -211,8 +219,8 @@ def expand_events(
     end_col: str = "end_ts",
 ) -> DataFrame:
     """expand_events (_data.py:486-615): widen then re-merge."""
-    l_us = int(pd.Timedelta(left_expand).value // 1000)
-    r_us = int(pd.Timedelta(right_expand).value // 1000)
+    l_us = td_micros(left_expand)
+    r_us = td_micros(right_expand)
     widened = events.select(
         source_col,
         _ts(_micros(F.col(start_col)) - l_us).alias(start_col),

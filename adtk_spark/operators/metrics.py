@@ -91,14 +91,23 @@ def recall_events(
     when >= thresh of its span is covered by AND(true, pred); zero-length
     (instantaneous) events need containment.
     """
-    t = validate_events(y_true, source_col=source_col)
+    # Validate each list ONCE and cut the true side's lineage with a
+    # lazy localCheckpoint: t feeds BOTH the probe side and the
+    # intersection's build side, and events_and would otherwise rebuild
+    # the whole upstream (e.g. a to_events gaps-and-islands chain) per
+    # use — the r04 plan census read 10 Exchanges here for that reason.
+    t = validate_events(y_true, source_col=source_col) \
+        .localCheckpoint(eager=False)
+    p = validate_events(y_pred, source_col=source_col)
     # rename the intersection side before joining: inter derives from t,
     # so alias-based disambiguation of a self-join lineage is unreliable
-    inter = events_and([t, y_pred], source_col=source_col).select(
+    inter = events_and([t, p], source_col=source_col,
+                       validate=False).select(
         F.col(source_col).alias("_isrc"),
         _micros(F.col("start_ts")).alias("_is"),
         _micros(F.col("end_ts")).alias("_ie"),
-    )
+    ).localCheckpoint(eager=False)  # tiny per-source list, broadcast below;
+    # pinned so broadcast retries / AQE replans never re-run the sweep
     ts, te = _micros(F.col("start_ts")), _micros(F.col("end_ts"))
     cond = (
         (F.col(source_col) == F.col("_isrc"))
@@ -149,9 +158,15 @@ def f1_events(y_true, y_pred, recall_thresh=0.5, precision_thresh=0.5, *,
 
 def iou_events(y_true, y_pred, *, source_col: str = "source", out_col: str = "iou"):
     """iou on event lists (_metrics.py:563-582): duration(AND)/duration(OR);
-    instantaneous segments contribute zero length."""
-    inter = events_and([y_true, y_pred], source_col=source_col)
-    union = events_or([y_true, y_pred], source_col=source_col)
+    instantaneous segments contribute zero length. Each input is
+    validated once and checkpointed — AND and OR both consume the same
+    merged lists without rebuilding their upstream lineage."""
+    t = validate_events(y_true, source_col=source_col) \
+        .localCheckpoint(eager=False)
+    p = validate_events(y_pred, source_col=source_col) \
+        .localCheckpoint(eager=False)
+    inter = events_and([t, p], source_col=source_col, validate=False)
+    union = events_or([t, p], source_col=source_col)
 
     def total(d, name):
         return d.groupBy(source_col).agg(

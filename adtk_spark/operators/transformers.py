@@ -186,6 +186,7 @@ def seasonal_fit(
     source_col: str = "source",
     ts_col: str = "ts",
     value_col: str = "value",
+    max_rows_per_source: int | None = None,
 ) -> DataFrame:
     """ClassicSeasonalDecomposition._fit_core (_transformer_1d.py:682-733).
 
@@ -200,8 +201,11 @@ def seasonal_fit(
     """
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
+        from ..functions.rolling_udf import guard_source_rows
+
         src = pdf[source_col].iloc[0]
+        guard_source_rows(len(pdf), max_rows_per_source, src, "seasonal_fit")
+        pdf = pdf.sort_values(ts_col)
         s = pd.Series(pdf[value_col].values, index=pd.DatetimeIndex(pdf[ts_col]))
         s = s.loc[s.first_valid_index(): s[::-1].first_valid_index()]
         if s.isna().any():

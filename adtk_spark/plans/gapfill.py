@@ -16,9 +16,10 @@ are built-in window tricks — no UDFs:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from adtk_spark.functions.windows import td_micros
 
 
 def time_spine(
@@ -34,7 +35,7 @@ def time_spine(
     Input timestamps must already be bucket-aligned (e.g. the output of a
     tier rollup); the spine spans [min(ts), max(ts)] per source.
     """
-    secs = int(pd.Timedelta(freq).value // 1_000_000_000)
+    secs = td_micros(freq) // 1_000_000
     bounds = df.groupBy(source_col).agg(
         F.min(ts_col).cast("timestamp").alias("_mn"),
         F.max(ts_col).cast("timestamp").alias("_mx"),
@@ -190,7 +191,7 @@ def gap_report(
     everything rides the per-source spine, never the raw row count.
     Input timestamps must be bucket-aligned (tier output).
     """
-    secs = int(pd.Timedelta(freq).value // 1_000_000_000)
+    secs = td_micros(freq) // 1_000_000
     bounds = df.groupBy(source_col).agg(
         F.min(ts_col).cast("timestamp").alias("_mn"),
         F.max(ts_col).cast("timestamp").alias("_mx"),

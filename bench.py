@@ -459,6 +459,17 @@ def main():
             docs.select("doc_id"), groups, test_ratio=0.1, portable=False
         )
 
+    def _embed_dups(spark_, sf_dir):
+        # production embedding near-dup config including the oversized-
+        # cell recursive split (r4 VERDICT item #6 done-criterion: the
+        # recovery path's cost is recorded, not assumed)
+        from adtk_spark.operators.ann import embedding_dup_pairs, ivf_fit
+
+        emb = spark_.read.parquet(f"{sf_dir}/embeddings.parquet")
+        centers = ivf_fit(emb, n_lists=16)
+        return embedding_dup_pairs(emb, centers, threshold=0.95,
+                                   max_cell=2000)
+
     def _audio_feats(spark_, _sf_dir):
         # r03 VERDICT item #7 done-criterion: measured mapInPandas batch
         # throughput for the vectorized (zip-over-numpy-columns) decode
@@ -504,6 +515,7 @@ def main():
         "rollup_distinct_1h": eqs.get("rollup_distinct_1h"),
         "audio_features_2k": _audio_feats,
         "image_features_4k": _image_feats,
+        "embedding_dup_prod": _embed_dups,
         "sax_8m": eqs.get("sax_8m"),
         "ngram_contamination": eqs.get("ngram_contamination"),
         "psi_drift": eqs.get("psi_drift"),

@@ -237,3 +237,33 @@ def test_cusum_closed_form_property(spark, vals):
         else:
             assert abs(gsp - esp) < 1e-9 and abs(gsm - esm) < 1e-9, vals
         assert gl == el, vals
+
+
+def test_hot_source_guard_on_grouped_map_fits(spark):
+    """max_rows_per_source arms guard_source_rows inside the per-source
+    applyInPandas fits: a source exceeding the cap fails fast with a
+    tier-routing hint instead of buffering the whole series in one task;
+    under the cap the fits behave identically to unguarded runs."""
+    import datetime as dt
+
+    import pytest
+
+    from adtk_spark.functions.rolling_udf import rolling_agg_callable
+    from adtk_spark.operators.detectors import esd_ad_fit
+    from adtk_spark.operators.transformers import seasonal_fit
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("hot", t0 + dt.timedelta(hours=i),
+             float(i % 4) + (1.0 if i % 8 == 0 else 0.0)) for i in range(64)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+
+    for build in (
+        lambda d, cap: esd_ad_fit(d, max_rows_per_source=cap),
+        lambda d, cap: seasonal_fit(d, freq=4, max_rows_per_source=cap),
+        lambda d, cap: rolling_agg_callable(
+            d, 4, lambda s: s.mean(), None, False, None,
+            max_rows_per_source=cap),
+    ):
+        with pytest.raises(Exception, match="max_rows_per_source"):
+            build(df, 32).collect()
+        assert build(df, 1000).count() > 0  # under the cap: unaffected
