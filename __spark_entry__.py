@@ -1741,6 +1741,24 @@ def q_image_features(spark, sf_dir):
     return image_stats(media)
 
 
+def q_embedding_dup(spark, sf_dir):
+    """Embedding near-dup pairs inside multi-probe IVF cells
+    (ann.embedding_dup_pairs): seeds-mode centroids (first 8 vectors in
+    md5 order — SQL-replayable, as in ann_ivf_top10), every vector
+    assigned to its TWO nearest cells, candidate pairs equi-joined on
+    the shared cell with narrow (id,id) dedup before exact cosine
+    verification. The oracle replays the assignment argmin, the probes=2
+    rank cut, the pair dedup, and the identical fold-order dot products
+    — proving the candidate-generation structure, not just the cosine
+    math (brute force would accept pairs IVF legitimately misses)."""
+    from adtk_spark.operators.ann import embedding_dup_pairs, ivf_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centers = ivf_fit(emb, n_lists=8, sample=8, n_iter=0)
+    return embedding_dup_pairs(emb, centers, threshold=0.25, probes=2,
+                               max_cell=None, split_oversized=False)
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal audio decode through the REAL stdlib-wave PCM codec
     (operators/multimodal.py wav_decode) over Arrow mapInPandas batches:
@@ -1947,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_twa_up": q_rollup_twa_up,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "embedding_dup": q_embedding_dup,
     }
     # Driver-rotation ordering (r04 VERDICT item #2): the driver's
     # CORRECTNESS harness checks the FIRST ~50 queries() keys each
@@ -1957,7 +1976,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose latest driver row is round 3; (4) the 50 green in round 4,
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
-    r5_new = ["rollup_twa_up", "image_features", "audio_features"]
+    r5_new = ["rollup_twa_up", "image_features", "audio_features",
+              "embedding_dup"]
     never_checked = [
         "hash_sample", "cusum_ad", "robust_zscore_ad", "rollup_distinct_1h",
         "ewma", "pack_sequences", "rollup_topk_1h", "gap_report",
@@ -4559,6 +4579,47 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(vw) AS DOUBLE)
                          / (CAST(sum(w_us) AS DOUBLE) / 1000000.0), 6) AS twa
             FROM h GROUP BY 1, 2
+        """,
+        # seeds-mode IVF (ann_ivf_top10's replay) extended to the
+        # near-dup pair path: probes=2 assignment rank cut, shared-cell
+        # candidate join with pair dedup, identical fold-order cosine
+        "embedding_dup": """
+            WITH ord AS (
+              SELECT vec_id, embedding
+              FROM embeddings
+              ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8
+            ), seeds AS (
+              SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS list_id,
+                     CAST(embedding AS DOUBLE[]) AS c
+              FROM ord
+            ), dists AS (
+              SELECT e.vec_id, s.list_id,
+                     list_sum(list_transform(generate_series(1, len(s.c)),
+                              i -> (CAST(e.embedding[i] AS DOUBLE) - s.c[i]) ^ 2)) AS d
+              FROM embeddings e, seeds s
+            ), assigned AS (
+              SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rn
+                FROM dists
+              ) WHERE rn <= 2
+            ), cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM assigned a
+              JOIN assigned b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            ), v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+            ), scored AS (
+              SELECT c.id_a, c.id_b,
+                     round(list_dot_product(va.vv, vb.vv)
+                           / (sqrt(list_dot_product(va.vv, va.vv))
+                              * sqrt(list_dot_product(vb.vv, vb.vv))), 6)
+                       AS cos_sim
+              FROM cand c
+              JOIN v va ON va.vec_id = c.id_a
+              JOIN v vb ON vb.vec_id = c.id_b
+            )
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.25
         """,
         # ground-truth decoded luma arrays aggregated in SQL vs Spark's
         # byte-level BMP decode of the paired binary payloads; every

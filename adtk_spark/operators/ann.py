@@ -266,16 +266,30 @@ def embedding_dup_pairs(
     idx = assign.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "list_id"
     )
+    if max_cell is not None and split_oversized:
+        idx = ivf_split_oversized(idx, max_cell, max_depth=split_depth)
+    return dup_pairs_from_index(idx, threshold, max_cell=max_cell,
+                                dedup_pairs=probes > 1)
+
+
+def dup_pairs_from_index(
+    idx: DataFrame, threshold: float,
+    *, max_cell: int | None = None, dedup_pairs: bool = True,
+) -> DataFrame:
+    """Pair verification over an explicit (id, v, list_id) index:
+    within-cell candidates (cells over ``max_cell`` anti-joined away),
+    id_a < id_b, exact cosine >= threshold. Split out of
+    ``embedding_dup_pairs`` so the job path can assign -> split ->
+    report cell stats -> pair on ONE index without re-running the
+    split."""
     if max_cell is not None:
-        if split_oversized:
-            idx = ivf_split_oversized(idx, max_cell, max_depth=split_depth)
         hot = (idx.groupBy("list_id").agg(F.count("*").alias("_n"))
                .where(F.col("_n") > max_cell).drop("_n"))
         idx = idx.join(F.broadcast(hot), ["list_id"], "left_anti")
     a, b = idx.alias("a"), idx.alias("b")
     cand = a.join(b, on=[F.col("a.list_id") == F.col("b.list_id"),
                          F.col("a.id") < F.col("b.id")])
-    if probes > 1:
+    if dedup_pairs:
         # a pair sharing k probed cells is generated k times: dedup the
         # NARROW (id_a, id_b) rows, then join the wide vectors back only
         # for the surviving pairs (same shape as the LSH candidate path —

@@ -71,6 +71,14 @@ def main(argv=None):
                         "candidate generation (bounds join fan-out; "
                         "dropped buckets are counted in the report)")
     p.add_argument("--lsh-threshold", type=float, default=0.7)
+    p.add_argument("--embed-dedup", default=None, metavar="PARQUET",
+                   help="run IVF-celled embedding near-dup detection over "
+                        "the given embeddings parquet (vec_id, embedding), "
+                        "commit the pair table, and log the post-split "
+                        "oversized-cell drop report")
+    p.add_argument("--embed-threshold", type=float, default=0.95)
+    p.add_argument("--embed-max-cell", type=int, default=2000)
+    p.add_argument("--embed-lists", type=int, default=16)
     p.add_argument("--route", default=None,
                    help="serve a rollup query from the coarsest dividing "
                         "tier: RES_SECS[,START_ISO[,END_ISO]] — prints the "
@@ -213,6 +221,47 @@ def main(argv=None):
             }
             print(json.dumps({"lsh_drop_report": report["lsh"]}),
                   file=sys.stderr)
+
+    if args.embed_dedup:
+        from adtk_spark.operators.ann import (
+            dup_pairs_from_index,
+            ivf_assign_multi,
+            ivf_cell_stats,
+            ivf_fit,
+            ivf_split_oversized,
+        )
+
+        emb = spark.read.parquet(args.embed_dedup)
+        centers = ivf_fit(emb, n_lists=args.embed_lists)
+        cap = args.embed_max_cell
+        # assign -> split -> stats -> pair on ONE index: the recursive
+        # split runs once, and the drop report measures what the cap
+        # STILL excludes after it (unsplittable near-identical blobs) —
+        # the ANN twin of the LSH drop report above
+        idx = ivf_assign_multi(emb, centers, probes=2).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+            "list_id")
+        idx = ivf_split_oversized(idx, cap)
+        stats = ivf_cell_stats(idx, max_cell=cap)
+        dropped = stats.where(F.col("dropped") == 1).agg(
+            F.count("*").alias("cells"),
+            F.coalesce(F.sum("n_vecs"), F.lit(0)).alias("vec_slots"),
+        ).collect()[0]
+        pairs = dup_pairs_from_index(idx, args.embed_threshold,
+                                     max_cell=cap)
+        snap = catalog.commit(
+            pairs, "embed_dup_pairs",
+            {"threshold": args.embed_threshold, "max_cell": cap,
+             "n_lists": args.embed_lists})
+        report["embed_dedup"] = {
+            "pairs_snapshot": snap,
+            "n_pairs": pairs.count(),
+            "max_cell": cap,
+            "dropped_cells_post_split": int(dropped["cells"]),
+            "dropped_vec_slots": int(dropped["vec_slots"]),
+        }
+        print(json.dumps({"embed_drop_report": report["embed_dedup"]}),
+              file=sys.stderr)
 
     if args.psi_split:
         import datetime as dt
