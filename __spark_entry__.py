@@ -1741,6 +1741,23 @@ def q_image_features(spark, sf_dir):
     return image_stats(media)
 
 
+def q_twa_route_3h(spark, sf_dir):
+    """Query-time TWA routing (plans/router.py route_twa): a 3-hour
+    time-weighted average served from the 1h carry-sums tier — the
+    integer weight-micros and DECIMAL value-seconds partials regroup on
+    floor-epoch windows exactly, raw points never re-read (arithmetic
+    means route via route_rollup; TWA needs the partials or a 1-point
+    hour weighs like a 3600-point hour). Oracle = the same hour-cut
+    quantization regrouped at 10800 s."""
+    from adtk_spark.plans.router import route_twa
+    from adtk_spark.plans.tiers import rollup_twa
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    h = rollup_twa(ev, "1h", carry_sums=True)
+    return route_twa({"1h": h}, 10800)
+
+
 def q_embedding_dup(spark, sf_dir):
     """Embedding near-dup pairs inside multi-probe IVF cells
     (ann.embedding_dup_pairs): seeds-mode centroids (first 8 vectors in
@@ -1966,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "embedding_dup": q_embedding_dup,
+        "twa_route_3h": q_twa_route_3h,
     }
     # Driver-rotation ordering (r04 VERDICT item #2): the driver's
     # CORRECTNESS harness checks the FIRST ~50 queries() keys each
@@ -1977,7 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
     r5_new = ["rollup_twa_up", "image_features", "audio_features",
-              "embedding_dup"]
+              "embedding_dup", "twa_route_3h"]
     never_checked = [
         "hash_sample", "cusum_ad", "robust_zscore_ad", "rollup_distinct_1h",
         "ewma", "pack_sequences", "rollup_topk_1h", "gap_report",
@@ -4574,6 +4592,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT source,
                    CAST(date_trunc('day', make_timestamp(b * 1000000))
                         AS TIMESTAMP) AS bucket_ts,
+                   round(CAST(sum(w_us) AS DOUBLE) / 1000000.0, 6)
+                     AS covered_secs,
+                   round(CAST(sum(vw) AS DOUBLE)
+                         / (CAST(sum(w_us) AS DOUBLE) / 1000000.0), 6) AS twa
+            FROM h GROUP BY 1, 2
+        """,
+        # the rollup_twa_up hour-partial replay regrouped on 10800 s
+        # floor-epoch windows — query-time TWA routing
+        "twa_route_3h": """
+            WITH s AS (
+              SELECT event_type AS source, ts, value
+              FROM events WHERE value IS NOT NULL
+            ), seg AS (
+              SELECT source, ts AS st,
+                     lead(ts) OVER (PARTITION BY source ORDER BY ts) AS en,
+                     value AS v
+              FROM s
+            ), ex AS (
+              SELECT source, st, en, v,
+                     unnest(generate_series(
+                       CAST(epoch(date_trunc('hour', st)) AS BIGINT),
+                       CAST(epoch(date_trunc('hour', en)) AS BIGINT),
+                       3600)) AS b
+              FROM seg WHERE en IS NOT NULL AND en > st
+            ), ov AS (
+              SELECT source, b, v,
+                     least(epoch_us(en), (b + 3600) * 1000000)
+                     - greatest(epoch_us(st), b * 1000000) AS us
+              FROM ex
+            ), h AS (
+              SELECT source, b, sum(us) AS w_us,
+                     sum(CAST(round(v * (CAST(us AS DOUBLE) / 1000000.0), 6)
+                              AS DECIMAL(38,6))) AS vw
+              FROM ov WHERE us > 0 GROUP BY 1, 2
+            )
+            SELECT source,
+                   make_timestamp((b - b % 10800) * 1000000) AS bucket_ts,
                    round(CAST(sum(w_us) AS DOUBLE) / 1000000.0, 6)
                      AS covered_secs,
                    round(CAST(sum(vw) AS DOUBLE)

@@ -126,6 +126,62 @@ def route_rollup(
         "mean", F.col("vsum").cast("double") / F.col("cnt"))
 
 
+def route_twa(
+    tiers: dict[str, DataFrame],
+    resolution_secs: int,
+    start=None,
+    end=None,
+    *,
+    source_col: str = "source",
+    available: dict | None = None,
+) -> DataFrame:
+    """Serve an R-second TIME-WEIGHTED average over [start, end) from
+    the coarsest qualifying carry-sums TWA tier
+    (``rollup_twa(..., carry_sums=True)``: columns source, bucket_ts,
+    _w_us, _vw, covered_secs, twa).
+
+    Plain arithmetic means re-merge through ``route_rollup``; TWA can't
+    (a mean of hourly TWAs weights a 1-point hour like a 3600-point
+    hour). The carried integer weight-micros and DECIMAL value-seconds
+    partials re-associate EXACTLY, so a routed window equals
+    ``rollup_twa`` run at that width wherever window boundaries align
+    with the finer tier's segment cuts — the same contract as
+    ``rollup_twa_up``, at query time and at any dividing resolution
+    (fixed-width epoch windows: R is a query resolution, not a calendar
+    retention tier). One tier-row groupBy; raw points never re-read.
+    Same retention-ledger semantics as ``pick_tier``; raises KeyError
+    when no tier divides R.
+    """
+    name = pick_tier(resolution_secs, available, start=start)
+    if name is None or name not in tiers:
+        raise KeyError(
+            f"no materialized TWA tier divides resolution="
+            f"{resolution_secs}s (have {sorted(tiers)}); run rollup_twa "
+            "on raw explicitly")
+    t = tiers[name]
+    if start is not None:
+        t = t.where(F.col("bucket_ts") >= F.lit(start))
+    if end is not None:
+        t = t.where(F.col("bucket_ts") < F.lit(end))
+    if TIER_WIDTH_SECS[name] == resolution_secs:
+        # exact-width fast path: filter + project, no shuffle
+        return t.select(source_col, "bucket_ts", "covered_secs", "twa")
+    epoch = F.unix_timestamp(F.col("bucket_ts")).cast("long")
+    win = F.timestamp_seconds(
+        epoch - F.pmod(epoch, F.lit(resolution_secs))).alias("bucket_ts")
+    g = t.groupBy(source_col, win).agg(
+        F.sum("_w_us").alias("_w_us"), F.sum("_vw").alias("_vw"))
+    return g.select(
+        source_col, "bucket_ts",
+        F.round(F.col("_w_us").cast("double") / 1000000.0, 6)
+        .alias("covered_secs"),
+        F.round(
+            F.col("_vw").cast("double")
+            / (F.col("_w_us").cast("double") / 1000000.0), 6,
+        ).alias("twa"),
+    )
+
+
 def rollup_at(
     raw: DataFrame,
     resolution_secs: int,

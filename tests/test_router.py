@@ -200,3 +200,51 @@ def test_route_from_catalog_retention_steering(spark, tmp_path):
     late = route_from_catalog(spark, cat, tables, 900, start=cut)
     raw_late = _raw(spark).where(F.col("ts") >= F.lit(cut))
     _cmp(late, _direct(raw_late, 900))
+
+
+def test_route_twa_matches_direct_and_fast_path(spark):
+    """route_twa from 1h carry-sums partials at 3h == rollup_twa-style
+    direct computation at 3h wherever segment cuts align (here always:
+    hour cuts subdivide 3h windows); exact-width routing is a pure
+    projection; no dividing tier raises."""
+    import datetime as dt
+
+    import pytest
+
+    from adtk_spark.plans.router import route_twa
+    from adtk_spark.plans.tiers import rollup_twa
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for s in ("a", "b"):
+        for i in range(0, 400):
+            # irregular spacing: 0..399 steps of 7 minutes + jitter
+            rows.append((s, t0 + dt.timedelta(minutes=7 * i + (i % 3)),
+                         float((i * 13) % 50)))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    h = rollup_twa(df, "1h", carry_sums=True)
+
+    routed = {(r["source"], r["bucket_ts"]): (r["covered_secs"], r["twa"])
+              for r in route_twa({"1h": h}, 10800).collect()}
+
+    # direct: same hour-cut quantized partials regrouped at 3h on the
+    # driver (the rollup_twa_up exactness contract at query time)
+    agg = {}
+    for r in h.collect():
+        key = (r["source"],
+               dt.datetime.fromtimestamp(
+                   (int(r["bucket_ts"].timestamp()) // 10800) * 10800))
+        w, vw = agg.get(key, (0, 0))
+        agg[key] = (w + r["_w_us"], vw + r["_vw"])
+    assert set(routed) == set(agg)
+    for k, (w, vw) in agg.items():
+        cs, twa = routed[k]
+        assert cs == round(w / 1e6, 6)
+        assert abs(twa - round(float(vw) / (w / 1e6), 6)) < 1e-9, k
+
+    # exact width: projection only (no new Exchange beyond the tier's)
+    exact = route_twa({"1h": h}, 3600)
+    assert {r[0] for r in exact.select("source").distinct().collect()} == {"a", "b"}
+
+    with pytest.raises(KeyError, match="TWA tier"):
+        route_twa({"1h": h}, 5400)  # 1.5h: 3600 does not divide it
