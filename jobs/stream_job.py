@@ -51,6 +51,10 @@ def main(argv=None):
                    help="comma-separated PSI value-bin edges")
     p.add_argument("--psi-window", default="1 hour",
                    help="tumbling window for the streamed PSI score")
+    p.add_argument("--twa", action="store_true",
+                   help="also emit exact mergeable 1m TWA partials "
+                        "(LOCF segments closed by per-source state; "
+                        "readers merge with twa_merge_partials)")
     p.add_argument("--cores", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -70,6 +74,21 @@ def main(argv=None):
     agg = streaming_rollup_1m(spark, args.source, watermark=args.watermark)
     run_available_now(agg, f"{args.out}/t1m", f"{args.out}/ckpt_rollup")
     report["t1m_rows"] = spark.read.parquet(f"{args.out}/t1m").count()
+
+    if args.twa:
+        from adtk_spark.streaming.rollup_stream import streaming_twa_partials
+
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double"
+        ).parquet(args.source)
+        q = (streaming_twa_partials(stream, "1m")
+             .writeStream.outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", f"{args.out}/ckpt_twa")
+             .format("parquet").option("path", f"{args.out}/twa_partials")
+             .start())
+        q.awaitTermination()
+        report["twa_partial_rows"] = spark.read.parquet(
+            f"{args.out}/twa_partials").count()
 
     if args.score_bounds_from:
         from adtk_spark.operators.detectors import persist_ad_fit

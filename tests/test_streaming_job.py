@@ -792,3 +792,68 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
         assert gl == bl, key
         n_anom += bl == 1.0
     assert n_anom > 0  # the check is non-vacuous
+
+
+def test_streaming_twa_partials_match_batch(spark, tmp_path):
+    """TWA at the ingest edge: the same series streamed in 3 event-time
+    chunks must produce partial rows whose merge equals the batch
+    rollup_twa(carry_sums=True) tier BIT-FOR-BIT — weight micros,
+    1e-6-unit value-seconds, covered_secs AND twa — including segments
+    that straddle chunk boundaries (only the (last_ts, last_value)
+    state carry can close those)."""
+    from pyspark.sql import functions as F
+
+    from adtk_spark.operators.data import validate_series
+    from adtk_spark.plans.tiers import rollup_twa
+    from adtk_spark.sources.tokens import token_corpus, token_series
+    from adtk_spark.streaming.rollup_stream import (
+        streaming_twa_partials,
+        twa_merge_partials,
+    )
+
+    raw = validate_series(
+        token_series(token_corpus(spark, 4000, n_sources=5, seed=17,
+                                  span_secs=7200, start="2025-03-01 00:00:00"))
+    ).cache()
+    batch = rollup_twa(raw, "1m", carry_sums=True)
+    expect = {
+        (r["source"], r["bucket_ts"]):
+            (r["_w_us"], int(r["_vw"].scaleb(6)), r["covered_secs"], r["twa"])
+        for r in batch.collect()
+    }
+
+    lo, hi = raw.selectExpr(
+        "percentile(unix_micros(cast(ts as timestamp)), 0.333) p1",
+        "percentile(unix_micros(cast(ts as timestamp)), 0.667) p2",
+    ).first()
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    chunks = [raw.where(mic <= lo), raw.where((mic > lo) & (mic <= hi)),
+              raw.where(mic > hi)]
+
+    src_dir, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    for ch in chunks:
+        ch.write.mode("append").parquet(src_dir)
+        stream = spark.readStream.schema(
+            "source string, ts timestamp, value double").parquet(src_dir)
+        q = (streaming_twa_partials(stream, "1m")
+             .writeStream.outputMode("append").trigger(availableNow=True)
+             .option("checkpointLocation", ckpt)
+             .format("parquet").option("path", out).start())
+        q.awaitTermination()
+
+    merged = twa_merge_partials(spark.read.parquet(out))
+    got = {
+        (r["source"], r["bucket_ts"]): r for r in
+        merged.join(
+            spark.read.parquet(out).groupBy("source", "bucket_ts").agg(
+                F.sum("w_us").alias("w_us"), F.sum("vw_u").alias("vw_u")),
+            ["source", "bucket_ts"]).collect()
+    }
+    assert set(got) == set(expect)
+    for k, r in got.items():
+        w_us, vw_u, covered, twa = expect[k]
+        assert r["w_us"] == w_us, k
+        assert r["vw_u"] == vw_u, k          # exact quantized partials
+        assert r["covered_secs"] == covered, k
+        assert r["twa"] == twa, k            # bit-equal final division
+    raw.unpersist()
