@@ -831,6 +831,20 @@ def q_token_count(spark, sf_dir):
     return token_count(docs)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy in nats (operators/
+    corpus.py token_entropy): the diversity quality signal —
+    boilerplate and keyword-stuffed docs collapse to low H even when
+    no single n-gram trips repetition_stats. Two-Exchange plan
+    (explode -> (doc, word) count -> window totals -> reduce);
+    per-word terms 1e-9-quantized and DECIMAL-summed, so the score is
+    parallelism-stable and hash-equal to the SQL replay."""
+    from adtk_spark.operators.corpus import token_entropy
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_entropy(docs)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained unigram LM average log-prob per document (add-one
     smoothing) — the CCNet-style perplexity quality filter. Per-token
@@ -1639,6 +1653,24 @@ def q_ks_drift(spark, sf_dir):
     return ks_drift(ev, dt.datetime(2024, 1, 16))
 
 
+def q_js_drift(spark, sf_dir):
+    """Jensen-Shannon divergence drift per source (plans/tiers.py
+    js_drift): the BOUNDED companion to psi_drift over the same bins
+    and Jan 1-15 vs Jan 16+ split — zero-proportion bins contribute
+    natively (no eps floor) and the score saturates at ln 2, so one
+    threshold transfers across sources. Per-bin terms are computed with
+    one fixed association and 1e-9-quantized DECIMAL-summed, so the
+    score is parallelism-stable and hash-equal to the SQL replay."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import js_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return js_drift(ev, dt.datetime(2024, 1, 16),
+                    [1.0, 25.0, 50.0, 100.0, 150.0, 250.0])
+
+
 def q_sax_8m(spark, sf_dir):
     """SAX symbolic downsampling (Lin et al. 2003) over the 1m-tier
     mean series: per-source z-normalization, 8-minute PAA segments,
@@ -1973,6 +2005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "js_drift": q_js_drift,
+        "token_entropy": q_token_entropy,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -1994,7 +2028,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose latest driver row is round 3; (4) the 50 green in round 4,
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
-    r5_new = ["rollup_twa_up", "image_features", "audio_features",
+    r5_new = ["js_drift", "token_entropy", "rollup_twa_up",
+              "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
     never_checked = [
         "hash_sample", "cusum_ad", "robust_zscore_ad", "rollup_distinct_1h",
@@ -4250,6 +4285,67 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(CAST(round((p - q) * ln(p / q), 9)
                                        AS DECIMAL(38,9))) AS DOUBLE), 6) AS psi
             FROM t GROUP BY source
+        """,
+        # explode -> per-(doc,word) counts -> per-doc totals; -(p)*ln(p)
+        # terms with the identical association and DECIMAL quantization
+        "token_entropy": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), per AS (
+              SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2
+            ), tot AS (
+              SELECT doc_id, sum(c) AS n, count(*) AS u
+              FROM per GROUP BY 1
+            )
+            SELECT per.doc_id,
+                   CAST(min(tot.n) AS BIGINT) AS n_words,
+                   CAST(min(tot.u) AS BIGINT) AS n_uniq_words,
+                   round(CAST(sum(CAST(round(
+                     -(per.c / tot.n) * ln(per.c / tot.n), 9)
+                     AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy_nats
+            FROM per JOIN tot USING (doc_id)
+            GROUP BY per.doc_id
+        """,
+        # same binning as psi_drift; zero-proportion-native JSD terms
+        # with the identical fixed association and DECIMAL quantization
+        "js_drift": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     (CAST(value >= 1.0e0 AS INT) + CAST(value >= 25.0e0 AS INT)
+                      + CAST(value >= 50.0e0 AS INT) + CAST(value >= 100.0e0 AS INT)
+                      + CAST(value >= 150.0e0 AS INT) + CAST(value >= 250.0e0 AS INT)) AS bin,
+                     CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
+              FROM events WHERE value IS NOT NULL
+            ), per AS (
+              SELECT source, bin, sum(r) AS cref, sum(1 - r) AS ccur
+              FROM b GROUP BY 1, 2
+            ), tot AS (
+              SELECT source, sum(cref) AS n_ref, sum(ccur) AS n_cur
+              FROM per GROUP BY source
+            ), t AS (
+              SELECT per.source, tot.n_ref, tot.n_cur,
+                     (CASE WHEN tot.n_ref = 0 THEN 0e0
+                           ELSE per.cref / tot.n_ref END) AS p,
+                     (CASE WHEN tot.n_cur = 0 THEN 0e0
+                           ELSE per.ccur / tot.n_cur END) AS q
+              FROM per JOIN tot USING (source)
+            ), t2 AS (
+              SELECT source, n_ref, n_cur, p, q, (p + q) * 0.5e0 AS m
+              FROM t
+            )
+            SELECT source,
+                   CAST(min(n_ref) AS BIGINT) AS n_ref,
+                   CAST(min(n_cur) AS BIGINT) AS n_cur,
+                   CASE WHEN min(n_ref) > 0 AND min(n_cur) > 0 THEN
+                     round(CAST(sum(CAST(round(
+                       (CASE WHEN p > 0e0 THEN 0.5e0 * p * ln(p / m)
+                             ELSE 0e0 END)
+                       + (CASE WHEN q > 0e0 THEN 0.5e0 * q * ln(q / m)
+                               ELSE 0e0 END), 9)
+                       AS DECIMAL(38,9))) AS DOUBLE), 6)
+                   END AS jsd
+            FROM t2 GROUP BY source
         """,
         # generated replay: unrolled per-day bin counts, lag window,
         # identical term association and DECIMAL quantization

@@ -594,6 +594,55 @@ def token_count(
     )
 
 
+def token_entropy(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the whitespace-token unigram
+    distribution, in nats: ``H = -sum_w (c_w/n) ln(c_w/n)``. The
+    repetition/diversity quality signal ``repetition_stats`` doesn't
+    cover: boilerplate and template spam collapse to low entropy even
+    when no single n-gram repeats enough to trip the dup-line ratio,
+    and H/ln(n_uniq) ~ 1 distinguishes genuinely diverse text from
+    keyword-stuffed lists.
+
+    Plan shape: explode -> (doc_id, word) count -> per-doc totals as
+    WINDOW sums over the doc partitioning -> final reduce on that same
+    partitioning: two Exchanges, no join (the psi_drift device). No
+    per-doc quadratic work — a higher-order-function formulation
+    (count each distinct word by filtering the array) is shuffle-free
+    but O(len^2) per doc, which loses badly on book-length documents;
+    explode+count is linear and the (doc_id, word) key is naturally
+    high-cardinality, so it distributes without salting.
+
+    Determinism: counts are integers; each word's term ``-(p)*ln(p)``
+    is computed with one fixed association and 1e-9-quantized
+    DECIMAL-summed, so the entropy is bit-stable at any parallelism
+    and hash-equal to the SQL replay.
+    """
+    per = (
+        docs.select(id_col, F.explode(_words(text_col)).alias("_word"))
+        .groupBy(id_col, "_word")
+        .agg(F.count("*").alias("_c"))
+    )
+    wdoc = Window.partitionBy(id_col)
+    j = per.withColumn("_n", F.sum("_c").over(wdoc))
+    p = F.col("_c") / F.col("_n")
+    term = (-p) * F.log(p)
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.min("_n").alias("n_words"),
+            F.count("*").alias("n_uniq_words"),
+            F.sum(F.round(term, 9).cast("decimal(38,9)"))
+            .cast("double").alias("_h"),
+        )
+        .select(
+            id_col, "n_words", "n_uniq_words",
+            F.round("_h", 6).alias("entropy_nats"),
+        )
+    )
+
+
 def fingerprint(
     docs: DataFrame, window: int = 4, *, id_col: str = "doc_id",
     text_col: str = "text", portable: bool = False,

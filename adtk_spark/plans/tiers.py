@@ -740,6 +740,86 @@ def ks_drift(
     )
 
 
+def js_drift(
+    df: DataFrame,
+    split_ts,
+    edges: list[float],
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Jensen-Shannon divergence per source between the reference
+    window (``ts < split_ts``) and the current window over EXPLICIT
+    value-bin edges: ``JSD = KL(p||m)/2 + KL(q||m)/2`` with
+    ``m = (p+q)/2``. The bounded companion to ``psi_drift`` over the
+    same bins: PSI is unbounded and needs an eps floor exactly where
+    drift is worst (a bin empty on one side), JSD handles
+    zero-proportion bins natively (``0*ln(0) = 0`` and ``m > 0``
+    whenever the bin is observed at all) and saturates at ``ln 2``, so
+    thresholds transfer across sources with wildly different
+    distributions. A feed monitor runs all three: PSI for per-bin
+    attribution, KS for the edge-free alarm, JSD for the bounded
+    cross-source comparable score.
+
+    Plan shape: identical to ``psi_drift`` — one (source, bin) shuffle
+    with conditional integer counts (map-side combinable), per-source
+    totals as WINDOW sums over the source partitioning, final reduce
+    on that same partitioning: exactly two Exchanges, no join. Bins
+    empty in both windows never materialize and would contribute 0.
+
+    Determinism: counts are integers; each bin's term is computed with
+    one fixed association ``0.5*p*ln(p/m) + 0.5*q*ln(q/m)`` (each half
+    gated to 0 when its proportion is 0) and the terms are
+    1e-9-quantized DECIMAL-summed, so the score is bit-stable at any
+    parallelism and hash-equal to the SQL replay. Sources empty on
+    either side emit NULL jsd (KS convention — "distance to no data"
+    is not 0.5*ln2).
+    """
+    v = F.col(value_col)
+    bin_expr = None
+    for e in edges:
+        ind = (v >= F.lit(float(e))).cast("int")
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    is_ref = F.col(ts_col) < F.lit(split_ts)
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(source_col, bin_expr.alias("bin"))
+        .agg(
+            F.sum(F.when(is_ref, 1).otherwise(0)).alias("cref"),
+            F.sum(F.when(is_ref, 0).otherwise(1)).alias("ccur"),
+        )
+    )
+    wsrc = Window.partitionBy(source_col)
+    j = per.withColumn("n_ref", F.sum("cref").over(wsrc)).withColumn(
+        "n_cur", F.sum("ccur").over(wsrc))
+    p = F.when(F.col("n_ref") == 0, F.lit(0.0)).otherwise(
+        F.col("cref") / F.col("n_ref"))
+    q = F.when(F.col("n_cur") == 0, F.lit(0.0)).otherwise(
+        F.col("ccur") / F.col("n_cur"))
+    m = (p + q) * F.lit(0.5)
+    term = (
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.min("n_ref").alias("n_ref"),
+            F.min("n_cur").alias("n_cur"),
+            F.sum(F.round(term, 9).cast("decimal(38,9)"))
+            .cast("double").alias("_jsd"),
+        )
+        .select(
+            source_col, "n_ref", "n_cur",
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                F.round("_jsd", 6),
+            ).alias("jsd"),
+        )
+    )
+
+
 def psi_timeline(
     df: DataFrame,
     edges: list[float],

@@ -64,6 +64,39 @@ def test_lang_id_and_quality(spark, docs):
     assert r["n_bpe_est"] >= r["n_ws_tokens"] > 0
 
 
+def test_token_entropy_golden(spark):
+    """Unigram entropy golden: all-same tokens give 0, a 50/50 split
+    gives ln 2, uniform over 4 gives ln 4 — each reproduced through the
+    operator's own 1e-9 term quantization."""
+    import math
+
+    from adtk_spark.operators.corpus import token_entropy
+
+    rows = [(1, "a a b b"), (2, "x x x"), (3, "p q r s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_uniq_words"], r["entropy_nats"])
+           for r in token_entropy(d).collect()}
+    t_half = round(-0.5 * math.log(0.5), 9)
+    t_quarter = round(-0.25 * math.log(0.25), 9)
+    assert got[1] == (4, 2, round(2 * t_half, 6))
+    assert got[2] == (3, 1, 0.0)
+    assert got[3] == (4, 4, round(4 * t_quarter, 6))
+
+
+def test_token_entropy_plan_two_exchanges_no_join(spark):
+    import re
+
+    from adtk_spark.operators.corpus import token_entropy
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d")], "doc_id long, text string")
+    plan = token_entropy(d)._jdf.queryExecution().executedPlan().toString()
+    # (doc,word) counts then a doc repartition shared by the totals
+    # window and the final reduce — the psi_drift device, no join
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_fingerprint_stability(spark, docs):
     from adtk_spark.operators.corpus import fingerprint
 

@@ -99,6 +99,19 @@ def test_psi_timeline_two_exchanges_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_js_drift_two_exchanges_no_join(spark):
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import js_drift
+
+    df = series_df(spark, list(range(50)))
+    plan = plan_of(js_drift(df, dt.datetime(2025, 1, 1, 12), [10.0, 20.0]))
+    # identical shape to psi_drift: (source,bin) counts then a source
+    # repartition shared by the totals window and the final reduce
+    assert count_exchanges(plan) == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_ks_drift_two_exchanges_no_join(spark):
     import datetime as dt
 
@@ -369,6 +382,35 @@ def test_psi_drift_golden(spark):
     # n_ref = 0: p floors at eps in the one observed bin, q = 1
     want_new = round(round((eps - 1.0) * math.log(eps / 1.0), 9), 6)
     assert got["newsrc"] == (0, 3, want_new)
+
+
+def test_js_drift_golden(spark):
+    """JSD golden: a total bin swap between windows saturates at ln 2;
+    an identical distribution gives 0; a source empty on one side emits
+    NULL (no eps fiction — 'distance to no data' is undefined)."""
+    import datetime as dt
+    import math
+
+    from adtk_spark.plans.tiers import js_drift
+
+    t_ref = dt.datetime(2025, 1, 1)
+    t_cur = dt.datetime(2025, 2, 1)
+    split = dt.datetime(2025, 1, 15)
+    rows = (
+        [("swap", t_ref, 5.0)] * 4 + [("swap", t_cur, 15.0)] * 4
+        + [("same", t_ref, 5.0)] * 2 + [("same", t_cur, 5.0)] * 2
+        + [("newsrc", t_cur, 15.0)] * 3
+    )
+    df = spark.createDataFrame(
+        rows, "source string, ts timestamp, value double")
+    got = {r["source"]: (r["n_ref"], r["n_cur"], r["jsd"])
+           for r in js_drift(df, split, [10.0]).collect()}
+
+    # per disjoint bin: p=1,q=0 (or mirror) -> 0.5*1*ln(1/0.5) = ln2/2
+    term = round(0.5 * math.log(2.0), 9)
+    assert got["swap"] == (4, 4, round(2 * term, 6))
+    assert got["same"] == (2, 2, 0.0)
+    assert got["newsrc"] == (0, 3, None)
 
 
 def test_rollup_twa_golden(spark):
