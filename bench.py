@@ -520,6 +520,8 @@ def main():
         "ngram_contamination": eqs.get("ngram_contamination"),
         "psi_drift": eqs.get("psi_drift"),
         "ks_drift": eqs.get("ks_drift"),
+        "js_drift": eqs.get("js_drift"),
+        "token_entropy": eqs.get("token_entropy"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),
