@@ -845,6 +845,36 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(docs)
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-5 terms by smoothed TF-IDF (operators/
+    corpus.py tfidf_topk; sklearn TfidfTransformer idf convention):
+    the corpus-composition keyword signal. Three Exchanges, all on
+    naturally high-cardinality keys ((doc,word) count -> word-window
+    df -> per-doc rank); integer tf/df and a scalar N make the score
+    one fixed double expression per row, ranked on its 1e-9
+    quantization with the word as tiebreak — bit-stable at any
+    parallelism and hash-equal to the SQL replay."""
+    from adtk_spark.operators.corpus import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=5)
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Top-20 documents for a fixed 3-term query under Okapi BM25
+    (operators/corpus.py bm25_topk; Lucene-style non-negative idf).
+    Shuffle-free scoring: per-term tf and dl come from higher-order
+    functions over the split array, the (N, sum_dl, df) fit is one
+    tiny aggregate, and the top-k compiles to TakeOrderedAndProject.
+    idf/avgdl are 1e-9-quantized fit scalars and the per-term partial
+    scores are quantized and folded in fixed query order, so ranking
+    is bit-stable and SQL-replayable."""
+    from adtk_spark.operators.corpus import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(docs, ["spark", "vector", "join"], k=20)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained unigram LM average log-prob per document (add-one
     smoothing) — the CCNet-style perplexity quality filter. Per-token
@@ -2007,6 +2037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "js_drift": q_js_drift,
         "token_entropy": q_token_entropy,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_topk": q_bm25_topk,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2028,7 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose latest driver row is round 3; (4) the 50 green in round 4,
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
-    r5_new = ["js_drift", "token_entropy", "rollup_twa_up",
+    r5_new = ["tfidf_topk", "bm25_topk",
+              "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
     never_checked = [
@@ -4306,6 +4339,83 @@ def oracle_sql() -> dict[str, str]:
                      AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy_nats
             FROM per JOIN tot USING (doc_id)
             GROUP BY per.doc_id
+        """,
+        # smoothed-idf TF-IDF; rank on the 1e-9-quantized score with the
+        # word tiebreak, exactly as the Spark window
+        "tfidf_topk": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+            ), n AS (
+              SELECT count(*) AS n_docs FROM documents
+            ), sc AS (
+              SELECT doc_id, word, tf,
+                     CAST(tf AS DOUBLE)
+                     * (ln((SELECT n_docs + 1 FROM n)
+                           / CAST(count(*) OVER (PARTITION BY word) + 1
+                                  AS DOUBLE)) + 1.0e0) AS score
+              FROM tf
+            ), rk AS (
+              SELECT doc_id, word, tf, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY round(score, 9) DESC,
+                                                 word ASC) AS rank
+              FROM sc
+            )
+            SELECT doc_id, CAST(rank AS INT) AS rank, word, tf,
+                   round(score, 6) AS tfidf
+            FROM rk WHERE rank <= 5
+        """,
+        # Okapi BM25, Lucene non-negative idf; fit scalars (N, avgdl,
+        # per-term df) 1e-9-quantized and the three per-term partials
+        # quantized and left-folded in fixed query order, as in Spark
+        "bm25_topk": """
+            WITH fit AS (
+              SELECT count(*) AS n,
+                     round(sum(len(string_split(text, ' ')))::DOUBLE
+                           / count(*), 9) AS avgdl,
+                     round(ln(1.0e0 + (count(*) - sum(CAST(list_contains(
+                         string_split(text,' '),'spark') AS INT)) + 0.5e0)
+                       / (sum(CAST(list_contains(string_split(text,' '),
+                         'spark') AS INT)) + 0.5e0)), 9) AS idf1,
+                     round(ln(1.0e0 + (count(*) - sum(CAST(list_contains(
+                         string_split(text,' '),'vector') AS INT)) + 0.5e0)
+                       / (sum(CAST(list_contains(string_split(text,' '),
+                         'vector') AS INT)) + 0.5e0)), 9) AS idf2,
+                     round(ln(1.0e0 + (count(*) - sum(CAST(list_contains(
+                         string_split(text,' '),'join') AS INT)) + 0.5e0)
+                       / (sum(CAST(list_contains(string_split(text,' '),
+                         'join') AS INT)) + 0.5e0)), 9) AS idf3
+              FROM documents
+            ), d AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS dl,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x = 'spark'))::DOUBLE AS tf1,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x = 'vector'))::DOUBLE AS tf2,
+                     len(list_filter(string_split(text, ' '),
+                                     x -> x = 'join'))::DOUBLE AS tf3
+              FROM documents
+            ), s AS (
+              SELECT doc_id, dl,
+                     round(0.0e0
+                       + round(fit.idf1 * tf1 * 2.2e0
+                           / (tf1 + 1.2e0 * (0.25e0 + 0.75e0
+                              * dl::DOUBLE / fit.avgdl)), 9)
+                       + round(fit.idf2 * tf2 * 2.2e0
+                           / (tf2 + 1.2e0 * (0.25e0 + 0.75e0
+                              * dl::DOUBLE / fit.avgdl)), 9)
+                       + round(fit.idf3 * tf3 * 2.2e0
+                           / (tf3 + 1.2e0 * (0.25e0 + 0.75e0
+                              * dl::DOUBLE / fit.avgdl)), 9), 9) AS s9
+              FROM d, fit
+            )
+            SELECT doc_id, dl, round(s9, 6) AS bm25
+            FROM s WHERE s9 > 0.0e0
+            ORDER BY s9 DESC, doc_id ASC LIMIT 20
         """,
         # same binning as psi_drift; zero-proportion-native JSD terms
         # with the identical fixed association and DECIMAL quantization

@@ -643,6 +643,127 @@ def token_entropy(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame, k: int = 5, *, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF (the sklearn
+    TfidfTransformer convention, ``idf = ln((N+1)/(df+1)) + 1`` —
+    public formula): the standard keyword/topic signal a training-data
+    pipeline uses for corpus composition audits and topic-balanced
+    sampling, complementing [[token_entropy]]'s diversity score with
+    *which* terms dominate each document.
+
+    Plan shape: explode -> (doc, word) count (Exchange 1) -> document
+    frequency as a window count over the word partitioning (Exchange
+    2) -> per-doc rank window (Exchange 3). All three keys are
+    naturally high-cardinality (docs, vocab, docs), so the plan
+    distributes without salting at any corpus size; nothing is
+    collected but the corpus row count N (one fit-action scalar, the
+    engine's fit-then-predict convention).
+
+    Determinism: tf and df are integers and N is a scalar, so the
+    score is one fixed double expression per row — no unordered double
+    aggregation anywhere. Ranking compares the 1e-9-quantized score
+    with the word as tiebreak, so the top-k set is bit-identical at
+    any parallelism and hash-equal to the SQL replay.
+    """
+    n_docs = docs.count()  # fit-action scalar
+    tf = (
+        docs.select(id_col, F.explode(_words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    # (doc, word) is distinct after the count, so df = rows per word
+    df_w = F.count("*").over(Window.partitionBy("word"))
+    scored = tf.withColumn(
+        "_score",
+        F.col("tf").cast("double")
+        * (F.log(F.lit(float(n_docs + 1)) / (df_w + F.lit(1)).cast("double"))
+           + F.lit(1.0)),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(id_col)
+        .orderBy(F.round("_score", 9).desc(), F.col("word").asc())
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "word", "tf",
+                F.round("_score", 6).alias("tfidf"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame, query_terms: list[str], k: int = 20, *,
+    k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents for a term query under Okapi BM25 (Robertson &
+    Walker, the public textbook formula with the Lucene-style
+    non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``): retrieval
+    over the corpus — targeted inspection ("show me the docs about X")
+    and query-driven decontamination both reduce to it.
+
+    Plan shape: SHUFFLE-FREE scoring. Per-term tf and the document
+    length come from higher-order functions over the split array (one
+    map-side pass, no explode), the (N, sum_dl, per-term df) fit is
+    ONE tiny aggregate action, and the final top-k compiles to
+    TakeOrderedAndProject — never a full sort. At 100 TB this is a
+    single scan.
+
+    Determinism: idf and avgdl are 1e-9-quantized fit scalars; the
+    per-term partial scores are quantized and summed in the FIXED
+    query-term order (a left fold, identical in the SQL replay), so
+    ranking is bit-stable at any parallelism. Doc-id tiebreak.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    w = _words(text_col)
+    fit_aggs = [F.count("*").alias("n"),
+                F.sum(F.size(w)).alias("sum_dl")]
+    fit_aggs += [
+        F.sum(F.array_contains(w, t).cast("int")).alias(f"df_{i}")
+        for i, t in enumerate(terms)
+    ]
+    fit = docs.agg(*fit_aggs).collect()[0]  # fit-action scalars
+    n_docs, sum_dl = int(fit["n"]), int(fit["sum_dl"])
+    avgdl = round(sum_dl / n_docs, 9) if n_docs else 1.0
+    import math
+
+    idf = [
+        round(math.log(1.0 + (n_docs - int(fit[f"df_{i}"]) + 0.5)
+                       / (int(fit[f"df_{i}"]) + 0.5)), 9)
+        for i in range(len(terms))
+    ]
+    d = docs.select(id_col, F.size(w).alias("_dl"), w.alias("_w"))
+    norm = F.lit(k1) * (F.lit(1.0 - b)
+                        + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl))
+    score = F.lit(0.0)
+    for i, t in enumerate(terms):
+        tf_t = F.size(F.filter("_w", lambda x: x == F.lit(t))).cast("double")
+        score = score + F.round(
+            F.lit(idf[i]) * tf_t * F.lit(k1 + 1.0) / (tf_t + norm), 9)
+    # score > 0 iff the doc contains any query term (Lucene idf is
+    # strictly positive), so the exclusion filter is the cheap
+    # arrays_overlap predicate rather than the full scoring expression
+    # — Catalyst pushes filters below projections, and re-evaluating
+    # the 2k-term score once per row in the Filter AND the Project
+    # would double the scan's per-row work.
+    hit = F.arrays_overlap("_w", F.array(*[F.lit(t) for t in terms]))
+    out = d.where(hit).select(
+        id_col,
+        F.col("_dl").cast("long").alias("dl"),
+        F.round(score, 9).alias("_s9"),
+    )
+    return (
+        out.orderBy(F.col("_s9").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dl", F.round("_s9", 6).alias("bm25"))
+    )
+
+
 def fingerprint(
     docs: DataFrame, window: int = 4, *, id_col: str = "doc_id",
     text_col: str = "text", portable: bool = False,

@@ -522,6 +522,8 @@ def main():
         "ks_drift": eqs.get("ks_drift"),
         "js_drift": eqs.get("js_drift"),
         "token_entropy": eqs.get("token_entropy"),
+        "tfidf_topk": eqs.get("tfidf_topk"),
+        "bm25_topk": eqs.get("bm25_topk"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -97,6 +97,76 @@ def test_token_entropy_plan_two_exchanges_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_tfidf_topk_golden_and_tiebreak(spark):
+    """Smoothed-idf TF-IDF golden on a 3-doc corpus, including the
+    quantized-score tie resolved by the word-asc tiebreak."""
+    import math
+
+    from adtk_spark.operators.corpus import tfidf_topk
+
+    rows = [(1, "a a b"), (2, "a c"), (3, "c c c")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["word"], r["tf"], r["tfidf"])
+           for r in tfidf_topk(d, k=2).collect()}
+    idf_a = math.log(4 / 3) + 1.0  # df=2 of N=3
+    idf_b = math.log(4 / 2) + 1.0  # df=1
+    assert got[(1, 1)] == ("a", 2, round(2 * idf_a, 6))
+    assert got[(1, 2)] == ("b", 1, round(1 * idf_b, 6))
+    # doc 2: a and c score identically (same tf, same df) -> word asc
+    assert got[(2, 1)][0] == "a" and got[(2, 2)][0] == "c"
+    assert got[(3, 1)] == ("c", 3, round(3 * idf_a, 6))
+
+
+def test_tfidf_topk_plan_three_exchanges(spark):
+    import re
+
+    from adtk_spark.operators.corpus import tfidf_topk
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d")], "doc_id long, text string")
+    plan = tfidf_topk(d)._jdf.queryExecution().executedPlan().toString()
+    # (doc,word) count -> word-window df -> per-doc rank; no join
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_topk_golden_ordering(spark):
+    """BM25 golden: hand-computed scores with the operator's own
+    quantization; zero-score docs excluded; ordering tf/dl-sensitive."""
+    import math
+
+    from adtk_spark.operators.corpus import bm25_topk
+
+    rows = [(1, "a a b b"), (2, "a"), (3, "b b"), (4, "a a a a")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(d, ["a"], k=10).collect()
+    # N=4, df=3, sum_dl=11
+    idf = round(math.log(1.0 + (4 - 3 + 0.5) / 3.5), 9)
+    avgdl = round(11 / 4, 9)
+
+    def s(tf, dl):
+        t = round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 9)
+        return round(round(0.0 + t, 9), 6)
+
+    assert [r["doc_id"] for r in out] == [4, 2, 1]  # doc 3 scores 0
+    got = {r["doc_id"]: (r["dl"], r["bm25"]) for r in out}
+    assert got[4] == (4, s(4.0, 4))
+    assert got[2] == (1, s(1.0, 1))
+    assert got[1] == (4, s(2.0, 4))
+
+
+def test_bm25_topk_plan_shuffle_free(spark):
+    from adtk_spark.operators.corpus import bm25_topk
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d")], "doc_id long, text string")
+    plan = bm25_topk(d, ["a", "c"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_fingerprint_stability(spark, docs):
     from adtk_spark.operators.corpus import fingerprint
 
