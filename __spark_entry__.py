@@ -1667,6 +1667,31 @@ def q_seasonality_scan(spark, sf_dir):
     return seasonality_scan(ev, [3600, 86400, 604800])
 
 
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive anomaly over the 1h tier (plans/tiers.py
+    seasonal_naive_anomaly): baseline = same hour yesterday via an
+    exact-offset RANGE frame (missing buckets -> NULL baseline, never
+    a wrong-period row lag), flag when the day-over-day residual sits
+    beyond 3 sd of the source's own residual distribution. ONE
+    Exchange: the baseline window and the residual-moment windows
+    share the source partitioning. Tier means and residual moments are
+    DECIMAL-quantized, so the flag is parallelism-stable."""
+    from adtk_spark.plans.tiers import seasonal_naive_anomaly
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(
+        # organic double mean: the DECIMAL sum already makes the single
+        # division deterministic; a round-9 here would re-round to 6
+        # downstream and manufacture exact half-way ties (see the
+        # operator's NOTE)
+        (_dsum().cast("double") / F.count("value")).alias("value")
+    )
+    return seasonal_naive_anomaly(h1, 86400, z=3.0)
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
     ks_drift): the bin-free companion to psi_drift over the same
@@ -2039,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
+        "seasonal_naive": q_seasonal_naive,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2060,7 +2086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose latest driver row is round 3; (4) the 50 green in round 4,
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
-    r5_new = ["tfidf_topk", "bm25_topk",
+    r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4339,6 +4365,48 @@ def oracle_sql() -> dict[str, str]:
                      AS DECIMAL(38,9))) AS DOUBLE), 6) AS entropy_nats
             FROM per JOIN tot USING (doc_id)
             GROUP BY per.doc_id
+        """,
+        # same 1h DECIMAL tier means; baseline via the identical
+        # exact-offset RANGE frame; residual moments DECIMAL-summed with
+        # the identical mu/var association
+        "seasonal_naive": """
+            WITH h AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ts,
+                     CAST(sum(CAST(value AS DECIMAL(38,9)))
+                          AS DOUBLE) / count(value) AS value
+              FROM events GROUP BY 1, 2
+            ), b AS (
+              SELECT source, ts, value,
+                     max(value) OVER (PARTITION BY source ORDER BY ts
+                       RANGE BETWEEN INTERVAL 86400 SECONDS PRECEDING
+                                 AND INTERVAL 86400 SECONDS PRECEDING)
+                       AS baseline
+              FROM h
+            ), r AS (
+              SELECT source, ts, value, baseline,
+                     value - baseline AS resid_raw
+              FROM b
+            ), m AS (
+              SELECT source, ts, value, baseline, resid_raw,
+                     count(resid_raw) OVER w AS n,
+                     CAST(sum(CAST(round(resid_raw, 9) AS DECIMAL(38,9)))
+                          OVER w AS DOUBLE) AS s,
+                     CAST(sum(CAST(round(resid_raw * resid_raw, 9)
+                                   AS DECIMAL(38,9))) OVER w
+                          AS DOUBLE) AS ss
+              FROM r WINDOW w AS (PARTITION BY source)
+            )
+            SELECT source, ts,
+                   round(value, 6) AS value,
+                   round(baseline, 6) AS baseline,
+                   round(resid_raw, 6) AS resid,
+                   CASE WHEN resid_raw IS NULL THEN NULL
+                        ELSE abs(resid_raw - s / n) > 3.0e0
+                             * sqrt(greatest(ss / n - (s / n) * (s / n),
+                                             0.0e0))
+                   END AS is_anomaly
+            FROM m
         """,
         # smoothed-idf TF-IDF; rank on the 1e-9-quantized score with the
         # word tiebreak, exactly as the Spark window

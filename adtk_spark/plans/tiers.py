@@ -1005,6 +1005,81 @@ def seasonality_scan(
                       strength.alias("strength"))
 
 
+def seasonal_naive_anomaly(
+    df: DataFrame,
+    period_secs: int,
+    z: float = 3.0,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Seasonal-naive residual anomaly over a (tier) series: baseline =
+    the value exactly one period earlier (the forecasting-textbook
+    "seasonal naive" forecast), residual = value - baseline, flagged
+    when |residual - mu_resid| > z * sd_resid per source. The
+    tier-native complement to SeasonalAD: where the classic
+    decomposition fits a phase profile (and needs a fit pass), the
+    naive baseline is a pure window expression — the right first-line
+    monitor over 1h/1d rollup tiers ("is this hour unlike the same
+    hour yesterday, beyond this source's normal day-over-day churn?").
+
+    Plan shape: ONE Exchange (hash on source). The baseline is an
+    exact-offset RANGE frame over epoch micros (never a row lag, so
+    missing buckets yield NULL baselines instead of silently comparing
+    against the wrong period), and the residual moments are unordered
+    whole-partition windows over the SAME source partitioning — no
+    join, no second shuffle, no fit action. Scales per source-span
+    like every tier window.
+
+    Determinism: residuals are 1e-9-quantized before the DECIMAL
+    moment sums; mu/var/sd are then single IEEE expressions on exact
+    inputs, so the flag is bit-stable at any parallelism and
+    replayable in SQL (DuckDB: the same exact-offset RANGE frame with
+    INTERVAL bounds).
+    """
+    v = F.col(value_col)
+    eus = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    off = int(period_secs) * 1_000_000
+    wb = (
+        Window.partitionBy(source_col)
+        .orderBy(eus)
+        .rangeBetween(-off, -off)
+    )
+    d = df.select(source_col, ts_col, v.alias("_v")).withColumn(
+        "_base", F.max("_v").over(wb))
+    # NOTE: the residual is quantized to 1e-9 ONLY inside the DECIMAL
+    # moment sums; every emitted value rounds the ORGANIC double once.
+    # Rounding an already-9-quantized value to 6 decimals manufactures
+    # exact ...500 ties where Spark's shortest-repr HALF_UP and a
+    # binary-rounding engine disagree (~1/1000 rows) — caught live at
+    # sf0.1.
+    d = d.withColumn("_r", F.col("_v") - F.col("_base"))
+    r9 = F.round(F.col("_r"), 9)
+    ws = Window.partitionBy(source_col)
+    n = F.count("_r").over(ws)
+    s = F.sum(r9.cast("decimal(38,9)")).over(ws).cast("double")
+    ss = F.sum(F.round(F.col("_r") * F.col("_r"), 9)
+               .cast("decimal(38,9)")).over(ws).cast("double")
+    d = d.select(source_col, ts_col, "_v", "_base", "_r",
+                 n.alias("_n"), s.alias("_s"), ss.alias("_ss"))
+    mu = F.col("_s") / F.col("_n")
+    sd = F.sqrt(F.greatest(
+        F.col("_ss") / F.col("_n") - mu * mu, F.lit(0.0)))
+    flag = F.when(
+        F.col("_r").isNotNull(),
+        F.abs(F.col("_r") - mu) > F.lit(float(z)) * sd,
+    )
+    return d.select(
+        source_col,
+        ts_col,
+        F.round("_v", 6).alias("value"),
+        F.round("_base", 6).alias("baseline"),
+        F.round("_r", 6).alias("resid"),
+        flag.alias("is_anomaly"),
+    )
+
+
 def rollup_retention(
     df: DataFrame,
     tier: str = "1h",

@@ -437,3 +437,55 @@ def test_rollup_topk_up_exact_on_skew_and_lower_bound(spark):
     assert d2["sneaky"] == 18            # the truth the merge lower-bounds
     for k_, v in m2.items():
         assert v <= d2.get(k_, v)        # lower bound, never overcount
+
+
+def test_seasonal_naive_anomaly_golden(spark):
+    """Day-over-day seasonal-naive: flat sources give zero residuals,
+    a single spiked hour flags, missing buckets yield NULL baselines
+    (the RANGE frame never falls back to the wrong period)."""
+    import math
+
+    from adtk_spark.plans.tiers import seasonal_naive_anomaly
+
+    base = dt.datetime(2025, 3, 1)
+    rows = []
+    # 3 days x 24 hourly points, value = 10 + hour-of-day, except a
+    # spike at day 3 hour 5; hour 7 of day 2 is MISSING entirely
+    for day in range(3):
+        for h in range(24):
+            if day == 1 and h == 7:
+                continue
+            v = 100.0 if (day == 2 and h == 5) else 10.0 + h
+            rows.append(("a", base + dt.timedelta(days=day, hours=h), v))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {(r["ts"]): (r["baseline"], r["resid"], r["is_anomaly"])
+           for r in seasonal_naive_anomaly(df, 86400).collect()}
+    # day 1: no prior period -> NULL baseline/flag
+    t0 = base + dt.timedelta(hours=3)
+    assert out[t0] == (None, None, None)
+    # day 2 hour 8: baseline = day 1 hour 8, residual 0, not anomalous
+    t1 = base + dt.timedelta(days=1, hours=8)
+    assert out[t1] == (18.0, 0.0, False)
+    # day 3 hour 7: day-2 hour 7 missing -> NULL baseline, no flag
+    t2 = base + dt.timedelta(days=2, hours=7)
+    assert out[t2] == (None, None, None)
+    # day 3 hour 5: residual 100 - 15 = 85 dominates -> flagged
+    t3 = base + dt.timedelta(days=2, hours=5)
+    assert out[t3][0] == 15.0 and out[t3][1] == 85.0 and out[t3][2]
+    # all other observed residuals are 0 and unflagged
+    flagged = [t for t, (_, _, f) in out.items() if f]
+    assert flagged == [t3]
+
+
+def test_seasonal_naive_plan_one_exchange_no_join(spark):
+    import re
+
+    from adtk_spark.plans.tiers import seasonal_naive_anomaly
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "source string, ts timestamp, value double")
+    plan = seasonal_naive_anomaly(df, 3600)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
