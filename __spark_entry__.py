@@ -875,6 +875,19 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, ["spark", "vector", "join"], k=20)
 
 
+def q_vocab_kl(spark, sf_dir):
+    """Per-shard vocabulary KL divergence vs the corpus distribution
+    (operators/corpus.py vocab_kl): the shard-health signal for
+    training-mixture audits. Sparse by construction (KL touches only
+    words present in the shard); three Exchanges, per-term 1e-9
+    quantization with DECIMAL sums — parallelism-stable and hash-equal
+    to the SQL replay."""
+    from adtk_spark.operators.corpus import vocab_kl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_kl(docs)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained unigram LM average log-prob per document (add-one
     smoothing) — the CCNet-style perplexity quality filter. Per-token
@@ -2065,6 +2078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_topk": q_bm25_topk,
         "seasonal_naive": q_seasonal_naive,
+        "vocab_kl": q_vocab_kl,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2086,7 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # whose latest driver row is round 3; (4) the 50 green in round 4,
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
-    r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive",
+    r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4407,6 +4421,32 @@ def oracle_sql() -> dict[str, str]:
                                              0.0e0))
                    END AS is_anomaly
             FROM m
+        """,
+        # sparse KL over (shard, word) counts; per-term p*ln(p/q) with
+        # the identical association and DECIMAL quantization
+        "vocab_kl": """
+            WITH w AS (
+              SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), per AS (
+              SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2
+            ), n AS (
+              SELECT sum(len(string_split(text, ' '))) AS n_corpus
+              FROM documents
+            ), d AS (
+              SELECT source, word, c,
+                     sum(c) OVER (PARTITION BY word) AS cw,
+                     sum(c) OVER (PARTITION BY source) AS ng
+              FROM per
+            )
+            SELECT source,
+                   CAST(min(ng) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_vocab,
+                   round(CAST(sum(CAST(round(
+                     (c / ng) * ln((c / ng)
+                       / (cw / (SELECT CAST(n_corpus AS DOUBLE) FROM n))),
+                     9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS kl_nats
+            FROM d GROUP BY source
         """,
         # smoothed-idf TF-IDF; rank on the 1e-9-quantized score with the
         # word tiebreak, exactly as the Spark window

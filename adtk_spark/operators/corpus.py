@@ -643,6 +643,59 @@ def token_entropy(
     )
 
 
+def vocab_kl(
+    docs: DataFrame, *, group_col: str = "source", text_col: str = "text",
+) -> DataFrame:
+    """Per-shard vocabulary divergence: KL(p_shard || p_corpus) in nats
+    over the unigram token distributions — the corpus-health signal
+    that flags idiosyncratic shards (bot spam, contamination, a scrape
+    gone wrong) before they skew a training mixture. KL (not JSD) is
+    deliberate: ``KL(p||q) = sum_{w in shard} p ln(p/q)`` touches ONLY
+    words present in the shard (q > 0 for them by construction, since
+    the corpus contains the shard), so the computation stays SPARSE —
+    a JSD over vocabularies would need the full shard x vocab zero
+    support, quadratic at web scale.
+
+    Plan shape: explode -> (shard, word) count (Exchange 1) -> per-word
+    corpus counts as a word-partitioned window (Exchange 2) -> shard
+    totals window + final reduce sharing the shard partitioning
+    (Exchange 3). The corpus token total is one fit-action scalar. The
+    shard-partitioned steps hold at most vocab-size rows per shard —
+    bounded by vocabulary, not corpus size.
+
+    Determinism: counts are integers and N is a scalar; each term
+    ``p * ln(p/q)`` is one fixed double expression, 1e-9-quantized and
+    DECIMAL-summed, so the divergence is bit-stable at any parallelism
+    and hash-equal to the SQL replay.
+    """
+    n_corpus = int(
+        docs.agg(F.sum(F.size(_words(text_col))).alias("n")).collect()[0]["n"]
+    )  # fit-action scalar
+    per = (
+        docs.select(group_col, F.explode(_words(text_col)).alias("_word"))
+        .groupBy(group_col, "_word")
+        .agg(F.count("*").alias("_c"))
+    )
+    cw = F.sum("_c").over(Window.partitionBy("_word"))
+    d = per.withColumn("_cw", cw)
+    ng = F.sum("_c").over(Window.partitionBy(group_col))
+    d = d.withColumn("_ng", ng)
+    p = F.col("_c") / F.col("_ng")
+    q = F.col("_cw") / F.lit(float(n_corpus))
+    term = p * F.log(p / q)
+    return (
+        d.groupBy(group_col)
+        .agg(
+            F.min("_ng").alias("n_tokens"),
+            F.count("*").alias("n_vocab"),
+            F.sum(F.round(term, 9).cast("decimal(38,9)"))
+            .cast("double").alias("_kl"),
+        )
+        .select(group_col, "n_tokens", "n_vocab",
+                F.round("_kl", 6).alias("kl_nats"))
+    )
+
+
 def tfidf_topk(
     docs: DataFrame, k: int = 5, *, id_col: str = "doc_id",
     text_col: str = "text",

@@ -525,6 +525,7 @@ def main():
         "tfidf_topk": eqs.get("tfidf_topk"),
         "bm25_topk": eqs.get("bm25_topk"),
         "seasonal_naive": eqs.get("seasonal_naive"),
+        "vocab_kl": eqs.get("vocab_kl"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1215,3 +1215,40 @@ def test_oversized_ivf_cell_split_recovers_pairs(spark):
         ivf_assign(same, centers, out_col="list_id"), max_cell=10).collect()
     assert len(stats) == 1 and stats[0]["dropped"] == 1
     assert stats[0]["n_vecs"] == 16
+
+
+def test_vocab_kl_golden(spark):
+    """KL(shard || corpus) golden: a shard distributed exactly like the
+    corpus scores 0; a disjoint-vocabulary shard scores ln(N/n_s) — both
+    reproduced through the operator's own 1e-9 term quantization."""
+    import math
+
+    from adtk_spark.operators.corpus import vocab_kl
+
+    # s1: 3x "a", 1x "b"; s2: identical mix -> corpus mix == each shard
+    rows = [("s1", 1, "a a a b"), ("s2", 2, "a a a b")]
+    d = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {r["source"]: (r["n_tokens"], r["n_vocab"], r["kl_nats"])
+           for r in vocab_kl(d).collect()}
+    assert got["s1"] == (4, 2, 0.0) and got["s2"] == (4, 2, 0.0)
+
+    # disjoint vocab: every shard word has q = c/N with c all inside the
+    # shard -> p/q = N/n_s for each word, KL = ln(N/n_s)
+    rows2 = [("s1", 1, "a b c"), ("s2", 2, "x y z")]
+    d2 = spark.createDataFrame(rows2, "source string, doc_id long, text string")
+    got2 = {r["source"]: r["kl_nats"] for r in vocab_kl(d2).collect()}
+    t = round((1 / 3) * math.log((1 / 3) / (1 / 6)), 9)
+    assert got2["s1"] == round(3 * t, 6) == got2["s2"]
+
+
+def test_vocab_kl_plan_three_exchanges_no_join(spark):
+    import re
+
+    from adtk_spark.operators.corpus import vocab_kl
+
+    d = spark.createDataFrame(
+        [("s1", 1, "a b a"), ("s2", 2, "c d")],
+        "source string, doc_id long, text string")
+    plan = vocab_kl(d)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert "Join" not in plan, plan
