@@ -1095,6 +1095,20 @@ def q_rollup_ohlc_1h(spark, sf_dir):
         "cnt")
 
 
+def q_ltob_downsample_15m(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsampling to 15-minute pixels
+    (plans/tiers.py ltob_downsample): the shape-preserving
+    one-point-per-pixel companion to M4 — per bucket keep the point
+    with the largest triangle against its raw neighbors. ONE Exchange
+    (the (source,bucket) argmax reuses the source partitioning of the
+    neighbor window); endpoint NULL areas rank last explicitly on both
+    engines."""
+    from adtk_spark.plans.tiers import ltob_downsample
+
+    s = _series(spark, sf_dir)
+    return ltob_downsample(s, "15 minutes")
+
+
 def q_m4_downsample_15m(spark, sf_dir):
     """M4 downsampling (VLDB'14): per 15-minute pixel column keep only
     the first/last/min/max real tuples — the error-free line-chart
@@ -2079,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "seasonal_naive": q_seasonal_naive,
         "vocab_kl": q_vocab_kl,
+        "ltob_downsample_15m": q_ltob_downsample_15m,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2101,6 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
+              "ltob_downsample_15m",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4297,6 +4313,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # LTOB: identical neighbor lag/lead, identical doubled-area
+        # expression, per-bucket argmax with explicit NULLS LAST + ts
+        # tiebreak
+        "ltob_downsample_15m": _DEDUP_CTE + """
+            , x AS (
+              SELECT source, ts, value,
+                     CAST(epoch_us(ts) AS DOUBLE) AS x
+              FROM d WHERE value IS NOT NULL
+            ), nb AS (
+              SELECT source, ts, value, x,
+                     lag(x)      OVER w AS xp,
+                     lag(value)  OVER w AS yp,
+                     lead(x)     OVER w AS xn,
+                     lead(value) OVER w AS yn
+              FROM x WINDOW w AS (PARTITION BY source ORDER BY ts)
+            ), a AS (
+              SELECT source, ts, value,
+                     CAST(to_timestamp(floor(epoch(ts) / 900) * 900)
+                          AS TIMESTAMP) AS bucket,
+                     abs((xp - xn) * (value - yp)
+                         - (xp - x) * (yn - yp)) AS a2
+              FROM nb
+            )
+            SELECT source, ts, value
+            FROM a
+            QUALIFY row_number() OVER (PARTITION BY source, bucket
+                                       ORDER BY a2 DESC NULLS LAST,
+                                                ts ASC) = 1
         """,
         # M4: first/last/min/max tuples per pixel bucket, deterministic
         # value-tie breaks (earliest ts for min, latest for max); UNION

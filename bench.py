@@ -526,6 +526,7 @@ def main():
         "bm25_topk": eqs.get("bm25_topk"),
         "seasonal_naive": eqs.get("seasonal_naive"),
         "vocab_kl": eqs.get("vocab_kl"),
+        "ltob_downsample_15m": eqs.get("ltob_downsample_15m"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

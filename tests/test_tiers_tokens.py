@@ -489,3 +489,49 @@ def test_seasonal_naive_plan_one_exchange_no_join(spark):
         .executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_ltob_downsample_golden(spark):
+    """LTOB golden: the spike wins its bucket, flat-series zero-area
+    ties break by earliest ts over NULL-area endpoints, and a
+    single-point bucket keeps its endpoint."""
+    from adtk_spark.plans.tiers import ltob_downsample
+
+    base = dt.datetime(2025, 4, 1)
+    mk = lambda m, v: ("a", base + dt.timedelta(minutes=m), float(v))
+    rows = [
+        # hour 0: spike at :20 must win
+        mk(0, 0), mk(10, 0), mk(20, 10), mk(30, 0), mk(40, 0),
+        # hour 1: flat -> interior zero-area ties, earliest (:70) wins
+        # (:60's lag exists, so it's interior too but area>0 vs hour-0
+        #  neighborhood; keep it simple: all values equal from :40 on)
+        mk(60, 0), mk(70, 0), mk(80, 0),
+        # hour 2: a single point, NULL area, still kept (alone in bucket)
+        mk(125, 7),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = sorted((r["ts"], r["value"])
+                 for r in ltob_downsample(df, "1 hour").collect())
+    # hour 0 pick: the spike; hour 1 pick: earliest interior zero-area
+    # point; hour 2 pick: the lone endpoint
+    assert (base + dt.timedelta(minutes=20), 10.0) in got
+    assert (base + dt.timedelta(minutes=125), 7.0) in got
+    assert len(got) == 3
+    hour1 = [g for g in got
+             if dt.timedelta(minutes=60) <= g[0] - base < dt.timedelta(minutes=120)]
+    assert hour1 and hour1[0][1] == 0.0
+
+
+def test_ltob_plan_one_exchange_no_join(spark):
+    import re
+
+    from adtk_spark.plans.tiers import ltob_downsample
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "source string, ts timestamp, value double")
+    plan = ltob_downsample(df)._jdf.queryExecution().executedPlan().toString()
+    # the (source,bucket) argmax reuses the source-hash partitioning of
+    # the neighbor window: one Exchange total
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
