@@ -888,6 +888,22 @@ def q_vocab_kl(spark, sf_dir):
     return vocab_kl(docs)
 
 
+def q_lm_bigram_ppl(spark, sf_dir):
+    """Self-trained bigram LM average log-prob per doc (operators/
+    corpus.py lm_bigram_fit/score, add-one smoothing over prefix
+    counts, production min_count=5 pruning on BOTH model tables): the
+    conditional-fluency step up from lm_perplexity — word salad that
+    unigram scoring calls fluent scores poorly here. Pairs come from
+    zipped array slices (no positional self-join); both model joins
+    broadcast; per-pair log-probs 1e-9-quantized and DECIMAL-summed;
+    <2-token docs restore-joined as n_bigrams=0/NULL."""
+    from adtk_spark.operators.corpus import lm_bigram_fit, lm_bigram_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    big, pref, vocab = lm_bigram_fit(docs)
+    return lm_bigram_score(docs, big, pref, vocab)
+
+
 def q_lm_perplexity(spark, sf_dir):
     """Self-trained unigram LM average log-prob per document (add-one
     smoothing) — the CCNet-style perplexity quality filter. Per-token
@@ -2094,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_naive": q_seasonal_naive,
         "vocab_kl": q_vocab_kl,
         "ltob_downsample_15m": q_ltob_downsample_15m,
+        "lm_bigram_ppl": q_lm_bigram_ppl,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2116,7 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
-              "ltob_downsample_15m",
+              "ltob_downsample_15m", "lm_bigram_ppl",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4466,6 +4483,49 @@ def oracle_sql() -> dict[str, str]:
                                              0.0e0))
                    END AS is_anomaly
             FROM m
+        """,
+        # bigram LM replay: zipped-slice pairs, unpruned prefix sums,
+        # min_count=5 prune on both model tables, identical add-one
+        # association and DECIMAL quantization, restore-join for
+        # <2-token docs
+        "lm_bigram_ppl": """
+            WITH pairs AS (
+              SELECT doc_id,
+                     unnest(a[1:len(a)-1]) AS w1,
+                     unnest(a[2:len(a)]) AS w2
+              FROM (SELECT doc_id, string_split(text, ' ') AS a
+                    FROM documents)
+            ), big0 AS (
+              SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2
+            ), pref0 AS (
+              SELECT w1, sum(cb) AS cp FROM big0 GROUP BY 1
+            ), vocab AS (
+              SELECT count(DISTINCT word) AS v
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+            ), big AS (
+              SELECT * FROM big0 WHERE cb >= 5
+            ), pref AS (
+              SELECT * FROM pref0 WHERE cp >= 5
+            ), sc AS (
+              SELECT p.doc_id,
+                     round(ln((CAST(coalesce(b.cb, 0) AS DOUBLE) + 1.0e0)
+                       / (CAST(coalesce(f.cp, 0) AS DOUBLE)
+                          + (SELECT CAST(v AS DOUBLE) FROM vocab))),
+                       9) AS q
+              FROM pairs p
+              LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+              LEFT JOIN pref f ON p.w1 = f.w1
+            ), agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     CAST(sum(CAST(q AS DECIMAL(38,9))) AS DOUBLE)
+                       / count(*) AS avg_logp
+              FROM sc GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   agg.avg_logp
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         # sparse KL over (shard, word) counts; per-term p*ln(p/q) with
         # the identical association and DECIMAL quantization

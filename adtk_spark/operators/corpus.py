@@ -579,6 +579,99 @@ def lm_unigram_score(
     return out
 
 
+def _bigram_pairs(
+    docs: DataFrame, *, text_col: str, id_col: str | None = None,
+) -> DataFrame:
+    """(doc?, w1, w2) adjacent-pair rows via zipped array slices — no
+    positional explode+self-join; single-token docs emit no rows
+    (slice length 0). ``id_col=None`` drops the doc id (fit path)."""
+    a = F.col("_a")
+    z = F.arrays_zip(
+        F.slice(a, 1, F.size(a) - 1).alias("w1"),
+        F.slice(a, 2, F.size(a) - 1).alias("w2"),
+    )
+    keep = [id_col] if id_col else []
+    return (
+        docs.withColumn("_a", _words(text_col))
+        .select(*keep, F.explode(z).alias("_p"))
+        .select(*keep, F.col("_p.w1").alias("w1"),
+                F.col("_p.w2").alias("w2"))
+    )
+
+
+def lm_bigram_fit(
+    docs: DataFrame, *, text_col: str = "text", min_count: int = 5,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Fit a bigram language model: adjacent-pair counts, prefix counts
+    (``c(w1) = sum_w c(w1, w)``, derived from the UNPRUNED pair counts
+    so smoothing stays proper), and the unigram vocabulary size — the
+    n-gram step up from [[lm_unigram_fit]]: conditional probabilities
+    catch shuffled-word salad that unigram perplexity scores as fluent.
+
+    Returns ``(bigrams, prefixes, vocab)``. As with the unigram model,
+    ``min_count`` pruning (default 5) is what makes both model tables
+    broadcastable at 100 TB — the bigram heavy tail is far longer than
+    the unigram one; scoring treats pruned pairs as unseen (count 0 ->
+    the add-one floor).
+    """
+    pairs = _bigram_pairs(docs, text_col=text_col)
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    pref = big.groupBy("w1").agg(F.sum("cb").alias("cp"))
+    vocab = int(
+        docs.select(F.explode(_words(text_col)).alias("word"))
+        .agg(F.count_distinct("word").alias("v")).collect()[0]["v"]
+    )  # fit-action scalar
+    if min_count > 1:
+        big = big.where(F.col("cb") >= min_count)
+        pref = pref.where(F.col("cp") >= min_count)
+    return big, pref, vocab
+
+
+def lm_bigram_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    prefixes: DataFrame,
+    vocab: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+    with_ppl: bool = False,
+) -> DataFrame:
+    """Average bigram log-probability per document with add-one
+    smoothing: ``avg_logp = mean_i ln((c(w_i, w_{i+1}) + 1) /
+    (c(w_i) + V))`` — the conditional-fluency quality filter.
+
+    Same determinism contract as [[lm_unigram_score]]: per-pair
+    log-probs are 1e-9-quantized and DECIMAL-summed, so the score is
+    bit-stable at any parallelism; both model joins broadcast by
+    default (pruned models); docs with < 2 tokens come back with
+    ``n_bigrams=0`` and NULL ``avg_logp`` via the restore-join.
+    """
+    pairs = _bigram_pairs(docs, id_col=id_col, text_col=text_col)
+    bm = F.broadcast(bigrams) if broadcast_model else bigrams
+    pm = F.broadcast(prefixes) if broadcast_model else prefixes
+    j = pairs.join(bm, ["w1", "w2"], "left").join(pm, "w1", "left")
+    logp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("cp"), F.lit(0)).cast("double")
+           + F.lit(float(vocab)))
+    )
+    q = F.round(logp, 9).cast("decimal(38,9)")
+    scored = j.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        (F.sum(q).cast("double") / F.count("*")).alias("avg_logp"),
+    )
+    out = docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "avg_logp",
+    )
+    if with_ppl:
+        out = out.withColumn("ppl", F.exp(-F.col("avg_logp")))
+    return out
+
+
 def token_count(
     docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -527,6 +527,7 @@ def main():
         "seasonal_naive": eqs.get("seasonal_naive"),
         "vocab_kl": eqs.get("vocab_kl"),
         "ltob_downsample_15m": eqs.get("ltob_downsample_15m"),
+        "lm_bigram_ppl": eqs.get("lm_bigram_ppl"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

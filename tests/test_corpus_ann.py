@@ -1252,3 +1252,48 @@ def test_vocab_kl_plan_three_exchanges_no_join(spark):
     plan = vocab_kl(d)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_lm_bigram_fit_score_golden(spark):
+    """Bigram LM golden on a hand corpus: add-one conditionals over
+    prefix counts, sub-2-token docs restore-joined as 0/NULL."""
+    import math
+    from decimal import Decimal
+
+    from adtk_spark.operators.corpus import lm_bigram_fit, lm_bigram_score
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    big, pref, v = lm_bigram_fit(d, min_count=1)
+    assert v == 3  # a, b, x
+    bm = {(r["w1"], r["w2"]): r["cb"] for r in big.collect()}
+    assert bm == {("a", "b"): 3, ("b", "a"): 1}
+    pm = {r["w1"]: r["cp"] for r in pref.collect()}
+    assert pm == {"a": 3, "b": 1}
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in lm_bigram_score(d, big, pref, v).collect()}
+    q_ab = Decimal(repr(round(math.log((3 + 1.0) / (3 + 3.0)), 9)))
+    q_ba = Decimal(repr(round(math.log((1 + 1.0) / (1 + 3.0)), 9)))
+    assert got[1] == (3, float(2 * q_ab + q_ba) / 3)
+    assert got[2] == (1, float(q_ab) / 1)
+    assert got[3] == (0, None)  # single token, no bigram, still present
+
+    # pruning: min_count=2 drops (b,a) and prefix b -> unseen floor
+    big2, pref2, _ = lm_bigram_fit(d, min_count=2)
+    got2 = {r["doc_id"]: r["avg_logp"]
+            for r in lm_bigram_score(d, big2, pref2, v).collect()}
+    q_unseen = Decimal(repr(round(math.log(1.0 / 3.0), 9)))  # cb=0, cp=0
+    assert got2[1] == float(2 * q_ab + q_unseen) / 3
+
+
+def test_lm_bigram_plan_broadcast_joins(spark):
+    from adtk_spark.operators.corpus import lm_bigram_fit, lm_bigram_score
+
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "c d")], "doc_id long, text string")
+    big, pref, v = lm_bigram_fit(d, min_count=1)
+    plan = lm_bigram_score(d, big, pref, v)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # both model joins broadcast; only the restore-join + groupBy shuffle
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan or "doc_id" in plan, plan
