@@ -1111,6 +1111,19 @@ def q_rollup_ohlc_1h(spark, sf_dir):
         "cnt")
 
 
+def q_rollup_slope_1h(spark, sf_dir):
+    """Per-bucket OLS trend tier (plans/tiers.py rollup_slope): the
+    PromQL deriv() analogue materialized at 1h — closed-form slope
+    from five algebraic DECIMAL sums, one shuffle, map-side combine;
+    x measured in seconds since the bucket start so the sums stay
+    small and micros-exact. Zero-variance buckets emit NULL."""
+    from adtk_spark.plans.tiers import rollup_slope
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return rollup_slope(ev, "1h")
+
+
 def q_ltob_downsample_15m(spark, sf_dir):
     """Largest-Triangle-One-Bucket downsampling to 15-minute pixels
     (plans/tiers.py ltob_downsample): the shape-preserving
@@ -2111,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_kl": q_vocab_kl,
         "ltob_downsample_15m": q_ltob_downsample_15m,
         "lm_bigram_ppl": q_lm_bigram_ppl,
+        "rollup_slope_1h": q_rollup_slope_1h,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2133,7 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # which rotate to the back. Every query stays present; only
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
-              "ltob_downsample_15m", "lm_bigram_ppl",
+              "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4330,6 +4344,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # OLS slope tier: bucket-relative seconds, per-term 1e-9
+        # quantization, DECIMAL sums, identical closed-form association
+        "rollup_slope_1h": """
+            WITH b AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_ts,
+                     CAST(epoch_us(ts)
+                          - epoch_us(CAST(date_trunc('hour', ts)
+                                          AS TIMESTAMP)) AS DOUBLE)
+                       / 1000000.0e0 AS x,
+                     value AS y
+              FROM events WHERE value IS NOT NULL
+            ), a AS (
+              SELECT source, bucket_ts,
+                     count(*) AS n,
+                     CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE) AS sx,
+                     CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE) AS sxy
+              FROM b GROUP BY 1, 2
+            )
+            SELECT source, bucket_ts, CAST(n AS BIGINT) AS n,
+                   CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx)
+                             > CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                               * 1.0e-5
+                        THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                                   / (CAST(n AS DOUBLE) * sxx - sx * sx), 6)
+                   END AS slope_per_sec
+            FROM a
         """,
         # LTOB: identical neighbor lag/lead, identical doubled-area
         # expression, per-bucket argmax with explicit NULLS LAST + ts

@@ -1250,6 +1250,76 @@ def m4_downsample(
     return pts.select(source_col, f"_p.{ts_col}", f"_p.{value_col}")
 
 
+def rollup_slope(
+    df: DataFrame,
+    tier: str = "1h",
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-bucket OLS trend tier: the least-squares slope of value vs
+    time inside each (source, tumbling bucket) — the PromQL ``deriv()``
+    analogue as a materialized tier, for "how fast is this metric
+    moving" dashboards and pre-breach alerting where ``counter_rate``
+    only fits monotone counters.
+
+    Closed form from sums, one shuffle: ``slope = (n*Sxy - Sx*Sy) /
+    (n*Sxx - Sx^2)`` with x = seconds since the bucket start. All five
+    statistics combine map-side (algebraic), so the plan is exactly the
+    rollup_raw shape — groupBy (source, bucket), no window, no second
+    pass, per-bucket work bounded by bucket density.
+
+    Determinism: x is derived from integer micros relative to the
+    bucket start (never absolute epoch, so Sxx stays small and the
+    per-row doubles are exact to micros); each per-row term is
+    1e-9-quantized and DECIMAL-summed; the final slope is one fixed
+    double expression over the exact sums. Zero-variance buckets
+    (single point, or all points at one timestamp) emit NULL rather
+    than an IEEE infinity.
+    """
+    trunc = TIER_INTERVALS[tier]
+    v, t = F.col(value_col), F.col(ts_col)
+    bucket = F.date_trunc(trunc, t)
+    xs = (
+        (F.unix_micros(t.cast("timestamp"))
+         - F.unix_micros(bucket.cast("timestamp"))).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    d = df.where(v.isNotNull()).select(
+        source_col,
+        bucket.alias("bucket_ts"),
+        xs.alias("_x"),
+        v.alias("_y"),
+    )
+
+    def dsum(c: Column) -> Column:
+        return F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+
+    agg = d.groupBy(source_col, "bucket_ts").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("_x")).alias("_sx"),
+        dsum(F.col("_y")).alias("_sy"),
+        dsum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        dsum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    denom = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    # Variance floor, not just != 0: for an (near-)zero-x-variance
+    # bucket the denominator is PURE 1e-9-quantization residue (round
+    # (x*x,9) vs round(x,9)^2), and num/denom amplifies engine-level
+    # ulp rounding differences into garbage slopes — caught live on
+    # n=1 buckets at sf0.01. denom = n^2*Var(x); requiring
+    # Var(x) > 1e-5 s^2 (x-spread beyond ~3ms) keeps every real bucket
+    # and NULLs exactly the degenerate ones.
+    return agg.select(
+        source_col, "bucket_ts", "n",
+        F.when(denom > n * n * F.lit(1e-5),
+               F.round(num / denom, 6)).alias("slope_per_sec"),
+    )
+
+
 def ltob_downsample(
     df: DataFrame,
     width: str = "15 minutes",

@@ -528,6 +528,7 @@ def main():
         "vocab_kl": eqs.get("vocab_kl"),
         "ltob_downsample_15m": eqs.get("ltob_downsample_15m"),
         "lm_bigram_ppl": eqs.get("lm_bigram_ppl"),
+        "rollup_slope_1h": eqs.get("rollup_slope_1h"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

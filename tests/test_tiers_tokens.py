@@ -535,3 +535,44 @@ def test_ltob_plan_one_exchange_no_join(spark):
     # the neighbor window: one Exchange total
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_rollup_slope_golden(spark):
+    """OLS slope tier golden: exact slope on linear points, NULL for
+    single-point and zero-x-variance (duplicate-ts) buckets."""
+    from adtk_spark.plans.tiers import rollup_slope
+
+    base = dt.datetime(2025, 5, 1)
+    rows = [
+        # hour 0: y = 2*x + 1 over x = 0, 60, 120 seconds -> slope 2
+        ("a", base, 1.0),
+        ("a", base + dt.timedelta(seconds=60), 121.0),
+        ("a", base + dt.timedelta(seconds=120), 241.0),
+        # hour 1: single point -> NULL
+        ("a", base + dt.timedelta(hours=1), 5.0),
+        # hour 2: two points at the SAME timestamp -> zero x-variance,
+        # the denominator is pure quantization residue -> NULL
+        ("a", base + dt.timedelta(hours=2), 3.0),
+        ("a", base + dt.timedelta(hours=2), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = {r["bucket_ts"]: (r["n"], r["slope_per_sec"])
+           for r in rollup_slope(df, "1h").collect()}
+    assert got[base] == (3, 2.0)
+    assert got[base + dt.timedelta(hours=1)] == (1, None)
+    assert got[base + dt.timedelta(hours=2)] == (2, None)
+
+
+def test_rollup_slope_plan_one_exchange(spark):
+    import re
+
+    from adtk_spark.plans.tiers import rollup_slope
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "source string, ts timestamp, value double")
+    plan = rollup_slope(df)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    # algebraic partial aggregation present (map-side combine)
+    assert "partial" in plan.lower(), plan
