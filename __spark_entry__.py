@@ -389,6 +389,23 @@ def q_dedup_groups(spark, sf_dir):
     return dedup_groups(pairs, docs)
 
 
+def q_embedding_contamination(spark, sf_dir):
+    """Benchmark decontamination by embedding cosine (operators/ann.py
+    embedding_contamination): the semantic companion to
+    ngram_contamination — every (train, eval) pair above the cosine
+    threshold, with the eval suite BROADCAST and scored map-side (no
+    shuffle at any corpus size; max_eval guard fails fast on a
+    corpus-sized eval side). Eval = every 50th vector, train = the
+    rest; fold-order dot products, rounded-6 threshold."""
+    from adtk_spark.operators.ann import embedding_contamination
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding")
+    tr = emb.where(F.col("vec_id") % 50 != 0)
+    return embedding_contamination(tr, ev, threshold=0.25)
+
+
 def q_embedding_quality(spark, sf_dir):
     """Degenerate-vector audit over the embeddings table: per-vector
     dims, DECIMAL-exact L2 norm, zero/NaN flags — run before any IVF or
@@ -2125,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltob_downsample_15m": q_ltob_downsample_15m,
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "rollup_slope_1h": q_rollup_slope_1h,
+        "embedding_contamination": q_embedding_contamination,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2148,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
+              "embedding_contamination",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4344,6 +4363,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # cross-table cosine with the same list_dot_product round-6
+        # idiom as embedding_dup; eval slice by vec_id modulus
+        "embedding_contamination": """
+            WITH ev AS (
+              SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings WHERE vec_id % 50 = 0
+            ), tr AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv
+              FROM embeddings WHERE vec_id % 50 <> 0
+            ), scored AS (
+              SELECT tr.vec_id, ev.eval_id,
+                     round(list_dot_product(vv, qe)
+                           / (sqrt(list_dot_product(vv, vv))
+                              * sqrt(list_dot_product(qe, qe))), 6)
+                       AS cos_sim
+              FROM tr, ev
+            )
+            SELECT vec_id, eval_id, cos_sim
+            FROM scored WHERE cos_sim >= 0.25
         """,
         # OLS slope tier: bucket-relative seconds, per-term 1e-9
         # quantization, DECIMAL sums, identical closed-form association

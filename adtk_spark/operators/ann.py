@@ -316,6 +316,53 @@ def dup_pairs_from_index(
     )
 
 
+def embedding_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+    max_eval: int = 100_000,
+) -> DataFrame:
+    """Benchmark decontamination by embedding similarity: every
+    (train, eval) pair with cosine >= ``threshold`` — the semantic
+    companion to the n-gram decontamination pass (``corpus.
+    ngram_contamination`` catches verbatim leaks; paraphrased eval
+    items only surface in embedding space).
+
+    Plan shape: the eval suite is BROADCAST and scored map-side —
+    a BroadcastNestedLoopJoin whose build side is the eval set, which
+    is bounded (benchmarks are thousands of items, not corpora; the
+    ``max_eval`` guard fails fast if someone passes a corpus as the
+    eval side). No shuffle at any corpus size: cost is one scan times
+    n_eval fold-order dot products per row, embarrassingly parallel.
+    For very large eval suites route through ``ivf_assign`` on both
+    sides and ``dup_pairs_from_index`` instead.
+
+    Determinism: fold-order dot products and a rounded-6 cosine
+    threshold, exactly as ``dup_pairs_from_index``.
+    """
+    n_eval = evalset.count()  # fit-action guard
+    if n_eval > max_eval:
+        raise ValueError(
+            f"embedding_contamination: eval side has {n_eval} rows "
+            f"(> max_eval={max_eval}); broadcast scoring is for bounded "
+            "eval suites — use ivf_assign + dup_pairs_from_index for "
+            "corpus-vs-corpus comparison")
+    ev = F.broadcast(
+        evalset.select(F.col(eval_id_col).alias(eval_id_col),
+                       F.col(vec_col).alias("_ev")))
+    j = train.select(id_col, vec_col).crossJoin(ev)
+    cos = _dot(F.col(vec_col), F.col("_ev")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("_ev")))
+    return (
+        j.select(id_col, eval_id_col, F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_quality(
     emb: DataFrame,
     *,

@@ -1297,3 +1297,39 @@ def test_lm_bigram_plan_broadcast_joins(spark):
     # both model joins broadcast; only the restore-join + groupBy shuffle
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan or "doc_id" in plan, plan
+
+
+def test_embedding_contamination_golden(spark):
+    """Contamination golden: a planted paraphrase-near eval vector is
+    caught, orthogonal ones are not, and the max_eval guard raises."""
+    from adtk_spark.operators.ann import embedding_contamination
+
+    tr_rows = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+               (3, [0.8, 0.6, 0.0])]
+    ev_rows = [(100, [0.99, 0.14, 0.0]),  # ~ train 1
+               (200, [0.0, 0.0, 1.0])]    # orthogonal to all
+    tr = spark.createDataFrame(
+        tr_rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        ev_rows, "eval_id long, embedding array<float>")
+    got = {(r["vec_id"], r["eval_id"]): r["cos_sim"]
+           for r in embedding_contamination(tr, ev, threshold=0.95).collect()}
+    assert (1, 100) in got and got[(1, 100)] > 0.98
+    assert all(e != 200 for (_, e) in got)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_eval"):
+        embedding_contamination(tr, ev, max_eval=1)
+
+
+def test_embedding_contamination_plan_broadcast_no_shuffle(spark):
+    from adtk_spark.operators.ann import embedding_contamination
+
+    tr = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(
+        [(9, [0.0, 1.0])], "eval_id long, embedding array<float>")
+    plan = embedding_contamination(tr, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
