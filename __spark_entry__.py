@@ -1168,6 +1168,19 @@ def q_m4_downsample_15m(spark, sf_dir):
     return m4_downsample(s, "15 minutes")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-step funnel conversion view->signup->purchase
+    (operators/events.py funnel): earliest-completion step times as k
+    chained conditional MIN windows over ONE user partition — no
+    per-user sort, self-join, or array buffering — then a single
+    algebraic count row exploded into per-step (users, conv_rate)
+    rows."""
+    from adtk_spark.operators.events import funnel
+
+    ev = _events(spark, sf_dir)
+    return funnel(ev, ["view", "signup", "purchase"])
+
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization of the event series (30-minute
     inactivity gap); oracle replays the cumulative-sum-of-session-starts
@@ -2143,6 +2156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "rollup_slope_1h": q_rollup_slope_1h,
         "embedding_contamination": q_embedding_contamination,
+        "funnel": q_funnel,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2166,7 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
-              "embedding_contamination",
+              "embedding_contamination", "funnel",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4363,6 +4377,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # identical chained conditional-MIN user windows; counts are
+        # integers, the rate is one rounded division
+        "funnel": """
+            WITH d AS (
+              SELECT user_id, event_type AS ty, ts FROM events
+            ), w1 AS (
+              SELECT *, min(CASE WHEN ty = 'view' THEN ts END)
+                          OVER (PARTITION BY user_id) AS t0
+              FROM d
+            ), w2 AS (
+              SELECT *, min(CASE WHEN ty = 'signup' AND ts > t0
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t1
+              FROM w1
+            ), w3 AS (
+              SELECT *, min(CASE WHEN ty = 'purchase' AND ts > t1
+                                 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+              FROM w2
+            ), pu AS (
+              SELECT user_id, min(t0) AS t0, min(t1) AS t1, min(t2) AS t2
+              FROM w3 GROUP BY 1
+            ), c AS (
+              SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2
+              FROM pu
+            )
+            SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+                   CAST(c0 AS BIGINT) AS users,
+                   CASE WHEN c0 > 0 THEN round(CAST(c0 AS DOUBLE)
+                        / CAST(c0 AS DOUBLE), 6) END AS conv_rate
+            FROM c
+            UNION ALL
+            SELECT CAST(2 AS INT), 'signup', CAST(c1 AS BIGINT),
+                   CASE WHEN c0 > 0 THEN round(CAST(c1 AS DOUBLE)
+                        / CAST(c0 AS DOUBLE), 6) END
+            FROM c
+            UNION ALL
+            SELECT CAST(3 AS INT), 'purchase', CAST(c2 AS BIGINT),
+                   CASE WHEN c0 > 0 THEN round(CAST(c2 AS DOUBLE)
+                        / CAST(c0 AS DOUBLE), 6) END
+            FROM c
         """,
         # cross-table cosine with the same list_dot_product round-6
         # idiom as embedding_dup; eval slice by vec_id modulus

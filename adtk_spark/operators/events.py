@@ -268,6 +268,70 @@ def sessionize(
     )
 
 
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    within_secs: float | None = None,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel conversion: for each user, the earliest time
+    they completed step k AFTER their step-(k-1) completion (optionally
+    within ``within_secs`` of it), then per-step user counts and the
+    conversion rate vs step 1 — the product-analytics primitive
+    (signup -> activation -> purchase) over the raw events stream.
+
+    Plan shape: ONE Exchange. Step times are k chained conditional MIN
+    windows over the SAME unordered user partition (step k's predicate
+    references step k-1's window column — earliest-completion
+    semantics without any per-user sort, self-join, or collect_list
+    buffering, so a hot user costs k column scans of their rows, never
+    an array build); the final count is a single algebraic aggregate
+    with map-side partials, and the step rows come from exploding a
+    k-literal array. Per-user state never materializes anywhere.
+
+    Determinism: step times are exact timestamp minima; counts are
+    integers; the conversion rate is one integer-over-integer double
+    division rounded once.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    w = Window.partitionBy(user_col)
+    d = df.select(user_col, F.col(type_col).alias("_ty"),
+                  F.col(ts_col).alias("_ts"))
+    prev_t = None
+    for i, s in enumerate(steps):
+        cond = F.col("_ty") == s
+        if prev_t is not None:
+            cond = cond & (F.col("_ts") > prev_t)
+            if within_secs is not None:
+                cond = cond & (
+                    _micros(F.col("_ts")) - _micros(prev_t)
+                    <= F.lit(int(within_secs * 1_000_000)))
+        t_i = F.min(F.when(cond, F.col("_ts"))).over(w)
+        d = d.withColumn(f"_t{i}", t_i)
+        prev_t = F.col(f"_t{i}")
+    per_user = d.groupBy(user_col).agg(
+        *[F.min(f"_t{i}").alias(f"_t{i}") for i in range(len(steps))])
+    counts = per_user.agg(
+        *[F.count(f"_t{i}").alias(f"_c{i}") for i in range(len(steps))])
+    rate = lambda i: F.when(
+        F.col("_c0") > 0,
+        F.round(F.col(f"_c{i}").cast("double")
+                / F.col("_c0").cast("double"), 6))
+    step_arr = F.array(*[
+        F.struct(F.lit(i + 1).alias("step"),
+                 F.lit(s).alias("event_type"),
+                 F.col(f"_c{i}").alias("users"),
+                 rate(i).alias("conv_rate"))
+        for i, s in enumerate(steps)
+    ])
+    return counts.select(F.explode(step_arr).alias("_s")).select(
+        "_s.step", "_s.event_type", "_s.users", "_s.conv_rate")
+
+
 def event_cooccurrence(
     intervals: DataFrame,
     *,

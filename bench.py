@@ -530,6 +530,7 @@ def main():
         "lm_bigram_ppl": eqs.get("lm_bigram_ppl"),
         "rollup_slope_1h": eqs.get("rollup_slope_1h"),
         "embedding_contamination": eqs.get("embedding_contamination"),
+        "funnel": eqs.get("funnel"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -264,3 +264,51 @@ def test_event_cooccurrence_golden(spark):
         out = E.event_cooccurrence(wide, bucket=bucket).collect()
         assert [(r["source_a"], r["source_b"], r["n_pairs"],
                  r["overlap_secs"]) for r in out] == [("X", "Y", 1, 3600.0)]
+
+
+def test_funnel_golden(spark):
+    """Funnel golden: in-order completion counts, out-of-order steps
+    don't count, within_secs tightens step windows."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import funnel
+
+    b = dt.datetime(2025, 6, 1)
+    m = lambda mins: b + dt.timedelta(minutes=mins)
+    rows = [
+        (1, "view", m(0)), (1, "signup", m(5)), (1, "purchase", m(10)),
+        (2, "signup", m(0)), (2, "view", m(5)),      # signup BEFORE view
+        (3, "view", m(0)),
+        (4, "view", m(0)), (4, "purchase", m(2)), (4, "signup", m(4)),
+        (5, "view", m(0)), (5, "signup", m(120)),    # slow converter
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: (r["event_type"], r["users"], r["conv_rate"])
+           for r in funnel(df, ["view", "signup", "purchase"]).collect()}
+    assert got[1] == ("view", 5, 1.0)
+    assert got[2] == ("signup", 3, 0.6)     # users 1, 4, 5
+    assert got[3] == ("purchase", 1, 0.2)   # user 1 only (4 bought early)
+
+    # within 1 hour: user 5's 2h-later signup no longer converts
+    got2 = {r["step"]: r["users"]
+            for r in funnel(df, ["view", "signup", "purchase"],
+                            within_secs=3600).collect()}
+    assert got2[2] == 2 and got2[3] == 1
+
+
+def test_funnel_plan_one_exchange_no_join(spark):
+    import datetime as dt
+    import re
+
+    from adtk_spark.operators.events import funnel
+
+    df = spark.createDataFrame(
+        [(1, "view", dt.datetime(2025, 1, 1))],
+        "user_id long, event_type string, ts timestamp")
+    plan = funnel(df, ["view", "signup"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    # user window + per-user groupBy share hash(user_id); the global
+    # count is a single-partition reduce (no hashpartitioning)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Join" not in plan, plan
