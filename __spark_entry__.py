@@ -1181,6 +1181,18 @@ def q_funnel(spark, sf_dir):
     return funnel(ev, ["view", "signup", "purchase"])
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Daily cohort retention matrix (operators/events.py
+    cohort_retention): users bucketed by first-activity day, counted in
+    each later day they return — the user-identity companion to the
+    per-source rollup_retention tier. Integers end-to-end; three
+    Exchanges on high-cardinality keys."""
+    from adtk_spark.operators.events import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, "day")
+
+
 def q_sessionize(spark, sf_dir):
     """Gaps-and-islands sessionization of the event series (30-minute
     inactivity gap); oracle replays the cumulative-sum-of-session-starts
@@ -2157,6 +2169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_slope_1h": q_rollup_slope_1h,
         "embedding_contamination": q_embedding_contamination,
         "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2180,7 +2193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # insertion order changes.
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
-              "embedding_contamination", "funnel",
+              "embedding_contamination", "funnel", "cohort_retention",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4377,6 +4390,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # integers end-to-end: distinct (user, day) -> MIN-window
+        # cohort -> integer bucket offsets -> counts
+        "cohort_retention": """
+            WITH act AS (
+              SELECT DISTINCT user_id AS u,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS b
+              FROM events
+            ), c AS (
+              SELECT u, b, min(b) OVER (PARTITION BY u) AS cohort
+              FROM act
+            )
+            SELECT cohort,
+                   CAST((epoch_us(b) - epoch_us(cohort))
+                        / 86400000000 AS BIGINT) AS offset,
+                   count(*) AS users
+            FROM c GROUP BY 1, 2
         """,
         # identical chained conditional-MIN user windows; counts are
         # integers, the rate is one rounded division

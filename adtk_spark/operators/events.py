@@ -332,6 +332,50 @@ def funnel(
         "_s.step", "_s.event_type", "_s.users", "_s.conv_rate")
 
 
+def cohort_retention(
+    df: DataFrame,
+    bucket: str = "week",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    ``bucket`` (the cohort), counted in every later bucket they return
+    — the (cohort, offset) -> active-users triangle behind every
+    retention dashboard. The user-identity companion to
+    ``tiers.rollup_retention`` (which tracks consecutive-bucket
+    presence per SOURCE, not per user).
+
+    Plan shape: distinct (user, bucket) activity (Exchange 1) -> cohort
+    as a MIN window over the user partition (Exchange 2) -> (cohort,
+    offset) count (Exchange 3). All keys are high-cardinality or
+    grow with the time span; per-user state is never buffered (the
+    window is an unordered MIN). Offsets are integer bucket deltas
+    computed from epoch seconds, so the matrix is integers end-to-end
+    — no float anywhere.
+    """
+    widths = {"day": 86400, "week": 604800}
+    if bucket not in widths:
+        raise ValueError(f"cohort_retention: bucket must be one of "
+                         f"{sorted(widths)}, got {bucket!r}")
+    w_secs = widths[bucket]
+    b = F.date_trunc(bucket, F.col(ts_col))
+    act = df.select(F.col(user_col).alias("_u"), b.alias("_b")).distinct()
+    cohort = F.min("_b").over(Window.partitionBy("_u"))
+    d = act.withColumn("_c", cohort)
+    off = (
+        (F.unix_micros(F.col("_b").cast("timestamp"))
+         - F.unix_micros(F.col("_c").cast("timestamp")))
+        / F.lit(w_secs * 1_000_000)
+    ).cast("long")
+    return (
+        d.select(F.col("_u"), F.col("_c").alias("cohort"),
+                 off.alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.count("*").alias("users"))
+    )
+
+
 def event_cooccurrence(
     intervals: DataFrame,
     *,

@@ -531,6 +531,7 @@ def main():
         "rollup_slope_1h": eqs.get("rollup_slope_1h"),
         "embedding_contamination": eqs.get("embedding_contamination"),
         "funnel": eqs.get("funnel"),
+        "cohort_retention": eqs.get("cohort_retention"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -312,3 +312,44 @@ def test_funnel_plan_one_exchange_no_join(spark):
     # count is a single-partition reduce (no hashpartitioning)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_cohort_retention_golden(spark):
+    """Cohort matrix golden: users land in their first-activity day,
+    multiple same-day events count once, returns land at exact offsets."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import cohort_retention
+
+    b = dt.datetime(2025, 7, 1)
+    d = lambda days, h=0: b + dt.timedelta(days=days, hours=h)
+    rows = [
+        (1, d(0)), (1, d(0, 5)), (1, d(2)),   # cohort day0, back day2
+        (2, d(0)),                            # cohort day0, never back
+        (3, d(1)), (3, d(2)), (3, d(3)),      # cohort day1, back 1 & 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort"], r["offset"]): r["users"]
+           for r in cohort_retention(df, "day").collect()}
+    assert got == {
+        (d(0), 0): 2, (d(0), 2): 1,
+        (d(1), 0): 1, (d(1), 1): 1, (d(1), 2): 1,
+    }
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="bucket"):
+        cohort_retention(df, "fortnight")
+
+
+def test_cohort_retention_plan_three_exchanges_no_join(spark):
+    import datetime as dt
+    import re
+
+    from adtk_spark.operators.events import cohort_retention
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2025, 1, 1))], "user_id long, ts timestamp")
+    plan = cohort_retention(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
+    assert "Join" not in plan, plan
