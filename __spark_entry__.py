@@ -718,6 +718,27 @@ def q_quality_gate(spark, sf_dir):
     ).select("doc_id", "lang", "stopword_ratio", "q_thr")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware canonical selection (operators/corpus.py
+    dedup_keep_best) over normalized-exact duplicate groups, scoring
+    by n_chars ("keep the longest copy"): one id join + one
+    group-rank window with WindowGroupLimit; integer scores, id
+    tiebreak — every row returned with a keep flag for drop audits."""
+    from pyspark.sql import Window
+
+    from adtk_spark.operators.corpus import dedup_keep_best, normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = normalize_text(docs)
+    g = d.withColumn(
+        "group_id",
+        F.min("doc_id").over(Window.partitionBy(F.md5(F.col("norm_text")))),
+    )
+    groups = g.select("doc_id", "group_id")
+    scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+    return dedup_keep_best(groups, scores)
+
+
 def q_normalize_dedup(spark, sf_dir):
     """CCNet-style normalization (lowercase, strip punct, collapse
     whitespace) feeding exact dedup — case/punct/spacing variants
@@ -2170,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_contamination": q_embedding_contamination,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "dedup_keep_best": q_dedup_keep_best,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2194,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
+              "dedup_keep_best",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4390,6 +4413,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'all' AS source, a.ts,
                    CAST(a.cl = mc.mcj AS DOUBLE) AS label
             FROM asg a, mc
+        """,
+        # identical normalization regexes ('g' flags), min-id groups,
+        # rank by (quantized score DESC NULLS LAST, id ASC)
+        "dedup_keep_best": """
+            WITH n AS (
+              SELECT doc_id, n_chars,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n_chars AS score,
+                     min(doc_id) OVER (PARTITION BY h) AS group_id
+              FROM n
+            )
+            SELECT doc_id, group_id, score,
+                   (row_number() OVER (PARTITION BY group_id
+                      ORDER BY round(CAST(score AS DOUBLE), 9)
+                               DESC NULLS LAST, doc_id ASC) = 1) AS keep
+            FROM g
         """,
         # integers end-to-end: distinct (user, day) -> MIN-window
         # cohort -> integer bucket offsets -> counts

@@ -1254,6 +1254,42 @@ def dedup_exact_normalized(
     return dedup_exact(d, id_col=id_col, text_col="norm_text")
 
 
+def dedup_keep_best(
+    groups: DataFrame,
+    scores: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection over duplicate groups: flag
+    the HIGHEST-scoring member of each group as the keeper instead of
+    [[dedup_groups]]' min-id convention — real pipelines keep the
+    longest / highest-quality / least-boilerplate copy, not whichever
+    happened to get the smallest id. Composes with any grouping
+    (exact, normalized, LSH components) and any score column
+    (n_chars, token_entropy, lm log-prob, a quality gate's score).
+
+    Plan shape: one id-keyed join (scores onto groups) + one
+    group-partitioned rank window with WindowGroupLimit pushdown —
+    both keys high-cardinality. Every row is returned with a boolean
+    ``keep`` so the caller can either filter keepers or audit drops.
+
+    Determinism: ranking compares the 1e-9-quantized score (exact for
+    integer scores) with the id as tiebreak — bit-stable at any
+    parallelism and SQL-replayable.
+    """
+    j = groups.join(scores, id_col, "left")
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            F.round(F.col(score_col).cast("double"), 9).desc_nulls_last(),
+            F.col(id_col).asc(),
+        )
+    )
+    return j.select(
+        id_col, group_col, score_col, (rk == 1).alias("keep"))
+
+
 def hash_sample(
     docs: DataFrame,
     rate: float,

@@ -532,6 +532,7 @@ def main():
         "embedding_contamination": eqs.get("embedding_contamination"),
         "funnel": eqs.get("funnel"),
         "cohort_retention": eqs.get("cohort_retention"),
+        "dedup_keep_best": eqs.get("dedup_keep_best"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1333,3 +1333,36 @@ def test_embedding_contamination_plan_broadcast_no_shuffle(spark):
         .executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dedup_keep_best_golden(spark):
+    """Keeper selection golden: highest score wins the group, id breaks
+    ties, NULL scores lose to scored members, singletons keep."""
+    from adtk_spark.operators.corpus import dedup_keep_best
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, group_id long")
+    scores = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 1.0), (5, None)],
+        "doc_id long, score double")  # doc 6 missing -> NULL score
+    got = {r["doc_id"]: r["keep"]
+           for r in dedup_keep_best(groups, scores).collect()}
+    assert got == {1: False, 2: True, 3: False,  # 30.0 tie -> lower id
+                   4: True,                      # singleton
+                   5: True, 6: False}            # both NULL -> lower id
+
+
+def test_dedup_keep_best_plan(spark):
+    import re
+
+    from adtk_spark.operators.corpus import dedup_keep_best
+
+    groups = spark.createDataFrame([(1, 1)], "doc_id long, group_id long")
+    scores = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    plan = dedup_keep_best(groups, scores)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one id join + one group-rank window; rank==1 keeps WindowGroupLimit
+    # OUT (every row is returned), so assert the window itself
+    assert "row_number()" in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
