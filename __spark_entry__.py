@@ -1648,6 +1648,26 @@ def q_ngram_contamination(spark, sf_dir):
     return ngram_contamination(corpus, bench, n=5)
 
 
+def q_sax_motifs(spark, sf_dir):
+    """SAX motif discovery (plans/tiers.py sax_motifs): recurring SAX
+    words per source with occurrence counts, first/last window, and a
+    frequency rank — the cheap repeated-shape pass over the sax_words
+    index. Integers/strings/timestamps end-to-end."""
+    from adtk_spark.plans.tiers import sax_downsample, sax_motifs, sax_words
+
+    ev = _events(spark, sf_dir)
+    m1 = (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+        )
+        .agg(F.count("value").alias("cnt"), _dsum().alias("vsum"))
+        .withColumn("mean", F.col("vsum").cast("double") / F.col("cnt"))
+    )
+    w = sax_words(sax_downsample(m1, segment_secs=480, alphabet=4))
+    return sax_motifs(w, min_count=2)
+
+
 def q_sax_words(spark, sf_dir):
     """SAX words: 8 consecutive alphabet-4 letters (480 s segments)
     concatenated per 64-minute window — the indexable motif unit
@@ -2192,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
+        "sax_motifs": q_sax_motifs,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2216,7 +2237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
-              "dedup_keep_best",
+              "dedup_keep_best", "sax_motifs",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5136,6 +5157,59 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(symbol, '' ORDER BY seg_e) AS word,
                    count(*) AS n_segments
             FROM sym GROUP BY 1, 2
+        """,
+        # the sax_words pipeline + recurring-word motif tail: counts,
+        # first/last window, frequency rank with word-asc tiebreak
+        "sax_motifs": f"""
+            WITH m AS (
+              SELECT event_type AS source, date_trunc('minute', ts) AS bucket_ts,
+                     CAST({_DSUM_SQL} AS DOUBLE) / count(value) AS mean
+              FROM events GROUP BY 1, 2
+            ), s AS (
+              SELECT source,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s1,
+                     CAST(sum(CAST(round(mean * mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS s2,
+                     count(mean) AS n
+              FROM m GROUP BY source
+            ), st AS (
+              SELECT source, s1 / n AS mu,
+                     sqrt(greatest((s2 - (s1 / n) * s1) / n, 0.0e0)) AS sigma
+              FROM s
+            ), p AS (
+              SELECT source,
+                     CAST(epoch(bucket_ts) AS BIGINT)
+                       - CAST(epoch(bucket_ts) AS BIGINT) % 480 AS seg_e,
+                     CAST(sum(CAST(round(mean, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ps,
+                     count(mean) AS n_buckets
+              FROM m GROUP BY 1, 2
+            ), zz AS (
+              SELECT p.source, p.seg_e,
+                     CASE WHEN st.sigma = 0.0e0 THEN 0.0e0
+                          ELSE (p.ps / p.n_buckets - st.mu) / st.sigma END AS z
+              FROM p JOIN st USING (source)
+            ), sym AS (
+              SELECT source, seg_e,
+                     CASE WHEN z < -0.6745e0 THEN 'a'
+                          WHEN z < 0.0e0 THEN 'b'
+                          WHEN z < 0.6745e0 THEN 'c'
+                          ELSE 'd' END AS symbol
+              FROM zz
+            ), words AS (
+              SELECT source,
+                     make_timestamp((seg_e - seg_e % 3840) * 1000000) AS word_ts,
+                     string_agg(symbol, '' ORDER BY seg_e) AS word
+              FROM sym GROUP BY 1, 2
+            ), motifs AS (
+              SELECT source, word, count(*) AS n_occurrences,
+                     min(word_ts) AS first_ts, max(word_ts) AS last_ts
+              FROM words GROUP BY 1, 2
+              HAVING count(*) >= 2
+            )
+            SELECT source, word, n_occurrences, first_ts, last_ts,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY n_occurrences DESC, word ASC) AS INT)
+                     AS rank
+            FROM motifs
         """,
         # exact-moment Pearson corr at each lag (identical association)
         "lagged_corr": """

@@ -1502,6 +1502,40 @@ def sax_words(
     )
 
 
+def sax_motifs(
+    words: DataFrame,
+    min_count: int = 2,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Motif discovery over [[sax_words]] output (Lin et al. DMKD'03's
+    motif application): per source, the SAX words that RECUR — a word
+    appearing k times marks k windows whose normalized shape repeats,
+    the cheap first pass before any expensive exact-distance motif
+    verification. Emits occurrence counts, the first/last window, and
+    a per-source rank by frequency.
+
+    Plan shape: one (source, word) groupBy over the words relation +
+    one source-partitioned rank window. Everything is integers,
+    strings, and timestamp minima/maxima — nothing to quantize;
+    ranking ties break by word ascending.
+    """
+    g = (
+        words.groupBy(source_col, "word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("word_ts").alias("first_ts"),
+            F.max("word_ts").alias("last_ts"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy(source_col)
+        .orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    )
+    return g.withColumn("rank", rk)
+
+
 def salt_partials(
     df: DataFrame,
     tier: str = "1m",

@@ -576,3 +576,27 @@ def test_rollup_slope_plan_one_exchange(spark):
     assert "Join" not in plan and "Window" not in plan, plan
     # algebraic partial aggregation present (map-side combine)
     assert "partial" in plan.lower(), plan
+
+
+def test_sax_motifs_golden(spark):
+    """Motif golden: a recurring word surfaces with its count and
+    first/last windows; singletons are dropped; rank by frequency."""
+    from adtk_spark.plans.tiers import sax_motifs
+
+    b = dt.datetime(2025, 8, 1)
+    w = lambda h: b + dt.timedelta(hours=h)
+    rows = [
+        ("a", w(0), "abba", 8), ("a", w(1), "abba", 8),
+        ("a", w(2), "abba", 8), ("a", w(3), "dcdc", 8),
+        ("a", w(4), "dcdc", 8), ("a", w(5), "bbbb", 8),  # singleton
+        ("b", w(0), "cccc", 8), ("b", w(1), "cccc", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, word_ts timestamp, word string, n_segments long")
+    got = {(r["source"], r["word"]): (r["n_occurrences"], r["first_ts"],
+                                      r["last_ts"], r["rank"])
+           for r in sax_motifs(df).collect()}
+    assert got[("a", "abba")] == (3, w(0), w(2), 1)
+    assert got[("a", "dcdc")] == (2, w(3), w(4), 2)
+    assert ("a", "bbbb") not in got
+    assert got[("b", "cccc")] == (2, w(0), w(1), 1)
