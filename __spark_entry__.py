@@ -361,6 +361,19 @@ def q_split_mode2(spark, sf_dir):
     return train.select("source", "ts", "value")
 
 
+def q_ngram_containment(spark, sf_dir):
+    """Near-superset pairs by Broder containment (operators/corpus.py
+    ngram_containment_pairs): the asymmetric signal Jaccard misses —
+    a short doc quoted whole inside a long one. Production capped
+    path (max_df=1000) replayed in the oracle: hot shingles excluded
+    from candidate generation, full-set verification after, integer
+    set sizes with single rounded divisions."""
+    from adtk_spark.operators.corpus import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_pairs(docs, shingle_n=3, threshold=0.8)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     # max_df=None (also in the 3 chains below): the oracle SQL replays
     # the UNCAPPED all-shingles definition, so the Spark side must opt
@@ -2213,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "dedup_keep_best": q_dedup_keep_best,
         "sax_motifs": q_sax_motifs,
+        "ngram_containment": q_ngram_containment,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2237,7 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r5_new = ["tfidf_topk", "bm25_topk", "seasonal_naive", "vocab_kl",
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
-              "dedup_keep_best", "sax_motifs",
+              "dedup_keep_best", "sax_motifs", "ngram_containment",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3377,6 +3391,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, nw AS n_ws_tokens
             FROM q WHERE sr <= 0.6 AND nw >= 5
+        """,
+        # identical shingle construction; max_df cap replayed (hot
+        # shingles out of candidate gen, full-set verification after);
+        # filter on the rounded directional containments, as in Spark
+        "ngram_containment": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), ex AS (
+              SELECT id, unnest(g) AS g FROM sh
+            ), idx AS (
+              SELECT * FROM ex WHERE g NOT IN (
+                SELECT g FROM ex GROUP BY g HAVING count(*) > 1000)
+            ), cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM idx x JOIN idx y ON x.g = y.g AND x.id < y.id
+            ), v AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.g, sb.g))::DOUBLE AS inter,
+                     len(sa.g)::DOUBLE AS na, len(sb.g)::DOUBLE AS nb
+              FROM cand c
+              JOIN sh sa ON sa.id = c.id_a
+              JOIN sh sb ON sb.id = c.id_b
+            )
+            SELECT id_a, id_b,
+                   round(inter / na, 6) AS containment_a,
+                   round(inter / nb, 6) AS containment_b
+            FROM v
+            WHERE greatest(round(inter / na, 6), round(inter / nb, 6))
+                  >= 0.8
         """,
         "ngram_jaccard": """
             WITH sh AS (

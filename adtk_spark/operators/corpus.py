@@ -315,6 +315,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-SUPERSET detection: pairs where either document's shingle
+    set is mostly contained in the other's — ``containment(A,B) =
+    |A∩B| / |A|`` (Broder's containment, the asymmetric companion to
+    resemblance/Jaccard). The case [[ngram_jaccard_pairs]] structurally
+    misses: a short document quoted whole inside a long one has high
+    containment but LOW Jaccard (the union is dominated by the long
+    doc), and dedup pipelines want exactly those quote-envelope pairs.
+
+    Same inverted-index candidate generation as the Jaccard op (shared
+    shingle required, ``max_df`` hot-shingle cap with full-set
+    verification after, so reported containments are exact), then both
+    directional containments; a pair survives when the GREATER one
+    clears ``threshold``.
+
+    Determinism: set sizes are integers; each containment is one
+    integer division rounded once; the filter compares the rounded
+    values (both engines identical).
+    """
+    with_sh = _with_shingles(docs.select(id_col, text_col),
+                             text_col=text_col, n=shingle_n, out="sh")
+    ex = with_sh.select(F.col(id_col).alias("id"), F.explode("sh").alias("g"))
+    if max_df is not None:
+        hot = (ex.groupBy("g").agg(F.count("*").alias("_df"))
+               .where(F.col("_df") > max_df).drop("_df"))
+        ex = ex.join(F.broadcast(hot), "g", "left_anti")
+    cand = (
+        ex.alias("x").join(ex.alias("y"),
+                           on=[F.col("x.g") == F.col("y.g"),
+                               F.col("x.id") < F.col("y.id")])
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_only = with_sh.select(F.col(id_col).alias("id"), "sh")
+    cand = (
+        cand.join(sh_only.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_only.select(F.col("id").alias("id_b"),
+                             F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    ca = F.round(inter / F.size("sh_a").cast("double"), 6)
+    cb = F.round(inter / F.size("sh_b").cast("double"), 6)
+    return (
+        cand.select("id_a", "id_b",
+                    ca.alias("containment_a"), cb.alias("containment_b"))
+        .where(F.greatest("containment_a", "containment_b") >= threshold)
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     bench: DataFrame,

@@ -534,6 +534,7 @@ def main():
         "cohort_retention": eqs.get("cohort_retention"),
         "dedup_keep_best": eqs.get("dedup_keep_best"),
         "sax_motifs": eqs.get("sax_motifs"),
+        "ngram_containment": eqs.get("ngram_containment"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

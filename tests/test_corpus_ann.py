@@ -1366,3 +1366,45 @@ def test_dedup_keep_best_plan(spark):
     # OUT (every row is returned), so assert the window itself
     assert "row_number()" in plan, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_ngram_containment_quote_envelope(spark):
+    from adtk_spark.operators.corpus import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+
+    # a short doc quoted whole inside a much longer one: containment of
+    # the short side is 1.0, Jaccard is diluted by the long doc's union
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+           for r in ngram_containment_pairs(docs, threshold=0.8).collect()}
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0          # short fully contained in long
+    assert cb < 0.2           # long barely contained in short
+    jac = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (1, 2) not in jac  # the pair Jaccard structurally misses
+
+
+def test_ngram_containment_max_df_cap_exact_values(spark):
+    from adtk_spark.operators.corpus import ngram_containment_pairs
+
+    # hot boilerplate shingle shared by 30 docs: the cap removes it from
+    # candidate generation but full-set verification keeps containments
+    # exact for pairs that survive via a rare shingle
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, a), (2, a + " iota")]
+    rows += [(10 + i, f"shared boiler plate w{i} x{i} y{i} z{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+            for r in ngram_containment_pairs(docs, threshold=0.8,
+                                             max_df=None).collect()}
+    capped = {(r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+              for r in ngram_containment_pairs(docs, threshold=0.8,
+                                               max_df=5).collect()}
+    assert (1, 2) in capped
+    assert capped[(1, 2)] == full[(1, 2)]
