@@ -1122,6 +1122,26 @@ def q_lagged_corr(spark, sf_dir):
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
+def q_corr_matrix(spark, sf_dir):
+    """All-pairs Pearson correlation matrix across the five event
+    sources on the hourly grid (operators/hd.py corr_matrix): one self
+    equi-join on the bucket, DECIMAL-exact moments per unordered pair —
+    the correlated-metric discovery pass lagged_corr's single nominated
+    pair can't provide. Oracle replays the identical quantized
+    arithmetic."""
+    from adtk_spark.operators.hd import corr_matrix
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
+    out = corr_matrix(h, min_n=24)
+    return out.select("source_a", "source_b", "n",
+                      F.round("corr", 6).alias("corr"))
+
+
 def q_counter_rate(spark, sf_dir):
     """Counter-reset-aware rate (the monitoring-stack rate() semantic)
     on a wrap-around counter derived deterministically from the series:
@@ -2182,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "event_cooccurrence": q_event_cooccurrence,
         "lagged_corr": q_lagged_corr,
+        "corr_matrix": q_corr_matrix,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
@@ -2252,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
               "dedup_keep_best", "sax_motifs", "ngram_containment",
+              "corr_matrix",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5260,6 +5282,34 @@ def oracle_sql() -> dict[str, str]:
             FROM motifs
         """,
         # exact-moment Pearson corr at each lag (identical association)
+        # identical hourly-average quantization and DECIMAL(38,9)
+        # moment sums as lagged_corr; self-join on the bucket with the
+        # pair ordered source_a < source_b, n >= 24 overlap floor
+        "corr_matrix": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), j AS (
+              SELECT x.source AS source_a, y.source AS source_b,
+                     x.v AS va, y.v AS vb
+              FROM r x JOIN r y ON x.ts = y.ts AND x.source < y.source
+            ), m AS (
+              SELECT source_a, source_b, count(*) AS n,
+                     CAST(sum(CAST(va AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(vb AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(va * va AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(vb * vb AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(va * vb AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+              FROM j GROUP BY source_a, source_b
+            )
+            SELECT source_a, source_b, n,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+            FROM m WHERE n >= 24
+        """,
         "lagged_corr": """
             WITH r AS (
               SELECT event_type AS source, date_trunc('hour', ts) AS ts,

@@ -510,3 +510,66 @@ def lagged_corr(
     den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
                  * (n * F.col("syy") - F.col("sy") * F.col("sy")))
     return agged.select("lag", "n", (num / den).alias("corr"))
+
+
+def corr_matrix(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_n: int = 2,
+) -> DataFrame:
+    """All-pairs Pearson correlation matrix between sources on aligned
+    buckets — the discovery companion to [[lagged_corr]]: instead of
+    probing ONE nominated pair across lags, score EVERY unordered pair
+    at lag 0 and rank them ("which metrics move together?"), the
+    standard first pass of correlated-metric search in monitoring
+    stacks. Upper triangle only (``source_a < source_b``); output
+    ``(source_a, source_b, n, corr)`` with pairs overlapping on fewer
+    than ``min_n`` buckets dropped (corr undefined/noise).
+
+    Input contract: an already-aligned series (one row per (source,
+    bucket), e.g. hourly tier averages from ``rollup_at``) — NEVER raw
+    irregular points, whose timestamps would only self-join by
+    accident.
+
+    Plan shape: ONE self equi-join on the bucket timestamp (the `<`
+    pair ordering is a post-join filter, not a join dimension), then an
+    algebraic groupBy on the pair key with map-side partials. Cost is
+    inherently S² per bucket for S sources — run it on tier buckets
+    where |buckets| is small and S² rows are 40-byte moment tuples; the
+    shuffle key (bucket) is uniform by construction.
+
+    Determinism: the five moments are DECIMAL(38,9) sums of
+    once-quantized IEEE products, so corr is bit-identical at any
+    parallelism (same device as lagged_corr / the LM scorer).
+    """
+    r = (df.where(F.col(value_col).isNotNull())
+         .select(F.col(source_col).alias("_s"),
+                 F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_t"),
+                 F.col(value_col).alias("_v")))
+    j = (r.alias("x")
+         .join(r.alias("y"),
+               on=[F.col("x._t") == F.col("y._t"),
+                   F.col("x._s") < F.col("y._s")])
+         .select(F.col("x._s").alias("source_a"),
+                 F.col("y._s").alias("source_b"),
+                 F.col("x._v").alias("_va"), F.col("y._v").alias("_vb")))
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,9)")).cast("double")
+
+    va, vb = F.col("_va"), F.col("_vb")
+    agged = j.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n"),
+        dsum(va).alias("sx"), dsum(vb).alias("sy"),
+        dsum(va * va).alias("sxx"), dsum(vb * vb).alias("syy"),
+        dsum(va * vb).alias("sxy"),
+    ).where(F.col("n") >= int(min_n))
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return agged.select("source_a", "source_b", "n",
+                        (num / den).alias("corr"))

@@ -535,6 +535,7 @@ def main():
         "dedup_keep_best": eqs.get("dedup_keep_best"),
         "sax_motifs": eqs.get("sax_motifs"),
         "ngram_containment": eqs.get("ngram_containment"),
+        "corr_matrix": eqs.get("corr_matrix"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

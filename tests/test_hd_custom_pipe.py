@@ -287,3 +287,32 @@ def test_min_cluster_ad_portable_blobs_and_nulls(spark):
             for r in min_cluster_ad_portable(
                 df.repartition(7), ["a", "b"], n_clusters=2).collect()}
     assert out == out2
+
+
+def test_corr_matrix_known_relationships(spark):
+    """c = -a (corr exactly -1), b = a shifted by one bucket (|corr| < 1
+    on the aligned grid), d overlaps a on only 3 buckets (dropped by
+    min_n=4); upper triangle only, partitioning-invariant."""
+    import datetime as dt
+
+    import numpy as np
+
+    from adtk_spark.operators.hd import corr_matrix
+
+    rng = np.random.RandomState(7)
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [float(v) for v in rng.randn(30)]
+    rows = [("a", t0 + dt.timedelta(hours=i), vals[i]) for i in range(30)]
+    rows += [("c", t0 + dt.timedelta(hours=i), -vals[i]) for i in range(30)]
+    rows += [("b", t0 + dt.timedelta(hours=i + 1), vals[i]) for i in range(30)]
+    rows += [("d", t0 + dt.timedelta(hours=i), vals[i] * 2.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {(r["source_a"], r["source_b"]): (r["n"], r["corr"])
+           for r in corr_matrix(df, min_n=4).collect()}
+    assert all(a < b for a, b in out)                 # upper triangle
+    assert not any("d" in p for p in out)             # min_n drop
+    assert out[("a", "c")] == (30, -1.0)
+    assert out[("a", "b")][0] == 29 and abs(out[("a", "b")][1]) < 1.0
+    out2 = {(r["source_a"], r["source_b"]): (r["n"], r["corr"])
+            for r in corr_matrix(df.repartition(13), min_n=4).collect()}
+    assert out == out2
