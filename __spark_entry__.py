@@ -939,6 +939,18 @@ def q_vocab_kl(spark, sf_dir):
     return vocab_kl(docs)
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Top-25 corpus collocations by PMI (operators/corpus.py
+    pmi_collocations, Church & Hanks): min_count=3 bigram pruning
+    before the marginal joins, one fixed-association score, rounded
+    tie-broken distributed top-k. The oracle replays the identical
+    arithmetic and ordering."""
+    from adtk_spark.operators.corpus import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=3, top_k=25)
+
+
 def q_lm_bigram_ppl(spark, sf_dir):
     """Self-trained bigram LM average log-prob per doc (operators/
     corpus.py lm_bigram_fit/score, add-one smoothing over prefix
@@ -2241,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_kl": q_vocab_kl,
         "ltob_downsample_15m": q_ltob_downsample_15m,
         "lm_bigram_ppl": q_lm_bigram_ppl,
+        "pmi_collocations": q_pmi_collocations,
         "rollup_slope_1h": q_rollup_slope_1h,
         "embedding_contamination": q_embedding_contamination,
         "funnel": q_funnel,
@@ -2273,7 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
               "dedup_keep_best", "sax_motifs", "ngram_containment",
-              "corr_matrix",
+              "corr_matrix", "pmi_collocations",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4794,6 +4807,36 @@ def oracle_sql() -> dict[str, str]:
         # min_count=5 prune on both model tables, identical add-one
         # association and DECIMAL quantization, restore-join for
         # <2-token docs
+        # identical bigram construction (dual-unnest slices), integer
+        # counts, one fixed-association IEEE score with a single ln,
+        # rounded once; ORDER BY the rounded score with (w1, w2)
+        # tiebreak = Spark's TakeOrdered membership exactly
+        "pmi_collocations": """
+            WITH pairs AS (
+              SELECT unnest(a[1:len(a)-1]) AS w1,
+                     unnest(a[2:len(a)]) AS w2
+              FROM (SELECT string_split(text, ' ') AS a FROM documents)
+            ), big AS (
+              SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2
+              HAVING count(*) >= 3
+            ), uni AS (
+              SELECT w, count(*) AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents) GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nu,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM pairs) AS nb
+            )
+            SELECT b.w1, b.w2, b.cb,
+                   round(ln((CAST(b.cb AS DOUBLE) / t.nb)
+                            / ((CAST(ua.c AS DOUBLE) / t.nu)
+                               * (CAST(uz.c AS DOUBLE) / t.nu))), 6) AS pmi
+            FROM big b
+            JOIN uni ua ON ua.w = b.w1
+            JOIN uni uz ON uz.w = b.w2
+            CROSS JOIN tot t
+            ORDER BY pmi DESC, b.w1, b.w2 LIMIT 25
+        """,
         "lm_bigram_ppl": """
             WITH pairs AS (
               SELECT doc_id,

@@ -1879,3 +1879,50 @@ def zipf_slope(
         agg.where(F.col("n_ranks") >= 2)
         .select(source_col, "n_ranks", slope.alias("zipf_slope"))
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top corpus collocations by pointwise mutual information:
+    ``pmi(w1,w2) = ln( P(w1,w2) / (P(w1) P(w2)) )`` with ``P(w1,w2) =
+    c(w1,w2)/N_pairs`` and ``P(w) = c(w)/N_tokens`` (Church & Hanks,
+    CL'90) — the phrase-mining signal the bigram LM does NOT give:
+    [[lm_bigram_fit]] ranks pairs by conditional fluency P(w2|w1),
+    which surfaces "of the"; PMI normalizes by BOTH marginals and
+    surfaces "los angeles" — the multi-word entities a tokenizer or
+    phrase vocabulary should learn before training.
+
+    ``min_count`` prunes the bigram heavy tail BEFORE the marginal
+    joins (low-count PMI is famously noise — a pair seen once between
+    two rare words maxes the score), so the joined tables are
+    model-sized; ``top_k`` is a distributed TakeOrdered on the rounded
+    score with a (w1, w2) tiebreak, never a single-partition sort.
+
+    Plan shape: one (w1,w2) count shuffle + one word count shuffle +
+    two marginal equi-joins on the pruned table + two one-row total
+    broadcasts. Determinism: counts are integers; the score is IEEE
+    divisions in one fixed association and a single ln, rounded once —
+    hash-equal to the SQL replay at any parallelism.
+    """
+    pairs = _bigram_pairs(docs, text_col=text_col)
+    big = (pairs.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+           .where(F.col("cb") >= int(min_count)))
+    uni = (docs.select(F.explode(_words(text_col)).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("c")))
+    totals = (uni.agg(F.sum("c").cast("double").alias("_nu"))
+              .crossJoin(pairs.agg(F.count("*").cast("double").alias("_nb"))))
+    j = (big
+         .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("_ca")), "w1")
+         .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("_cz")), "w2")
+         .crossJoin(F.broadcast(totals)))
+    cb = F.col("cb").cast("double")
+    pmi = F.log((cb / F.col("_nb"))
+                / ((F.col("_ca").cast("double") / F.col("_nu"))
+                   * (F.col("_cz").cast("double") / F.col("_nu"))))
+    scored = j.select("w1", "w2", "cb", F.round(pmi, 6).alias("pmi"))
+    return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(int(top_k))

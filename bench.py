@@ -536,6 +536,7 @@ def main():
         "sax_motifs": eqs.get("sax_motifs"),
         "ngram_containment": eqs.get("ngram_containment"),
         "corr_matrix": eqs.get("corr_matrix"),
+        "pmi_collocations": eqs.get("pmi_collocations"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

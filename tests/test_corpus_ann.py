@@ -1408,3 +1408,33 @@ def test_ngram_containment_max_df_cap_exact_values(spark):
                                                max_df=5).collect()}
     assert (1, 2) in capped
     assert capped[(1, 2)] == full[(1, 2)]
+
+
+def test_pmi_collocations_entity_beats_function_words(spark):
+    """"los angeles" (always together, rare marginals) must out-PMI
+    "of the" (frequent pair, huge marginals) even when the latter has a
+    higher raw count — the Church & Hanks normalization; min_count
+    prunes singleton noise pairs entirely."""
+    from adtk_spark.operators.corpus import pmi_collocations
+
+    base = "of the people and of the state and of the union"
+    rows = [(i, base + " los angeles") for i in range(6)]
+    rows.append((99, "rare singleton paironce only here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["cb"], r["pmi"])
+           for r in pmi_collocations(docs, min_count=3, top_k=50).collect()}
+    assert ("los", "angeles") in out and ("of", "the") in out
+    assert out[("los", "angeles")][0] < out[("of", "the")][0]   # raw count
+    assert out[("los", "angeles")][1] > out[("of", "the")][1]   # PMI
+    assert not any(w1 == "singleton" for w1, _ in out)          # pruned
+
+
+def test_pmi_collocations_topk_deterministic(spark):
+    from adtk_spark.operators.corpus import pmi_collocations
+
+    rows = [(i, f"alpha beta gamma w{i % 7} delta epsilon") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [tuple(r) for r in pmi_collocations(docs, min_count=2, top_k=5).collect()]
+    b = [tuple(r) for r in
+         pmi_collocations(docs.repartition(17), min_count=2, top_k=5).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 5
