@@ -939,6 +939,18 @@ def q_vocab_kl(spark, sf_dir):
     return vocab_kl(docs)
 
 
+def q_logodds_tokens(spark, sf_dir):
+    """Top-5 distinctive tokens per document source by Fightin'-Words
+    informative-Dirichlet log-odds z (operators/corpus.py
+    logodds_tokens): the per-token ranking vocab_kl's scalar can't
+    give. Oracle replays identical counts, prior, association and
+    rank tiebreak."""
+    from adtk_spark.operators.corpus import logodds_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return logodds_tokens(docs, top_k=5, min_count=5)
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Top-25 corpus collocations by PMI (operators/corpus.py
     pmi_collocations, Church & Hanks): min_count=3 bigram pruning
@@ -2254,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ltob_downsample_15m": q_ltob_downsample_15m,
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "pmi_collocations": q_pmi_collocations,
+        "logodds_tokens": q_logodds_tokens,
         "rollup_slope_1h": q_rollup_slope_1h,
         "embedding_contamination": q_embedding_contamination,
         "funnel": q_funnel,
@@ -2286,7 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "ltob_downsample_15m", "lm_bigram_ppl", "rollup_slope_1h",
               "embedding_contamination", "funnel", "cohort_retention",
               "dedup_keep_best", "sax_motifs", "ngram_containment",
-              "corr_matrix", "pmi_collocations",
+              "corr_matrix", "pmi_collocations", "logodds_tokens",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -4811,6 +4824,50 @@ def oracle_sql() -> dict[str, str]:
         # counts, one fixed-association IEEE score with a single ln,
         # rounded once; ORDER BY the rounded score with (w1, w2)
         # tiebreak = Spark's TakeOrdered membership exactly
+        # identical (group, word) counts, prior a_w = 1000 * c_w / N,
+        # both log terms and the variance chained in the same
+        # association as the Spark expression; rank ties on the
+        # rounded z broken by word
+        "logodds_tokens": """
+            WITH yc AS (
+              SELECT source AS grp, w, count(*) AS y
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents) GROUP BY 1, 2
+            ), cw AS (
+              SELECT w, sum(y) AS cw FROM yc GROUP BY 1
+            ), ns AS (
+              SELECT grp, sum(y) AS n FROM yc GROUP BY 1
+            ), tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS bigN FROM ns
+            ), sc AS (
+              SELECT yc.grp, yc.w, yc.y,
+                     round(
+                       (ln((CAST(yc.y AS DOUBLE)
+                            + 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN))
+                           / (CAST(ns.n AS DOUBLE) + 1000.0e0
+                              - CAST(yc.y AS DOUBLE)
+                              - 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN)))
+                        - ln((CAST(cw.cw - yc.y AS DOUBLE)
+                              + 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN))
+                             / (t.bigN - CAST(ns.n AS DOUBLE) + 1000.0e0
+                                - CAST(cw.cw - yc.y AS DOUBLE)
+                                - 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN))))
+                       / sqrt(1.0e0 / (CAST(yc.y AS DOUBLE)
+                                + 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN))
+                              + 1.0e0 / (CAST(cw.cw - yc.y AS DOUBLE)
+                                + 1000.0e0 * (CAST(cw.cw AS DOUBLE) / t.bigN))),
+                       6) AS z
+              FROM yc JOIN cw USING (w) JOIN ns USING (grp) CROSS JOIN tot t
+              WHERE yc.y >= 5
+            ), rk AS (
+              SELECT grp AS source, w, y, z,
+                     row_number() OVER (PARTITION BY grp
+                                        ORDER BY z DESC, w ASC) AS rank
+              FROM sc
+            )
+            SELECT source, w, y, z, CAST(rank AS INT) AS rank
+            FROM rk WHERE rank <= 5
+        """,
         "pmi_collocations": """
             WITH pairs AS (
               SELECT unnest(a[1:len(a)-1]) AS w1,

@@ -537,6 +537,7 @@ def main():
         "ngram_containment": eqs.get("ngram_containment"),
         "corr_matrix": eqs.get("corr_matrix"),
         "pmi_collocations": eqs.get("pmi_collocations"),
+        "logodds_tokens": eqs.get("logodds_tokens"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1438,3 +1438,22 @@ def test_pmi_collocations_topk_deterministic(spark):
     b = [tuple(r) for r in
          pmi_collocations(docs.repartition(17), min_count=2, top_k=5).collect()]
     assert sorted(a) == sorted(b) and len(a) == 5
+
+
+def test_logodds_tokens_separates_group_vocabulary(spark):
+    """Group A over-uses "quantum", group B over-uses "finance", both
+    share filler: each group's top token must be its own marker with
+    positive z, and shared filler must not out-rank it."""
+    from adtk_spark.operators.corpus import logodds_tokens
+
+    filler = "the and of to in for with on"
+    rows = [(i, filler + " quantum physics quantum", "A") for i in range(10)]
+    rows += [(100 + i, filler + " finance market finance", "B") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = logodds_tokens(docs, top_k=3, min_count=5).collect()
+    top = {r["source"]: r["w"] for r in out if r["rank"] == 1}
+    assert top == {"A": "quantum", "B": "finance"}
+    z = {(r["source"], r["w"]): r["z"] for r in out}
+    assert z[("A", "quantum")] > 0 and z[("B", "finance")] > 0
+    out2 = logodds_tokens(docs.repartition(9), top_k=3, min_count=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
