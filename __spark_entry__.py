@@ -1146,6 +1146,25 @@ def q_lagged_corr(spark, sf_dir):
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
+def q_interarrival_stats(spark, sf_dir):
+    """Per-source arrival-process profile over raw irregular events
+    (operators/events.py interarrival_stats): gap count / mean / CV /
+    max in seconds from integer-micro gaps with a DECIMAL(38,0)-exact
+    squared sum — one shuffle (window + groupBy share the source
+    partitioning). Oracle replays identical integer gaps and IEEE
+    association."""
+    from adtk_spark.operators.events import interarrival_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"), "ts")
+    out = interarrival_stats(ev)
+    return out.select(
+        "source", "n_gaps",
+        F.round("mean_gap_secs", 6).alias("mean_gap_secs"),
+        F.round("cv_gap", 6).alias("cv_gap"),
+        F.round("max_gap_secs", 6).alias("max_gap_secs"))
+
+
 def q_corr_matrix(spark, sf_dir):
     """All-pairs Pearson correlation matrix across the five event
     sources on the hourly grid (operators/hd.py corr_matrix): one self
@@ -2227,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": q_event_cooccurrence,
         "lagged_corr": q_lagged_corr,
         "corr_matrix": q_corr_matrix,
+        "interarrival_stats": q_interarrival_stats,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
@@ -2300,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "embedding_contamination", "funnel", "cohort_retention",
               "dedup_keep_best", "sax_motifs", "ngram_containment",
               "corr_matrix", "pmi_collocations", "logodds_tokens",
+              "interarrival_stats",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5382,6 +5403,32 @@ def oracle_sql() -> dict[str, str]:
             FROM motifs
         """,
         # exact-moment Pearson corr at each lag (identical association)
+        # integer-micro gaps from the ts-sorted sequence (the gap
+        # multiset is tie-order invariant), DECIMAL(38,0)-exact squared
+        # sum, identical IEEE association for mean/CV
+        "interarrival_stats": """
+            WITH g AS (
+              SELECT event_type AS source,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY event_type ORDER BY ts) AS gap
+              FROM events
+            ), a AS (
+              SELECT source, count(*) AS n_gaps,
+                     sum(gap) AS sx,
+                     sum(CAST(gap AS DECIMAL(19,0))
+                         * CAST(gap AS DECIMAL(19,0))) AS sxx,
+                     max(gap) AS mx
+              FROM g WHERE gap IS NOT NULL GROUP BY source
+            )
+            SELECT source, n_gaps,
+                   round((CAST(sx AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         / 1000000.0e0, 6) AS mean_gap_secs,
+                   round(sqrt(CAST(n_gaps AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         / CAST(sx AS DOUBLE), 6) AS cv_gap,
+                   round(CAST(mx AS DOUBLE) / 1000000.0e0, 6) AS max_gap_secs
+            FROM a
+        """,
         # identical hourly-average quantization and DECIMAL(38,9)
         # moment sums as lagged_corr; self-join on the bucket with the
         # pair ordered source_a < source_b, n >= 24 overlap floor

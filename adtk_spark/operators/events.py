@@ -440,3 +440,51 @@ def event_cooccurrence(
             .alias("overlap_secs"),
         )
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-source inter-arrival statistics over RAW irregular events:
+    gap count, mean gap, coefficient of variation, and max gap, in
+    seconds. The arrival-process profile [[gap_report]] (missing
+    buckets in an already-regularized tier) can't see: CV ~ 1 is
+    Poisson-like traffic, CV >> 1 is bursty (the sessionization-gap
+    and watermark-sizing diagnostic), CV ~ 0 is a metronome scraper.
+
+    Plan shape: one shuffle — the lag window partitions by source, and
+    the groupBy on the same key reuses that partitioning (no second
+    Exchange). Sources with fewer than 2 events drop (no gaps exist).
+
+    Determinism: gaps are integer micros; the squared-gap sum is
+    DECIMAL(38,0)-exact (gap^2 up to 1e24 overflows int64 — 11.5 days
+    in micros is the int64-safe bound), so mean/CV are single IEEE
+    expressions over exact integers: bit-stable at any parallelism and
+    hash-equal to the SQL replay.
+    """
+    w = Window.partitionBy(source_col).orderBy("_t")
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    g = (df.select(source_col, t.alias("_t"))
+         .withColumn("_gap", F.col("_t") - F.lag("_t").over(w))
+         .where(F.col("_gap").isNotNull()))
+    gd = F.col("_gap").cast("decimal(19,0)")
+    agged = g.groupBy(source_col).agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("_gap").alias("_sx"),
+        F.sum(gd * gd).alias("_sxx"),
+        F.max("_gap").alias("_mx"),
+    )
+    n = F.col("n_gaps").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    mean_s = (sx / n) / F.lit(1000000.0)
+    cv = F.sqrt(n * sxx - sx * sx) / sx
+    return agged.select(
+        source_col, "n_gaps",
+        mean_s.alias("mean_gap_secs"),
+        cv.alias("cv_gap"),
+        (F.col("_mx").cast("double") / F.lit(1000000.0)).alias("max_gap_secs"),
+    )

@@ -538,6 +538,7 @@ def main():
         "corr_matrix": eqs.get("corr_matrix"),
         "pmi_collocations": eqs.get("pmi_collocations"),
         "logodds_tokens": eqs.get("logodds_tokens"),
+        "interarrival_stats": eqs.get("interarrival_stats"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -353,3 +353,30 @@ def test_cohort_retention_plan_three_exchanges_no_join(spark):
         .executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 3, plan
     assert "Join" not in plan, plan
+
+
+def test_interarrival_stats_regimes(spark):
+    """Metronome source -> CV 0; bursty source (tight cluster + long
+    silence) -> CV > 1; gap multiset invariant to same-ts tie order and
+    to partitioning; single-event source emits nothing."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import interarrival_stats
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [("tick", t0 + dt.timedelta(seconds=10 * i)) for i in range(13)]
+    burst = [0, 1, 2, 3, 4, 3600, 3601, 3602, 3603, 7200]
+    rows += [("burst", t0 + dt.timedelta(seconds=s)) for s in burst]
+    rows += [("lone", t0)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    out = {r["source"]: r for r in interarrival_stats(df).collect()}
+    assert set(out) == {"tick", "burst"}
+    assert out["tick"]["n_gaps"] == 12
+    assert out["tick"]["cv_gap"] == 0.0
+    assert out["tick"]["mean_gap_secs"] == 10.0
+    assert out["burst"]["cv_gap"] > 1.0
+    assert out["burst"]["max_gap_secs"] == 3597.0
+    out2 = {r["source"]: r for r in
+            interarrival_stats(df.repartition(7)).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+           {k: tuple(v) for k, v in out2.items()}
