@@ -361,6 +361,18 @@ def q_split_mode2(spark, sf_dir):
     return train.select("source", "ts", "value")
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc corpus-unique shingle fraction (operators/corpus.py
+    doc_novelty, portable md5 hash keys): the boilerplate-family
+    signal intra-doc stats miss — df and membership from ONE shuffle
+    via a hash-partitioned count window, no self-join. Oracle replays
+    the identical shingles, md5_hash64 keys, and single division."""
+    from adtk_spark.operators.corpus import doc_novelty
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_novelty(docs, shingle_n=3, portable=True)
+
+
 def q_ngram_containment(spark, sf_dir):
     """Near-superset pairs by Broder containment (operators/corpus.py
     ngram_containment_pairs): the asymmetric signal Jaccard misses —
@@ -2294,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "sax_motifs": q_sax_motifs,
         "ngram_containment": q_ngram_containment,
+        "doc_novelty": q_doc_novelty,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2320,7 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "embedding_contamination", "funnel", "cohort_retention",
               "dedup_keep_best", "sax_motifs", "ngram_containment",
               "corr_matrix", "pmi_collocations", "logodds_tokens",
-              "interarrival_stats",
+              "interarrival_stats", "doc_novelty",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3460,6 +3473,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, nw AS n_ws_tokens
             FROM q WHERE sr <= 0.6 AND nw >= 5
+        """,
+        # identical shingle construction and md5_hash64 keys; df and
+        # membership from one hash-partitioned count window
+        "doc_novelty": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS g
+              FROM documents
+            ), ex AS (
+              SELECT id,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+              FROM (SELECT id, unnest(g) AS g FROM sh)
+            ), per AS (
+              SELECT id, count(*) OVER (PARTITION BY h) AS df FROM ex
+            )
+            SELECT id AS doc_id, count(*) AS n_shingles,
+                   CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_unique,
+                   round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS novelty
+            FROM per GROUP BY id
         """,
         # identical shingle construction; max_df cap replayed (hot
         # shingles out of candidate gen, full-set verification after);

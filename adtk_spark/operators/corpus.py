@@ -1985,3 +1985,52 @@ def logodds_tokens(
     return (scored.withColumn("rank", F.row_number().over(wnd))
             .where(F.col("rank") <= int(top_k))
             .select(F.col("grp").alias(group_col), "w", "y", "z", "rank"))
+
+
+def doc_novelty(
+    docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document corpus-level novelty: the fraction of the doc's
+    distinct word-``shingle_n``-grams that appear in NO other document
+    (df == 1). The corpus-context quality axis the intra-doc signals
+    miss: [[repetition_stats]] and [[token_entropy]] score a template
+    page as clean when each COPY is individually fluent — novelty
+    scores it near 0 because every shingle recurs corpus-wide, while
+    genuinely original text scores near 1. Ranking by ascending
+    novelty surfaces boilerplate families BEFORE pair-level dedup
+    (and docs the LSH threshold let through).
+
+    Plan shape: one (shingle-hash, doc) explode -> window count over
+    the hash partitioning (no self-join: df and membership come from
+    the same shuffle) -> per-doc mean. Shingles travel as 8-byte
+    hashes (gram text never shuffles; xxhash64 in production,
+    [[md5_hash64]] with ``portable=True`` for SQL-replayable runs);
+    docs shorter than the shingle width have one degenerate gram and
+    report novelty over it.
+
+    Determinism: integer counts and ONE division — hash-equal to the
+    SQL replay at any parallelism.
+    """
+    ex = (
+        _with_shingles(docs.select(id_col, text_col),
+                       text_col=text_col, n=shingle_n, out="sh")
+        .select(id_col, F.explode("sh").alias("_g"))
+        .select(id_col, _hash64(F.col("_g"), portable).alias("_h"))
+    )
+    wh = Window.partitionBy("_h")
+    per = ex.withColumn("_df", F.count("*").over(wh))
+    return (
+        per.groupBy(id_col)
+        .agg(F.count("*").alias("n_shingles"),
+             F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+             .alias("n_unique"))
+        .select(id_col, "n_shingles", "n_unique",
+                F.round(F.col("n_unique").cast("double")
+                        / F.col("n_shingles").cast("double"), 6)
+                .alias("novelty"))
+    )

@@ -539,6 +539,7 @@ def main():
         "pmi_collocations": eqs.get("pmi_collocations"),
         "logodds_tokens": eqs.get("logodds_tokens"),
         "interarrival_stats": eqs.get("interarrival_stats"),
+        "doc_novelty": eqs.get("doc_novelty"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1457,3 +1457,25 @@ def test_logodds_tokens_separates_group_vocabulary(spark):
     assert z[("A", "quantum")] > 0 and z[("B", "finance")] > 0
     out2 = logodds_tokens(docs.repartition(9), top_k=3, min_count=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_doc_novelty_boilerplate_vs_original(spark):
+    """Three copies of a template score ~0 novelty (every shingle
+    recurs corpus-wide); a one-off doc scores 1.0; production xxhash64
+    and portable md5 keys agree; partitioning-invariant."""
+    from adtk_spark.operators.corpus import doc_novelty
+
+    tmpl = "click here to subscribe to our amazing newsletter today"
+    rows = [(i, tmpl) for i in range(3)]
+    rows.append((9, "entirely original prose about migratory songbirds"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in doc_novelty(docs).collect()}
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[9]["novelty"] == 1.0
+    assert out[9]["n_shingles"] == out[9]["n_unique"] == 4
+    port = {r["doc_id"]: tuple(r)
+            for r in doc_novelty(docs, portable=True).collect()}
+    assert port == {k: tuple(v) for k, v in out.items()}
+    rep = {r["doc_id"]: tuple(r)
+           for r in doc_novelty(docs.repartition(5)).collect()}
+    assert rep == {k: tuple(v) for k, v in out.items()}
