@@ -610,6 +610,19 @@ def q_cusum_ad(spark, sf_dir):
         F.round("sp", 6).alias("sp"), F.round("sm", 6).alias("sm"), "label")
 
 
+def q_trailing_percentile_ad(spark, sf_dir):
+    """Empirical-PIT detector (operators/detectors.py
+    trailing_percentile_ad): rank of each point within its own
+    trailing-24 observations, label at the 0.95 quantile — the
+    regime-shift-proof adaptive threshold QuantileAD's one global cut
+    can't give. Integer rank counts over a bounded ROWS frame, one
+    division; the oracle replays the identical window list."""
+    from adtk_spark.operators.detectors import trailing_percentile_ad
+
+    s = _series(spark, sf_dir)
+    return trailing_percentile_ad(s, window=24, q=0.95)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli sampling (rate 0.3 on doc_id):
     membership is a pure function of the key, so the oracle replays the
@@ -2275,6 +2288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_budget": q_mixture_budget,
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
+        "trailing_percentile_ad": q_trailing_percentile_ad,
         "robust_zscore_ad": q_robust_zscore_ad,
         "rollup_distinct_1h": q_rollup_distinct_1h,
         "ewma": q_ewma,
@@ -2334,6 +2348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "dedup_keep_best", "sax_motifs", "ngram_containment",
               "corr_matrix", "pmi_collocations", "logodds_tokens",
               "interarrival_stats", "doc_novelty",
+              "trailing_percentile_ad",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3040,6 +3055,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # median/MAD with the same quantile_cont parity as quantile_ad;
         # threshold literal association mirrored: z * (1.4826 * mad)
+        # identical dedup, NULL-value exclusion, trailing-24 ROWS list,
+        # integer rank count and single division; warm-up rows NULL
+        "trailing_percentile_ad": """
+            WITH d AS (
+              SELECT event_type AS source, ts, value
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                    FROM events)
+              WHERE _rn = 1
+            ), f AS (
+              SELECT source, ts, value FROM d WHERE value IS NOT NULL
+            ), r AS (
+              SELECT source, ts, value,
+                     list(value) OVER (PARTITION BY source ORDER BY ts
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS arr
+              FROM f
+            )
+            SELECT source, ts, value,
+                   CASE WHEN len(arr) = 24 THEN
+                     round(CAST(len(list_filter(arr, x -> x <= value)) AS DOUBLE)
+                           / CAST(len(arr) AS DOUBLE), 6) END AS rank_frac,
+                   CASE WHEN len(arr) = 24 THEN
+                     (CAST(len(list_filter(arr, x -> x <= value)) AS DOUBLE)
+                      / CAST(len(arr) AS DOUBLE)) >= 0.95e0 END AS label
+            FROM r
+        """,
         "robust_zscore_ad": """
             WITH b AS (
               SELECT event_type AS source,

@@ -803,3 +803,60 @@ def require_fit(model: DataFrame, *, source_col: str = "source") -> DataFrame:
             "short for the window (no valid training statistic)"
         )
     return model
+
+
+def trailing_percentile_ad(
+    df: DataFrame,
+    window: int = 24,
+    q: float = 0.95,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    out_col: str = "label",
+) -> DataFrame:
+    """Empirical-PIT detector: flag a point whose value sits at or
+    above the ``q`` empirical quantile of its own TRAILING ``window``
+    observations — ``rank_frac = #{trailing values <= x} / window``.
+    The adaptive threshold the fit-detect family can't give: QuantileAD
+    fixes ONE global cut from the training split, so a regime shift
+    (traffic doubles for a week) floods it; the trailing rank
+    re-baselines every step, like PersistAD but distribution-free and
+    scale-free (no sigma estimate to poison).
+
+    The first ``window`` points per source emit NULL labels (warm-up,
+    matching the fit-window NULL convention of the rolling detectors).
+    NULL values are excluded from the series (no output row).
+
+    Plan shape: one source-partitioned window; the trailing values ride
+    an O(window) bounded ROWS frame array per row — JVM higher-order
+    filter, no UDF, no join. Run on tier series (the detector routing
+    contract); window is a row count, so irregular series mean
+    "last N observations", not wall time.
+
+    Determinism: integer counts and one division; ties in ``ts`` are
+    excluded by the validate_series dedup contract upstream.
+    """
+    w = (Window.partitionBy(source_col).orderBy(ts_col)
+         .rowsBetween(-int(window), -1))
+    v = F.col(value_col)
+    base = df.where(v.isNotNull())
+    # materialize the window array ONCE (WindowExec does not dedupe
+    # identical window expressions — two references = double buffers)
+    witha = base.select(
+        source_col, ts_col, value_col,
+        F.collect_list(value_col).over(w).alias("_arr"),
+    )
+    withr = witha.select(
+        source_col, ts_col, value_col,
+        F.size(F.filter(F.col("_arr"), lambda x: x <= v)).alias("_le"),
+        F.size("_arr").alias("_n"),
+    )
+    frac = F.col("_le").cast("double") / F.col("_n").cast("double")
+    return withr.select(
+        source_col, ts_col, value_col,
+        F.when(F.col("_n") == int(window), F.round(frac, 6))
+         .alias("rank_frac"),
+        F.when(F.col("_n") == int(window), frac >= float(q))
+         .alias(out_col),
+    )

@@ -267,3 +267,37 @@ def test_hot_source_guard_on_grouped_map_fits(spark):
         with pytest.raises(Exception, match="max_rows_per_source"):
             build(df, 32).collect()
         assert build(df, 1000).count() > 0  # under the cap: unaffected
+
+
+def test_trailing_percentile_ad_regime_shift(spark):
+    """A spike is flagged against the trailing distribution; after a
+    sustained regime shift the detector re-baselines (late normal
+    points at the new level are NOT flagged — the QuantileAD failure
+    mode); warm-up rows carry NULL labels; partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.operators.detectors import trailing_percentile_ad
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [10.0 + (i % 5) * 0.1 for i in range(30)]     # calm regime
+    vals[27] = 99.0                                      # spike
+    vals += [100.0 + (i % 5) * 0.1 for i in range(40)]   # shifted regime
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {r["ts"]: r for r in
+           trailing_percentile_ad(df, window=24, q=0.95).collect()}
+    by_i = [out[t0 + dt.timedelta(hours=i)] for i in range(len(vals))]
+    assert all(r["label"] is None for r in by_i[:24])          # warm-up
+    assert by_i[27]["label"] is True and by_i[27]["rank_frac"] == 1.0
+    assert by_i[30]["label"] is True                           # shift onset
+    # re-baselined: the flood stops — only the recurring cycle maxima
+    # (rank 1.0 of their trailing window by construction) stay flagged,
+    # every non-max point at the NEW level is clean
+    late = by_i[60:]
+    assert sum(r["label"] for r in late) <= len(late) // 4
+    assert all(r["label"] is False for r in late
+               if r["value"] < 100.4)
+    out2 = {r["ts"]: tuple(r) for r in
+            trailing_percentile_ad(df.repartition(7), window=24,
+                                   q=0.95).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
