@@ -361,6 +361,20 @@ def q_split_mode2(spark, sf_dir):
     return train.select("source", "ts", "value")
 
 
+def q_boilerplate_prefixes(spark, sf_dir):
+    """Top-3 recurring 2-token document prefixes per source with doc
+    fraction >= 0.005 (operators/corpus.py boilerplate_prefixes): the
+    injected-header signal body-level dedup misses; short prefixes and
+    a low floor so the synthetic corpus emits rows at every SF. One
+    count shuffle; totals and rank ride windows on the same
+    partitioning. Oracle replays identical prefixes, counts and
+    tiebreak."""
+    from adtk_spark.operators.corpus import boilerplate_prefixes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_prefixes(docs, n_tokens=2, top_k=3, min_frac=0.005)
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc corpus-unique shingle fraction (operators/corpus.py
     doc_novelty, portable md5 hash keys): the boilerplate-family
@@ -2321,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_motifs": q_sax_motifs,
         "ngram_containment": q_ngram_containment,
         "doc_novelty": q_doc_novelty,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2348,7 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "dedup_keep_best", "sax_motifs", "ngram_containment",
               "corr_matrix", "pmi_collocations", "logodds_tokens",
               "interarrival_stats", "doc_novelty",
-              "trailing_percentile_ad",
+              "trailing_percentile_ad", "boilerplate_prefixes",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3514,6 +3529,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, nw AS n_ws_tokens
             FROM q WHERE sr <= 0.6 AND nw >= 5
+        """,
+        # identical 2-token prefixes, integer counts, totals from the
+        # same grouping, rank ties broken by prefix text
+        "boilerplate_prefixes": """
+            WITH c AS (
+              SELECT source AS grp,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+                       AS prefix,
+                     count(*) AS n_docs
+              FROM documents GROUP BY 1, 2
+            ), t AS (
+              SELECT grp, prefix, n_docs,
+                     sum(n_docs) OVER (PARTITION BY grp) AS tot,
+                     row_number() OVER (PARTITION BY grp
+                       ORDER BY n_docs DESC, prefix ASC) AS rank
+              FROM c
+            )
+            SELECT grp AS source, prefix, n_docs,
+                   round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                     AS frac,
+                   CAST(rank AS INT) AS rank
+            FROM t
+            WHERE rank <= 3
+              AND round(CAST(n_docs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                  >= 0.005e0
         """,
         # identical shingle construction and md5_hash64 keys; df and
         # membership from one hash-partitioned count window

@@ -2034,3 +2034,44 @@ def doc_novelty(
                         / F.col("n_shingles").cast("double"), 6)
                 .alias("novelty"))
     )
+
+
+def boilerplate_prefixes(
+    docs: DataFrame,
+    *,
+    n_tokens: int = 5,
+    top_k: int = 3,
+    min_frac: float = 0.05,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recurring document PREFIXES per source: the first ``n_tokens``
+    words of each doc, ranked by how many of the source's docs share
+    them — the injected-header / template-scaffold signal the
+    body-level dup ops miss ([[doc_novelty]] needs the WHOLE doc to be
+    boilerplate-heavy; a crawler that prepends "subscribe to our
+    newsletter" to otherwise-unique articles shows up only at the
+    prefix position). Feeds a strip-list: prefixes with ``frac`` near
+    1.0 within a source are extraction artifacts, not content.
+
+    Plan shape: one (source, prefix) count shuffle; per-source doc
+    totals ride a window over the source partitioning of the SAME
+    shuffle output; per-source top-k is one rank window (count desc,
+    prefix asc). Emitted only when ``frac >= min_frac`` so healthy
+    sources emit nothing.
+
+    Determinism: integer counts, one division, rank ties broken by
+    prefix text — hash-equal to the SQL replay at any parallelism.
+    """
+    pref = F.concat_ws(" ", F.slice(_words(text_col), 1, int(n_tokens)))
+    cnt = (docs.select(F.col(group_col).alias("grp"), pref.alias("prefix"))
+           .groupBy("grp", "prefix").agg(F.count("*").alias("n_docs")))
+    wg = Window.partitionBy("grp")
+    wr = Window.partitionBy("grp").orderBy(F.desc("n_docs"), F.asc("prefix"))
+    tot = cnt.withColumn("_tot", F.sum("n_docs").over(wg))
+    ranked = tot.withColumn("rank", F.row_number().over(wr))
+    frac = F.col("n_docs").cast("double") / F.col("_tot").cast("double")
+    return (ranked.where(F.col("rank") <= int(top_k))
+            .select(F.col("grp").alias(group_col), "prefix", "n_docs",
+                    F.round(frac, 6).alias("frac"), "rank")
+            .where(F.col("frac") >= float(min_frac)))

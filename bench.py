@@ -541,6 +541,7 @@ def main():
         "interarrival_stats": eqs.get("interarrival_stats"),
         "doc_novelty": eqs.get("doc_novelty"),
         "trailing_percentile_ad": eqs.get("trailing_percentile_ad"),
+        "boilerplate_prefixes": eqs.get("boilerplate_prefixes"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1479,3 +1479,27 @@ def test_doc_novelty_boilerplate_vs_original(spark):
     rep = {r["doc_id"]: tuple(r)
            for r in doc_novelty(docs.repartition(5)).collect()}
     assert rep == {k: tuple(v) for k, v in out.items()}
+
+
+def test_boilerplate_prefixes_injected_header(spark):
+    """A source where 60% of docs share an injected 3-token header must
+    surface that prefix at rank 1 with frac 0.6; a source of unique
+    docs emits nothing above the floor; partitioning-invariant."""
+    from adtk_spark.operators.corpus import boilerplate_prefixes
+
+    hdr = "subscribe to newsletter"
+    rows = [(i, f"{hdr} article body {i} words here", "crawl") for i in range(6)]
+    rows += [(10 + i, f"clean unique document {i} body text", "crawl")
+             for i in range(4)]
+    rows += [(100 + i, f"doc{i} totally distinct content here", "curated")
+             for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = boilerplate_prefixes(docs, n_tokens=3, top_k=2,
+                               min_frac=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source"], r["prefix"], r["n_docs"], r["frac"], r["rank"]) == \
+        ("crawl", hdr, 6, 0.6, 1)
+    out2 = boilerplate_prefixes(docs.repartition(5), n_tokens=3, top_k=2,
+                                min_frac=0.5).collect()
+    assert [tuple(x) for x in out] == [tuple(x) for x in out2]
