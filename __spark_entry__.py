@@ -1185,6 +1185,20 @@ def q_lagged_corr(spark, sf_dir):
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
+def q_hurst_exponent(spark, sf_dir):
+    """Classical R/S Hurst exponent per source (operators/hd.py
+    hurst_exponent, blocks 16..128): long-range-dependence
+    characterization over the deduped series. Block means / squared
+    deviations DECIMAL-quantized, cumulative deviation sequential,
+    zipf_slope OLS device — the oracle replays every stage."""
+    from adtk_spark.operators.hd import hurst_exponent
+
+    s = _series(spark, sf_dir)
+    out = hurst_exponent(s, block_sizes=(16, 32, 64, 128))
+    return out.select("source", "n_sizes",
+                      F.round("hurst", 6).alias("hurst"))
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Per-source arrival-process profile over raw irregular events
     (operators/events.py interarrival_stats): gap count / mean / CV /
@@ -2286,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lagged_corr": q_lagged_corr,
         "corr_matrix": q_corr_matrix,
         "interarrival_stats": q_interarrival_stats,
+        "hurst_exponent": q_hurst_exponent,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
@@ -2364,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "corr_matrix", "pmi_collocations", "logodds_tokens",
               "interarrival_stats", "doc_novelty",
               "trailing_percentile_ad", "boilerplate_prefixes",
+              "hurst_exponent",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5521,6 +5537,74 @@ def oracle_sql() -> dict[str, str]:
             FROM motifs
         """,
         # exact-moment Pearson corr at each lag (identical association)
+        # full R/S replay: identical dedup and indexing, block means
+        # from DECIMAL-quantized sums, sequential cumulative deviation,
+        # 1e-9-quantized rs/ssd terms, zipf_slope OLS statistics
+        "hurst_exponent": """
+            WITH d AS (
+              SELECT event_type AS source, ts, value
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                    FROM events)
+              WHERE _rn = 1
+            ), f AS (
+              SELECT source, value AS v,
+                     row_number() OVER (PARTITION BY source ORDER BY ts)
+                       - 1 AS i
+              FROM d WHERE value IS NOT NULL
+            ), e AS (
+              SELECT source, i, v, unnest([16, 32, 64, 128]) AS m FROM f
+            ), e2 AS (
+              SELECT source, i, v, m,
+                     CAST(floor(CAST(i AS DOUBLE) / CAST(m AS DOUBLE))
+                          AS BIGINT) AS blk
+              FROM e
+            ), w AS (
+              SELECT source, m, blk, i, v,
+                     count(*) OVER pb AS cnt,
+                     CAST(sum(CAST(v AS DECIMAL(38,9))) OVER pb AS DOUBLE)
+                       AS sumv
+              FROM e2
+              WINDOW pb AS (PARTITION BY source, m, blk)
+            ), b AS (
+              SELECT source, m, blk, i,
+                     v - sumv / CAST(m AS DOUBLE) AS dev
+              FROM w WHERE cnt = m
+            ), c AS (
+              SELECT source, m, blk, dev,
+                     sum(dev) OVER (PARTITION BY source, m, blk ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+              FROM b
+            ), g AS (
+              SELECT source, m, blk,
+                     max(cum) - min(cum) AS R,
+                     CAST(sum(CAST(round(dev * dev, 9) AS DECIMAL(38,9)))
+                          AS DOUBLE) AS ssd
+              FROM c GROUP BY 1, 2, 3
+            ), pm AS (
+              SELECT source, m, count(*) AS nb,
+                     CAST(sum(CAST(round(R / sqrt(ssd / CAST(m AS DOUBLE)), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS srs
+              FROM g WHERE ssd > 0 GROUP BY 1, 2
+            ), pts AS (
+              SELECT source, ln(CAST(m AS DOUBLE)) AS x,
+                     ln(srs / CAST(nb AS DOUBLE)) AS y
+              FROM pm
+            ), a AS (
+              SELECT source, count(*) AS n_sizes,
+                     CAST(sum(CAST(round(x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(round(y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sxx
+              FROM pts GROUP BY 1
+            )
+            SELECT source, n_sizes,
+                   round((CAST(n_sizes AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n_sizes AS DOUBLE) * sxx - sx * sx), 6)
+                     AS hurst
+            FROM a WHERE n_sizes >= 2
+        """,
         # integer-micro gaps from the ts-sorted sequence (the gap
         # multiset is tie-order invariant), DECIMAL(38,0)-exact squared
         # sum, identical IEEE association for mean/CV

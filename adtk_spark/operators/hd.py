@@ -17,7 +17,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .detectors import _as_double, _side_sign_label, iqr_ad_fit, threshold_label
@@ -573,3 +573,89 @@ def corr_matrix(
                  * (n * F.col("syy") - F.col("sy") * F.col("sy")))
     return agged.select("source_a", "source_b", "n",
                         (num / den).alias("corr"))
+
+
+def hurst_exponent(
+    df: DataFrame,
+    block_sizes=(16, 32, 64, 128),
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hurst exponent per source via classical rescaled-range (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969): split the series
+    into non-overlapping blocks of each size m, compute each block's
+    rescaled range ``R/S`` (range of the cumulative mean-deviation over
+    the population std), average per m, and fit the log-log slope —
+    H ~ 0.5 is memoryless, H > 0.5 long-range persistent (load curves,
+    temperatures), H < 0.5 mean-reverting. The long-memory
+    characterization the ACF-based [[seasonality_strength]] knob
+    doesn't give: seasonality is periodic structure, Hurst is
+    scale-free structure, and the router can use both (persistent
+    sources keep fidelity at coarse tiers; anti-persistent ones don't).
+
+    Plan shape: one row_number window per source, a |block_sizes|×
+    explode, then block-keyed windows + one groupBy per stage — all on
+    (source, m, block) keys that grow with the data (no driver-side
+    fit). Only FULL blocks count (trailing remainders drop).
+
+    Determinism: block means and squared-deviation sums are
+    DECIMAL(38,9)-quantized; the cumulative deviation is a sequential
+    running sum (bitwise-equal association in any engine); the final
+    OLS uses the zipf_slope 1e-9-quantized sufficient statistics —
+    hash-equal to the SQL replay at any parallelism.
+    """
+    sizes = sorted(int(m) for m in block_sizes)
+    wsrc = Window.partitionBy(source_col).orderBy(ts_col)
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(source_col, ts_col, F.col(value_col).alias("_v"))
+            .withColumn("_i", F.row_number().over(wsrc) - F.lit(1)))
+    e = (base.select(
+            source_col, "_i", "_v",
+            F.explode(F.array(*[F.lit(m) for m in sizes])).alias("m"))
+         .withColumn("_blk", F.floor(F.col("_i").cast("double")
+                                     / F.col("m").cast("double"))
+                     .cast("long")))
+    w_b = Window.partitionBy(source_col, "m", "_blk")
+    w_run = w_b.orderBy("_i").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    b = (e.withColumn("_cnt", F.count("*").over(w_b))
+         .withColumn("_sumv", F.sum(F.col("_v").cast("decimal(38,9)"))
+                     .over(w_b).cast("double"))
+         .where(F.col("_cnt") == F.col("m"))
+         .withColumn("_dev", F.col("_v")
+                     - F.col("_sumv") / F.col("m").cast("double")))
+    b = b.withColumn("_cum", F.sum("_dev").over(w_run))
+
+    def dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(38,9)")).cast("double")
+
+    g = (b.groupBy(source_col, "m", "_blk")
+         .agg((F.max("_cum") - F.min("_cum")).alias("_R"),
+              dsum(F.col("_dev") * F.col("_dev")).alias("_ssd")))
+    rs = F.col("_R") / F.sqrt(F.col("_ssd") / F.col("m").cast("double"))
+    per_m = (g.where(F.col("_ssd") > 0)
+             .select(source_col, "m", F.round(rs, 9).alias("_rs"))
+             .groupBy(source_col, "m")
+             .agg(F.count("*").alias("n_blocks"),
+                  dsum(F.col("_rs")).alias("_sum_rs")))
+    lnm = F.log(F.col("m").cast("double"))
+    lny = F.log(F.col("_sum_rs") / F.col("n_blocks").cast("double"))
+    pts = per_m.select(source_col, lnm.alias("_x"), lny.alias("_y"))
+
+    def q(c):
+        return F.round(c, 9).cast("decimal(38,9)")
+
+    agg = pts.groupBy(source_col).agg(
+        F.count("*").alias("n_sizes"),
+        F.sum(q(F.col("_x"))).cast("double").alias("_sx"),
+        F.sum(q(F.col("_y"))).cast("double").alias("_sy"),
+        F.sum(q(F.col("_x") * F.col("_y"))).cast("double").alias("_sxy"),
+        F.sum(q(F.col("_x") * F.col("_x"))).cast("double").alias("_sxx"),
+    )
+    n = F.col("n_sizes").cast("double")
+    slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+        n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+    return (agg.where(F.col("n_sizes") >= 2)
+            .select(source_col, "n_sizes", slope.alias("hurst")))

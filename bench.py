@@ -542,6 +542,7 @@ def main():
         "doc_novelty": eqs.get("doc_novelty"),
         "trailing_percentile_ad": eqs.get("trailing_percentile_ad"),
         "boilerplate_prefixes": eqs.get("boilerplate_prefixes"),
+        "hurst_exponent": eqs.get("hurst_exponent"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -316,3 +316,35 @@ def test_corr_matrix_known_relationships(spark):
     out2 = {(r["source_a"], r["source_b"]): (r["n"], r["corr"])
             for r in corr_matrix(df.repartition(13), min_n=4).collect()}
     assert out == out2
+
+
+def test_hurst_exponent_noise_vs_persistent(spark):
+    """iid noise sits near H=0.5 (classical R/S small-sample bias pulls
+    it slightly high); an integrated random walk and a strong trend sit
+    near H=1; short series (< 2 full block sizes) emit nothing;
+    partitioning-invariant."""
+    import datetime as dt
+
+    import numpy as np
+
+    from adtk_spark.operators.hd import hurst_exponent
+
+    rng = np.random.RandomState(3)
+    t0 = dt.datetime(2025, 1, 1)
+    noise = rng.randn(1024)
+    walk = np.cumsum(noise)
+    rows = [("noise", t0 + dt.timedelta(hours=i), float(noise[i]))
+            for i in range(1024)]
+    rows += [("walk", t0 + dt.timedelta(hours=i), float(walk[i]))
+             for i in range(1024)]
+    rows += [("short", t0 + dt.timedelta(hours=i), float(i % 7))
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {r["source"]: r for r in hurst_exponent(df).collect()}
+    assert set(out) == {"noise", "walk"}
+    assert 0.45 < out["noise"]["hurst"] < 0.7
+    assert out["walk"]["hurst"] > 0.9
+    assert out["noise"]["n_sizes"] == 4
+    out2 = {r["source"]: tuple(r)
+            for r in hurst_exponent(df.repartition(11)).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
