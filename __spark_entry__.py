@@ -1185,6 +1185,20 @@ def q_lagged_corr(spark, sf_dir):
     return out.select("lag", "n", F.round("corr", 6).alias("corr"))
 
 
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Per-label centroid cosine + shift between the even/odd vec_id
+    halves (operators/ann.py embedding_centroid_drift): the semantic
+    drift gate for IVF refresh. Exact-decimal per-dim means, quantized
+    cosine/shift terms; the oracle replays posexplode via zipped
+    unnest + generate_subscripts."""
+    from adtk_spark.operators.ann import embedding_centroid_drift
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(ref, cur)
+
+
 def q_hurst_exponent(spark, sf_dir):
     """Classical R/S Hurst exponent per source (operators/hd.py
     hurst_exponent, blocks 16..128): long-range-dependence
@@ -2301,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "interarrival_stats": q_interarrival_stats,
         "hurst_exponent": q_hurst_exponent,
+        "embedding_centroid_drift": q_embedding_centroid_drift,
         "counter_rate": q_counter_rate,
         "m4_downsample_15m": q_m4_downsample_15m,
         "min_cluster_ad": q_min_cluster,
@@ -2379,7 +2394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "corr_matrix", "pmi_collocations", "logodds_tokens",
               "interarrival_stats", "doc_novelty",
               "trailing_percentile_ad", "boilerplate_prefixes",
-              "hurst_exponent",
+              "hurst_exponent", "embedding_centroid_drift",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5537,6 +5552,40 @@ def oracle_sql() -> dict[str, str]:
             FROM motifs
         """,
         # exact-moment Pearson corr at each lag (identical association)
+        # identical even/odd split, exact-decimal per-dim means, and
+        # 1e-9-quantized cosine/shift terms; posexplode replayed as
+        # zipped unnest + generate_subscripts
+        "embedding_centroid_drift": """
+            WITH ex AS (
+              SELECT label, vec_id % 2 AS side,
+                     generate_subscripts(embedding, 1) AS d,
+                     unnest(embedding) AS x
+              FROM embeddings
+            ), cg AS (
+              SELECT label, side, d, count(*) AS n,
+                     CAST(sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,9)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+              FROM ex GROUP BY 1, 2, 3
+            ), j AS (
+              SELECT r.label, r.d, r.n AS n_ref, u.n AS n_cur,
+                     r.c AS cr, u.c AS cc
+              FROM (SELECT * FROM cg WHERE side = 0) r
+              JOIN (SELECT * FROM cg WHERE side = 1) u USING (label, d)
+            ), a AS (
+              SELECT label, count(*) AS n_dims,
+                     max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+                     CAST(sum(CAST(round(cr * cc, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sab,
+                     CAST(sum(CAST(round(cr * cr, 9) AS DECIMAL(38,9))) AS DOUBLE) AS saa,
+                     CAST(sum(CAST(round(cc * cc, 9) AS DECIMAL(38,9))) AS DOUBLE) AS sbb,
+                     CAST(sum(CAST(round((cr - cc) * (cr - cc), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS sd
+              FROM j GROUP BY 1
+            )
+            SELECT label, n_ref, n_cur, n_dims,
+                   round(sab / (sqrt(saa) * sqrt(sbb)), 6) AS centroid_cosine,
+                   round(sqrt(sd), 6) AS centroid_shift
+            FROM a
+        """,
         # full R/S replay: identical dedup and indexing, block means
         # from DECIMAL-quantized sums, sequential cumulative deviation,
         # 1e-9-quantized rs/ssd terms, zipf_slope OLS statistics

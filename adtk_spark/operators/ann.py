@@ -409,3 +409,63 @@ def embedding_quality(
             "dim_drift", (F.col("n_dims") != expected_dim).cast("int")
         )
     return out
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding-space drift between a reference and a
+    current corpus slice: centroid cosine similarity and the Euclidean
+    centroid shift per label. The SEMANTIC drift monitor the scalar
+    feeds ([[psi_drift]]/[[ks_drift]] on values, `vocab_kl` on
+    vocabulary) can't see — an embedding model upgrade or a topic
+    shift moves class centroids while every per-vector norm and token
+    histogram stays healthy. Cosine near 1 with a small shift means
+    the class is stable; cosine drops before cluster assignments
+    visibly break, so it gates IVF index refresh ([[ivf_fit]] reuse vs
+    re-fit).
+
+    Plan shape: one posexplode per side -> (label, dim) grouped
+    DECIMAL-quantized means (map-side combined; dims are bounded, so
+    keys are |labels| x dim) -> one equi-join on (label, dim) -> one
+    per-label reduce. No vectors cross the network whole; nothing
+    collects to the driver.
+
+    Determinism: per-dim means are exact-decimal sums over float->
+    double widened values with one IEEE division; the per-label
+    cosine/shift terms are 1e-9-quantized products summed as DECIMAL —
+    hash-equal to the SQL replay at any parallelism.
+    """
+    def cent(df, side):
+        e = df.select(label_col, F.posexplode(vec_col).alias("_d", "_x"))
+        return (e.groupBy(label_col, "_d")
+                .agg(F.count("*").alias(f"n_{side}"),
+                     (F.sum(F.col("_x").cast("double").cast("decimal(38,9)"))
+                      .cast("double") / F.count("*").cast("double"))
+                     .alias(f"c_{side}")))
+
+    j = cent(ref, "ref").join(cent(cur, "cur"), [label_col, "_d"])
+
+    def q(c):
+        return F.round(c, 9).cast("decimal(38,9)")
+
+    cr, cc = F.col("c_ref"), F.col("c_cur")
+    agg = j.groupBy(label_col).agg(
+        F.count("*").alias("n_dims"),
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(q(cr * cc)).cast("double").alias("_sab"),
+        F.sum(q(cr * cr)).cast("double").alias("_saa"),
+        F.sum(q(cc * cc)).cast("double").alias("_sbb"),
+        F.sum(q((cr - cc) * (cr - cc))).cast("double").alias("_sd"),
+    )
+    cos = F.col("_sab") / (F.sqrt(F.col("_saa")) * F.sqrt(F.col("_sbb")))
+    return agg.select(
+        label_col, "n_ref", "n_cur", "n_dims",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(F.sqrt(F.col("_sd")), 6).alias("centroid_shift"),
+    )

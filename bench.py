@@ -543,6 +543,7 @@ def main():
         "trailing_percentile_ad": eqs.get("trailing_percentile_ad"),
         "boilerplate_prefixes": eqs.get("boilerplate_prefixes"),
         "hurst_exponent": eqs.get("hurst_exponent"),
+        "embedding_centroid_drift": eqs.get("embedding_centroid_drift"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1503,3 +1503,40 @@ def test_boilerplate_prefixes_injected_header(spark):
     out2 = boilerplate_prefixes(docs.repartition(5), n_tokens=3, top_k=2,
                                 min_frac=0.5).collect()
     assert [tuple(x) for x in out] == [tuple(x) for x in out2]
+
+
+def test_embedding_centroid_drift_detects_shift(spark):
+    """Identical halves -> cosine 1.0, shift 0; a deliberately
+    translated label drops cosine and grows shift; labels missing on
+    one side emit nothing; partitioning-invariant."""
+    import numpy as np
+
+    from adtk_spark.operators.ann import embedding_centroid_drift
+
+    rng = np.random.RandomState(5)
+    base = {0: rng.randn(8), 1: rng.randn(8)}
+    rows_ref, rows_cur = [], []
+    for i in range(40):
+        lab = i % 2
+        v = base[lab] + rng.randn(8) * 0.01
+        rows_ref.append((i, [float(x) for x in v], lab))
+    for i in range(40):
+        lab = i % 2
+        v = base[lab] + rng.randn(8) * 0.01
+        if lab == 1:
+            v = v + 5.0          # drifted class
+        rows_cur.append((100 + i, [float(x) for x in v], lab))
+    rows_ref.append((900, [1.0] * 8, 7))   # ref-only label
+    schema = "vec_id long, embedding array<float>, label int"
+    ref = spark.createDataFrame(rows_ref, schema)
+    cur = spark.createDataFrame(rows_cur, schema)
+    out = {r["label"]: r for r in embedding_centroid_drift(ref, cur).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["centroid_cosine"] > 0.999 and out[0]["centroid_shift"] < 0.1
+    assert out[1]["centroid_cosine"] < out[0]["centroid_cosine"]
+    assert out[1]["centroid_shift"] > 10.0
+    assert out[0]["n_ref"] == 20 and out[0]["n_cur"] == 20
+    out2 = {r["label"]: tuple(r) for r in
+            embedding_centroid_drift(ref.repartition(7),
+                                     cur.repartition(3)).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
