@@ -1213,6 +1213,24 @@ def q_hurst_exponent(spark, sf_dir):
                       F.round("hurst", 6).alias("hurst"))
 
 
+def q_session_stats(spark, sf_dir):
+    """Per-source session summary over the sessionize chain
+    (operators/events.py sessionize -> session_stats, 30-min gap):
+    count / mean events / mean / max duration — the bot-shape report.
+    Integer-micro durations with a DECIMAL(38,0) sum; the oracle
+    replays the gaps-and-islands chain and the same divisions."""
+    from adtk_spark.operators.events import session_stats, sessionize
+
+    s = _series(spark, sf_dir)
+    sess = sessionize(s, gap_secs=1800)
+    out = session_stats(sess)
+    return out.select(
+        "source", "n_sessions",
+        F.round("mean_events", 6).alias("mean_events"),
+        F.round("mean_duration_secs", 6).alias("mean_duration_secs"),
+        F.round("max_duration_secs", 6).alias("max_duration_secs"))
+
+
 def q_interarrival_stats(spark, sf_dir):
     """Per-source arrival-process profile over raw irregular events
     (operators/events.py interarrival_stats): gap count / mean / CV /
@@ -2314,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lagged_corr": q_lagged_corr,
         "corr_matrix": q_corr_matrix,
         "interarrival_stats": q_interarrival_stats,
+        "session_stats": q_session_stats,
         "hurst_exponent": q_hurst_exponent,
         "embedding_centroid_drift": q_embedding_centroid_drift,
         "counter_rate": q_counter_rate,
@@ -2395,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "interarrival_stats", "doc_novelty",
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
+              "session_stats",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5653,6 +5673,50 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_sizes AS DOUBLE) * sxx - sx * sx), 6)
                      AS hurst
             FROM a WHERE n_sizes >= 2
+        """,
+        # sessionize chain replayed (identical dedup + 30-min islands),
+        # DECIMAL(38,0) duration sum, same single divisions
+        "session_stats": """
+            WITH d AS (
+              SELECT event_type AS source, ts
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                    FROM events)
+              WHERE _rn = 1
+            ), g AS (
+              SELECT source, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM d
+              WINDOW w AS (PARTITION BY source ORDER BY ts)
+            ), sess AS (
+              SELECT source, ts,
+                     sum(ns) OVER (PARTITION BY source ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sid
+              FROM g
+            ), st AS (
+              SELECT source, sid,
+                     epoch_us(max(ts)) - epoch_us(min(ts)) AS dur,
+                     count(*) AS n_rows
+              FROM sess GROUP BY source, sid
+            ), a AS (
+              SELECT source, count(*) AS n_sessions,
+                     sum(n_rows) AS ev,
+                     sum(CAST(dur AS DECIMAL(38,0))) AS durs,
+                     max(dur) AS mxd
+              FROM st GROUP BY source
+            )
+            SELECT source, n_sessions,
+                   round(CAST(ev AS DOUBLE) / CAST(n_sessions AS DOUBLE), 6)
+                     AS mean_events,
+                   round((CAST(durs AS DOUBLE) / CAST(n_sessions AS DOUBLE))
+                         / 1000000.0e0, 6) AS mean_duration_secs,
+                   round(CAST(mxd AS DOUBLE) / 1000000.0e0, 6)
+                     AS max_duration_secs
+            FROM a
         """,
         # integer-micro gaps from the ts-sorted sequence (the gap
         # multiset is tie-order invariant), DECIMAL(38,0)-exact squared

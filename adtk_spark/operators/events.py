@@ -488,3 +488,41 @@ def interarrival_stats(
         cv.alias("cv_gap"),
         (F.col("_mx").cast("double") / F.lit(1000000.0)).alias("max_gap_secs"),
     )
+
+
+def session_stats(
+    sessions: DataFrame,
+    *,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source session-level summary over [[sessionize]] output:
+    session count, mean events per session, mean and max session
+    duration in seconds — the capacity-planning / bot-shape report a
+    raw event count can't give (the same event volume is 1,000 humans
+    with 10-event sessions or one scraper with a 10,000-event one;
+    n_sessions vs mean_events separates them).
+
+    Plan shape: one groupBy on the session table (already aggregated
+    by sessionize, so this reduce is over session rows, not events);
+    composition keeps ONE event-table scan for the whole chain.
+
+    Determinism: counts and integer-micro durations summed exactly
+    (DECIMAL(38,0) for the duration sum — micros x sessions overflows
+    int64 past ~292k session-years), single IEEE divisions.
+    """
+    dur = (_micros(F.col("session_end")) - _micros(F.col("session_start")))
+    agged = sessions.groupBy(source_col).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_rows").alias("_ev"),
+        F.sum(dur.cast("decimal(38,0)")).alias("_durs"),
+        F.max(dur).alias("_mxd"),
+    )
+    n = F.col("n_sessions").cast("double")
+    return agged.select(
+        source_col, "n_sessions",
+        (F.col("_ev").cast("double") / n).alias("mean_events"),
+        ((F.col("_durs").cast("double") / n) / F.lit(1000000.0))
+        .alias("mean_duration_secs"),
+        (F.col("_mxd").cast("double") / F.lit(1000000.0))
+        .alias("max_duration_secs"),
+    )

@@ -544,6 +544,7 @@ def main():
         "boilerplate_prefixes": eqs.get("boilerplate_prefixes"),
         "hurst_exponent": eqs.get("hurst_exponent"),
         "embedding_centroid_drift": eqs.get("embedding_centroid_drift"),
+        "session_stats": eqs.get("session_stats"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -380,3 +380,34 @@ def test_interarrival_stats_regimes(spark):
             interarrival_stats(df.repartition(7)).collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
            {k: tuple(v) for k, v in out2.items()}
+
+
+def test_session_stats_bot_vs_humans(spark):
+    """Same event volume, different shapes: many short human sessions
+    vs one long scraper session — n_sessions and mean_events separate
+    them; durations exact; partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import session_stats, sessionize
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for s in range(5):                                  # 5 human sessions
+        start = t0 + dt.timedelta(hours=3 * s)
+        rows += [("human", start + dt.timedelta(seconds=30 * i))
+                 for i in range(4)]                     # 4 events, 90 s
+    rows += [("bot", t0 + dt.timedelta(seconds=10 * i))
+             for i in range(20)]                        # one 190 s session
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    out = {r["source"]: r for r in
+           session_stats(sessionize(df, gap_secs=600)).collect()}
+    assert out["human"]["n_sessions"] == 5
+    assert out["human"]["mean_events"] == 4.0
+    assert out["human"]["mean_duration_secs"] == 90.0
+    assert out["bot"]["n_sessions"] == 1
+    assert out["bot"]["mean_events"] == 20.0
+    assert out["bot"]["max_duration_secs"] == 190.0
+    out2 = {r["source"]: tuple(r) for r in
+            session_stats(sessionize(df.repartition(7),
+                                     gap_secs=600)).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
