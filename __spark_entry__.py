@@ -637,6 +637,17 @@ def q_trailing_percentile_ad(spark, sf_dir):
     return trailing_percentile_ad(s, window=24, q=0.95)
 
 
+def q_peak_detection(spark, sf_dir):
+    """Unique-local-max peak finder over ±12 rows (operators/
+    detectors.py peak_detection): the declarative find_peaks — the
+    uniqueness rule replaces scipy's greedy suppression. Pure value
+    comparisons; the oracle replays the identical window list."""
+    from adtk_spark.operators.detectors import peak_detection
+
+    s = _series(spark, sf_dir)
+    return peak_detection(s, min_distance=12)
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash-Bernoulli sampling (rate 0.3 on doc_id):
     membership is a pure function of the key, so the oracle replays the
@@ -2352,6 +2363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "cusum_ad": q_cusum_ad,
         "trailing_percentile_ad": q_trailing_percentile_ad,
+        "peak_detection": q_peak_detection,
         "robust_zscore_ad": q_robust_zscore_ad,
         "rollup_distinct_1h": q_rollup_distinct_1h,
         "ewma": q_ewma,
@@ -2414,7 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "interarrival_stats", "doc_novelty",
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
-              "session_stats",
+              "session_stats", "peak_detection",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3121,6 +3133,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         # median/MAD with the same quantile_cont parity as quantile_ad;
         # threshold literal association mirrored: z * (1.4826 * mad)
+        # identical dedup, ±12-row window list, unique-max rule and
+        # list-min rise — pure comparisons, nothing to quantize
+        "peak_detection": """
+            WITH d AS (
+              SELECT event_type AS source, ts, value
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY event_type, ts ORDER BY event_id) AS _rn
+                    FROM events)
+              WHERE _rn = 1
+            ), f AS (
+              SELECT source, ts, value FROM d WHERE value IS NOT NULL
+            ), r AS (
+              SELECT source, ts, value,
+                     list(value) OVER (PARTITION BY source ORDER BY ts
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS arr
+              FROM f
+            )
+            SELECT source, ts, value,
+                   value - list_min(arr) AS local_rise
+            FROM r
+            WHERE len(list_filter(arr, x -> x > value)) = 0
+              AND len(list_filter(arr, x -> x = value)) = 1
+        """,
         # identical dedup, NULL-value exclusion, trailing-24 ROWS list,
         # integer rank count and single division; warm-up rows NULL
         "trailing_percentile_ad": """

@@ -301,3 +301,30 @@ def test_trailing_percentile_ad_regime_shift(spark):
             trailing_percentile_ad(df.repartition(7), window=24,
                                    q=0.95).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_peak_detection_unique_max_rule(spark):
+    """Two bumps far apart are both found; two competing bumps within
+    min_distance yield only the taller; an equal-height plateau pair is
+    suppressed by uniqueness; height floor filters small bumps;
+    partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.operators.detectors import peak_detection
+
+    t0 = dt.datetime(2025, 1, 1)
+    vals = [0.0] * 60
+    vals[10] = 5.0                       # clear peak
+    vals[40] = 7.0; vals[43] = 6.0       # within distance 5: keep 7.0
+    vals[52] = 4.0; vals[53] = 4.0       # plateau pair: suppressed
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    got = {(r["ts"] - t0).total_seconds() / 3600: r["local_rise"]
+           for r in peak_detection(df, min_distance=5).collect()}
+    assert set(got) == {10.0, 40.0}
+    assert got[10.0] == 5.0 and got[40.0] == 7.0
+    tall = peak_detection(df, min_distance=5, height=6.0).collect()
+    assert [(r["value"]) for r in tall] == [7.0]
+    got2 = {(r["ts"] - t0).total_seconds() / 3600: r["local_rise"]
+            for r in peak_detection(df.repartition(9), min_distance=5).collect()}
+    assert got2 == got
