@@ -1224,6 +1224,19 @@ def q_hurst_exponent(spark, sf_dir):
                       F.round("hurst", 6).alias("hurst"))
 
 
+def q_user_concentration(spark, sf_dir):
+    """Per-source exact Gini + top-10 user share over event ownership
+    (operators/events.py user_concentration): the rotating-scraper
+    shape session stats can't see. Integer rank/count sums
+    (DECIMAL(38,0) for i*c), single IEEE divisions; the oracle replays
+    identical ranks and association."""
+    from adtk_spark.operators.events import user_concentration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"), "user_id")
+    return user_concentration(ev, top_k=10)
+
+
 def q_session_stats(spark, sf_dir):
     """Per-source session summary over the sessionize chain
     (operators/events.py sessionize -> session_stats, 30-min gap):
@@ -2344,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "interarrival_stats": q_interarrival_stats,
         "session_stats": q_session_stats,
+        "user_concentration": q_user_concentration,
         "hurst_exponent": q_hurst_exponent,
         "embedding_centroid_drift": q_embedding_centroid_drift,
         "counter_rate": q_counter_rate,
@@ -2426,7 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "interarrival_stats", "doc_novelty",
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
-              "session_stats", "peak_detection",
+              "session_stats", "peak_detection", "user_concentration",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5708,6 +5722,42 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_sizes AS DOUBLE) * sxx - sx * sx), 6)
                      AS hurst
             FROM a WHERE n_sizes >= 2
+        """,
+        # identical (source, user) counts, (c, u)-ordered ranks,
+        # DECIMAL i*c sums, same Gini association
+        "user_concentration": """
+            WITH per AS (
+              SELECT event_type AS s, user_id AS u, count(*) AS c
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT s, c,
+                     row_number() OVER (PARTITION BY s
+                       ORDER BY c ASC, u ASC) AS i
+              FROM per
+            ), t AS (
+              SELECT s, c, i,
+                     count(*) OVER (PARTITION BY s) AS n,
+                     sum(c) OVER (PARTITION BY s) AS sx,
+                     sum(CAST(i AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+                       OVER (PARTITION BY s) AS six
+              FROM r
+            ), a AS (
+              SELECT s, max(n) AS n_users, max(sx) AS n_events,
+                     max(six) AS six,
+                     CAST(sum(CASE WHEN i > n - 10 THEN c ELSE 0 END)
+                          AS BIGINT) AS topc
+              FROM t GROUP BY s
+            )
+            SELECT s AS source, n_users,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   round((2.0e0 * CAST(six AS DOUBLE)
+                          - (CAST(n_users AS DOUBLE) + 1.0e0)
+                            * CAST(n_events AS DOUBLE))
+                         / (CAST(n_users AS DOUBLE)
+                            * CAST(n_events AS DOUBLE)), 6) AS gini,
+                   round(CAST(topc AS DOUBLE)
+                         / CAST(n_events AS DOUBLE), 6) AS top10_share
+            FROM a
         """,
         # sessionize chain replayed (identical dedup + 30-min islands),
         # DECIMAL(38,0) duration sum, same single divisions

@@ -546,6 +546,7 @@ def main():
         "embedding_centroid_drift": eqs.get("embedding_centroid_drift"),
         "session_stats": eqs.get("session_stats"),
         "peak_detection": eqs.get("peak_detection"),
+        "user_concentration": eqs.get("user_concentration"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -411,3 +411,25 @@ def test_session_stats_bot_vs_humans(spark):
             session_stats(sessionize(df.repartition(7),
                                      gap_secs=600)).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_user_concentration_gini(spark):
+    """Perfectly equal traffic -> Gini 0; one user owning nearly all
+    events -> Gini near 1 and a dominant top-k share; exact closed-form
+    values; partitioning-invariant."""
+    from adtk_spark.operators.events import user_concentration
+
+    rows = [("equal", i % 10) for i in range(100)]          # 10 users x 10
+    rows += [("mono", 1)] * 96 + [("mono", 2), ("mono", 3),
+                                  ("mono", 4), ("mono", 5)]  # 1 user owns 96%
+    df = spark.createDataFrame(rows, "source string, user_id long")
+    out = {r["source"]: r for r in user_concentration(df, top_k=2).collect()}
+    assert out["equal"]["gini"] == 0.0
+    assert out["equal"]["n_users"] == 10 and out["equal"]["n_events"] == 100
+    assert out["equal"]["top2_share"] == 0.2
+    # sorted counts [1,1,1,1,96]: G = (2*(1+2+3+4+5*96) - 6*100)/(5*100)
+    assert out["mono"]["gini"] == round((2 * (1 + 2 + 3 + 4 + 480) - 600) / 500, 6)
+    assert out["mono"]["top2_share"] == 0.97
+    out2 = {r["source"]: tuple(r) for r in
+            user_concentration(df.repartition(7), top_k=2).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
