@@ -1274,6 +1274,24 @@ def q_interarrival_stats(spark, sf_dir):
         F.round("max_gap_secs", 6).alias("max_gap_secs"))
 
 
+def q_acf(spark, sf_dir):
+    """Per-source autocorrelation at hourly lags 1,2,3,6,12,24
+    (operators/hd.py acf): the inspection curve behind the seasonality
+    knobs — ONE self equi-join for all lags, DECIMAL-exact moments.
+    The oracle replays the identical hourly quantization and
+    association."""
+    from adtk_spark.operators.hd import acf
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
+    out = acf(h, lags=[1, 2, 3, 6, 12, 24], step_secs=3600)
+    return out.select("source", "lag", "n", F.round("acf", 6).alias("acf"))
+
+
 def q_corr_matrix(spark, sf_dir):
     """All-pairs Pearson correlation matrix across the five event
     sources on the hourly grid (operators/hd.py corr_matrix): one self
@@ -2355,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_cooccurrence": q_event_cooccurrence,
         "lagged_corr": q_lagged_corr,
         "corr_matrix": q_corr_matrix,
+        "acf": q_acf,
         "interarrival_stats": q_interarrival_stats,
         "session_stats": q_session_stats,
         "user_concentration": q_user_concentration,
@@ -2441,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
+              "acf",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5828,6 +5848,40 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sx AS DOUBLE), 6) AS cv_gap,
                    round(CAST(mx AS DOUBLE) / 1000000.0e0, 6) AS max_gap_secs
             FROM a
+        """,
+        # the lagged_corr device generalized per source: identical
+        # hourly averages, lag-exploded self-join, DECIMAL(38,9) moments
+        "acf": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), a AS (
+              SELECT source, epoch_us(ts) AS t, v FROM r
+            ), l AS (
+              SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag
+            ), shifted AS (
+              SELECT a.source, l.lag, a.t - l.lag * 3600000000 AS t, a.v AS vb
+              FROM a, l
+            ), j AS (
+              SELECT a.source, s.lag, a.v AS va, s.vb
+              FROM a JOIN shifted s ON a.source = s.source AND a.t = s.t
+            ), m AS (
+              SELECT source, lag, count(*) AS n,
+                     CAST(sum(CAST(va AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(vb AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(va * va AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(vb * vb AS DECIMAL(38,9))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(va * vb AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+              FROM j GROUP BY source, lag
+            )
+            SELECT source, lag, n,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                * (CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+                     AS acf
+            FROM m
         """,
         # identical hourly-average quantization and DECIMAL(38,9)
         # moment sums as lagged_corr; self-join on the bucket with the

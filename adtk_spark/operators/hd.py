@@ -659,3 +659,63 @@ def hurst_exponent(
         n * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
     return (agg.where(F.col("n_sizes") >= 2)
             .select(source_col, "n_sizes", slope.alias("hurst")))
+
+
+def acf(
+    df: DataFrame,
+    lags,
+    step_secs: int,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Autocorrelation function for EVERY source at once: Pearson
+    corr(x[t], x[t + k*step_secs]) per (source, lag) over pairwise-
+    complete grid points — the inspection curve behind
+    [[seasonality_strength]]'s single chosen-period scalar and
+    [[lagged_corr]]'s single nominated pair: plot it to SEE the period
+    and the decay before committing a router knob. Output
+    ``(source, lag, n, acf)``.
+
+    Plan shape: ONE self equi-join on (source, shifted grid time)
+    regardless of lag count — the shifted side explodes to |lags|
+    copies (the lagged_corr device), then an algebraic groupBy on
+    (source, lag). Input contract: an aligned series (tier buckets),
+    never raw irregular points.
+
+    Determinism: the five moments are DECIMAL(38,9) sums of
+    once-quantized products — bit-stable at any parallelism and
+    hash-equal to the SQL replay.
+    """
+    lags = [int(k) for k in lags]
+    v, t = F.col(value_col), F.col(ts_col)
+    base = (df.where(v.isNotNull())
+            .select(F.col(source_col).alias("_s"),
+                    F.unix_micros(t.cast("timestamp")).alias("_t"),
+                    v.alias("_v")))
+    step_us = int(step_secs) * 1_000_000
+    shifted = base.select(
+        "_s",
+        F.explode(F.array(*[F.lit(k) for k in lags])).alias("lag"),
+        (F.col("_t") - F.col("lag") * F.lit(step_us)).alias("_t"),
+        F.col("_v").alias("_vb"),
+    )
+    j = base.join(shifted, ["_s", "_t"])
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(38,9)")).cast("double")
+
+    va, vb = F.col("_v"), F.col("_vb")
+    agged = j.groupBy("_s", "lag").agg(
+        F.count("*").alias("n"),
+        dsum(va).alias("sx"), dsum(vb).alias("sy"),
+        dsum(va * va).alias("sxx"), dsum(vb * vb).alias("syy"),
+        dsum(va * vb).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return agged.select(F.col("_s").alias(source_col), "lag", "n",
+                        (num / den).alias("acf"))

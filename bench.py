@@ -547,6 +547,7 @@ def main():
         "session_stats": eqs.get("session_stats"),
         "peak_detection": eqs.get("peak_detection"),
         "user_concentration": eqs.get("user_concentration"),
+        "acf": eqs.get("acf"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -348,3 +348,30 @@ def test_hurst_exponent_noise_vs_persistent(spark):
     out2 = {r["source"]: tuple(r)
             for r in hurst_exponent(df.repartition(11)).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_acf_period_discovery(spark):
+    """A clean period-4 cycle has ACF 1.0 at lags 4 and 8, strongly
+    negative at the half-period; all sources computed in one call;
+    partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.operators.hd import acf
+
+    t0 = dt.datetime(2025, 1, 1)
+    cyc = [0.0, 1.0, 0.0, -1.0]
+    rows = [("c4", t0 + dt.timedelta(hours=i), cyc[i % 4]) for i in range(64)]
+    import numpy as np
+    noise = np.random.RandomState(17).randn(64)
+    rows += [("flatline_noise", t0 + dt.timedelta(hours=i), float(noise[i]))
+             for i in range(64)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {(r["source"], r["lag"]): r["acf"]
+           for r in acf(df, lags=[1, 2, 4, 8], step_secs=3600).collect()}
+    assert out[("c4", 4)] == 1.0 and out[("c4", 8)] == 1.0
+    assert out[("c4", 2)] == -1.0                   # half period
+    assert abs(out[("flatline_noise", 4)]) < 0.5    # no period-4 structure
+    out2 = {(r["source"], r["lag"]): r["acf"]
+            for r in acf(df.repartition(9), lags=[1, 2, 4, 8],
+                         step_secs=3600).collect()}
+    assert out2 == out
