@@ -361,6 +361,20 @@ def q_split_mode2(spark, sf_dir):
     return train.select("source", "ts", "value")
 
 
+def q_rare_token_rate(spark, sf_dir):
+    """Per-doc fraction of token occurrences below half the mean
+    corpus token count (operators/corpus.py rare_token_rate,
+    rel_threshold=0.5 — the scale-invariant rarity definition): the
+    model-free OOV-rate quality signal. Corpus count and doc
+    membership from ONE word-partitioned count window — no join;
+    integer counts, one fixed IEEE threshold, replayed identically in
+    the oracle."""
+    from adtk_spark.operators.corpus import rare_token_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rare_token_rate(docs, rel_threshold=0.5)
+
+
 def q_boilerplate_prefixes(spark, sf_dir):
     """Top-3 recurring 2-token document prefixes per source with doc
     fraction >= 0.005 (operators/corpus.py boilerplate_prefixes): the
@@ -2430,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "doc_novelty": q_doc_novelty,
         "boilerplate_prefixes": q_boilerplate_prefixes,
+        "rare_token_rate": q_rare_token_rate,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2460,7 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
-              "acf",
+              "acf", "rare_token_rate",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3649,6 +3664,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, nw AS n_ws_tokens
             FROM q WHERE sr <= 0.6 AND nw >= 5
+        """,
+        # corpus count and doc membership from one word-partitioned
+        # count window; rare = count below 0.5 x mean token count
+        # (same one-row totals and IEEE association as Spark)
+        "rare_token_rate": """
+            WITH ex AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents
+            ), tot AS (
+              SELECT CAST(count(*) AS DOUBLE) AS nt,
+                     CAST(count(DISTINCT w) AS DOUBLE) AS v
+              FROM ex
+            ), per AS (
+              SELECT doc_id, count(*) OVER (PARTITION BY w) AS cw FROM ex
+            ), m AS (
+              SELECT p.doc_id,
+                     CASE WHEN CAST(p.cw AS DOUBLE)
+                               < 0.5e0 * (t.nt / t.v)
+                          THEN 1 ELSE 0 END AS r
+              FROM per p CROSS JOIN tot t
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(r) AS BIGINT) AS n_rare,
+                   round(CAST(sum(r) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS rare_rate
+            FROM m GROUP BY doc_id
         """,
         # identical 2-token prefixes, integer counts, totals from the
         # same grouping, rank ties broken by prefix text

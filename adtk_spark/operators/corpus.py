@@ -2075,3 +2075,58 @@ def boilerplate_prefixes(
             .select(F.col("grp").alias(group_col), "prefix", "n_docs",
                     F.round(frac, 6).alias("frac"), "rank")
             .where(F.col("frac") >= float(min_frac)))
+
+
+def rare_token_rate(
+    docs: DataFrame,
+    *,
+    min_count: int | None = 5,
+    rel_threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document fraction of token OCCURRENCES that are corpus-rare
+    — the practical OOV-rate proxy: docs dense in corpus-rare tokens
+    are disproportionately gibberish, OCR/mojibake damage, or
+    hash-like identifiers, exactly what a tokenizer will shatter into
+    long byte sequences. Complements [[doc_novelty]] (shingle-level,
+    structural) and [[lm_perplexity]] (needs a fitted model): this is
+    model-free and single-pass.
+
+    Rare means corpus count < ``min_count`` (absolute), or — with
+    ``rel_threshold`` — count < rel_threshold x the MEAN token count
+    (N_tokens / vocab), the scale-invariant form that keeps one config
+    meaningful from a 1 GB shard to the full corpus (an absolute floor
+    silently stops firing as the corpus grows).
+
+    Plan shape: one (word, doc) explode shuffle; the corpus count and
+    per-doc membership come from the SAME word-partitioned count
+    window (the doc_novelty device, no join); the relative mode adds
+    one one-row totals broadcast.
+
+    Determinism: integer counts; the relative threshold is one fixed
+    IEEE expression; one final division — hash-equal to the SQL
+    replay at any parallelism.
+    """
+    ex = docs.select(id_col, F.explode(_words(text_col)).alias("_w"))
+    ww = Window.partitionBy("_w")
+    per = ex.withColumn("_cw", F.count("*").over(ww))
+    if rel_threshold is not None:
+        tot = ex.agg(
+            F.count("*").cast("double").alias("_nt"),
+            F.count_distinct("_w").cast("double").alias("_v"))
+        per = per.crossJoin(F.broadcast(tot))
+        is_rare = (F.col("_cw").cast("double")
+                   < F.lit(float(rel_threshold))
+                   * (F.col("_nt") / F.col("_v")))
+    else:
+        is_rare = F.col("_cw") < int(min_count)
+    return (
+        per.groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum(F.when(is_rare, 1).otherwise(0)).alias("n_rare"))
+        .select(id_col, "n_tokens", "n_rare",
+                F.round(F.col("n_rare").cast("double")
+                        / F.col("n_tokens").cast("double"), 6)
+                .alias("rare_rate"))
+    )

@@ -548,6 +548,7 @@ def main():
         "peak_detection": eqs.get("peak_detection"),
         "user_concentration": eqs.get("user_concentration"),
         "acf": eqs.get("acf"),
+        "rare_token_rate": eqs.get("rare_token_rate"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1540,3 +1540,42 @@ def test_embedding_centroid_drift_detects_shift(spark):
             embedding_centroid_drift(ref.repartition(7),
                                      cur.repartition(3)).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_rare_token_rate_gibberish(spark):
+    """A doc of unique hash-like tokens scores 1.0; a doc of corpus-
+    common words scores 0.0; occurrence (not type) weighting: repeated
+    rare tokens still count per occurrence; partitioning-invariant."""
+    from adtk_spark.operators.corpus import rare_token_rate
+
+    common = "the quick brown fox jumps"
+    rows = [(i, common) for i in range(10)]         # every word df=10+
+    rows.append((90, "xk7q zzv9 qqpl mm2n xk7q"))   # all rare, one repeated
+    rows.append((91, common + " xk7q"))             # 1 rare of 6
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in rare_token_rate(docs, min_count=5).collect()}
+    assert out[0]["rare_rate"] == 0.0
+    assert out[90]["rare_rate"] == 1.0 and out[90]["n_rare"] == 5
+    assert out[91]["n_rare"] == 1 and out[91]["n_tokens"] == 6
+    out2 = {r["doc_id"]: tuple(r) for r in
+            rare_token_rate(docs.repartition(7), min_count=5).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_rare_token_rate_relative_mode(spark):
+    """rel_threshold scales with the corpus: the same config flags the
+    below-half-mean tokens whether words average 3 or 300 occurrences
+    (an absolute floor goes silent as the corpus grows)."""
+    from adtk_spark.operators.corpus import rare_token_rate
+
+    rows = [(i, "alpha beta gamma") for i in range(100)]   # mean count high
+    rows.append((900, "alpha beta oddball"))               # oddball count 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           rare_token_rate(docs, rel_threshold=0.5).collect()}
+    assert out[900]["n_rare"] == 1 and out[900]["n_tokens"] == 3
+    assert out[0]["n_rare"] == 0
+    # absolute floor of 5 misses it once the corpus mean is irrelevant
+    out_abs = {r["doc_id"]: r for r in
+               rare_token_rate(docs, min_count=1).collect()}
+    assert out_abs[900]["n_rare"] == 0
