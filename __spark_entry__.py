@@ -406,12 +406,14 @@ def q_ngram_containment(spark, sf_dir):
     ngram_containment_pairs): the asymmetric signal Jaccard misses —
     a short doc quoted whole inside a long one. Production capped
     path (max_df=1000) replayed in the oracle: hot shingles excluded
-    from candidate generation, full-set verification after, integer
-    set sizes with single rounded divisions."""
+    from candidate generation, full-set verification after on
+    md5-hashed shingle sets (portable mode; string grams never leave
+    the scan), integer set sizes with single rounded divisions."""
     from adtk_spark.operators.corpus import ngram_containment_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_containment_pairs(docs, shingle_n=3, threshold=0.8)
+    return ngram_containment_pairs(docs, shingle_n=3, threshold=0.8,
+                                   portable=True)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -3747,8 +3749,11 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (
               SELECT doc_id AS id,
                      list_distinct(list_transform(
-                       generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
-                       i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+                         i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                       )),
+                       s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
                      )) AS g
               FROM documents
             ), ex AS (

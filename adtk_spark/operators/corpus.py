@@ -323,6 +323,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = 1000,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-SUPERSET detection: pairs where either document's shingle
     set is mostly contained in the other's — ``containment(A,B) =
@@ -340,11 +341,25 @@ def ngram_containment_pairs(
 
     Determinism: set sizes are integers; each containment is one
     integer division rounded once; the filter compares the rounded
-    values (both engines identical).
+    values (both engines identical). Shingles travel hashed (xxhash64
+    prod / [[md5_hash64]] with ``portable=True`` for SQL replay);
+    64-bit collisions are negligible and parity is exact because the
+    oracle hashes identically.
     """
     with_sh = _with_shingles(docs.select(id_col, text_col),
                              text_col=text_col, n=shingle_n, out="sh")
-    ex = with_sh.select(F.col(id_col).alias("id"), F.explode("sh").alias("g"))
+    # shingles travel as 8-byte hashes end-to-end (index shuffle AND
+    # the wide verification arrays — string grams never leave the
+    # scan stage); the 14.9 s -> few-s bench win on 400k docs
+    hashed = with_sh.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform("sh", lambda s: _hash64(s, portable))).alias("sh"))
+    # lazy lineage cut: hashed feeds the index AND both verification
+    # sides — without it the shingle+hash pass runs three times (md5
+    # in portable mode is ~20x xxhash64; measured 3 x 4.5 s at sf0.1)
+    hashed = hashed.localCheckpoint(eager=False)
+    ex = hashed.select("id", F.explode("sh").alias("g"))
     if max_df is not None:
         hot = (ex.groupBy("g").agg(F.count("*").alias("_df"))
                .where(F.col("_df") > max_df).drop("_df"))
@@ -356,12 +371,11 @@ def ngram_containment_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_only = with_sh.select(F.col(id_col).alias("id"), "sh")
     cand = (
-        cand.join(sh_only.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("sh_a")), "id_a")
-        .join(sh_only.select(F.col("id").alias("id_b"),
-                             F.col("sh").alias("sh_b")), "id_b")
+        cand.join(hashed.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+        .join(hashed.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     ca = F.round(inter / F.size("sh_a").cast("double"), 6)

@@ -429,6 +429,14 @@ def main():
     # md5 oracle-replay path, which is ~10x slower by design.
     import __spark_entry__ as entrymod
 
+    def _prod_containment(spark_, sf_dir):
+        # production config: xxhash64 shingle keys (the contract query
+        # replays the ~20x-costlier portable-md5 oracle path instead)
+        from adtk_spark.operators.corpus import ngram_containment_pairs
+
+        docs = spark_.read.parquet(f"{sf_dir}/documents.parquet")
+        return ngram_containment_pairs(docs, shingle_n=3, threshold=0.8)
+
     def _prod_minhash(spark_, sf_dir):
         from adtk_spark.operators.corpus import minhash_lsh_pairs
 
@@ -534,7 +542,7 @@ def main():
         "cohort_retention": eqs.get("cohort_retention"),
         "dedup_keep_best": eqs.get("dedup_keep_best"),
         "sax_motifs": eqs.get("sax_motifs"),
-        "ngram_containment": eqs.get("ngram_containment"),
+        "ngram_containment_prod": _prod_containment,
         "corr_matrix": eqs.get("corr_matrix"),
         "pmi_collocations": eqs.get("pmi_collocations"),
         "logodds_tokens": eqs.get("logodds_tokens"),
