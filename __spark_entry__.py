@@ -2050,6 +2050,19 @@ def q_seasonal_naive(spark, sf_dir):
     return seasonal_naive_anomaly(h1, 86400, z=3.0)
 
 
+def q_ks_timeline(spark, sf_dir):
+    """KS drift timeline (plans/tiers.py ks_timeline): each source's
+    daily distribution vs its previous observed day with the bin-free
+    two-sample KS — the edge-free companion to psi_timeline. Counts
+    role-split (cur of own pair / ref of next), integer ECDF with
+    DECIMAL cross-products, one raw scan; first day NULL ks."""
+    from adtk_spark.plans.tiers import ks_timeline
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return ks_timeline(ev, "1d")
+
+
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov-Smirnov drift per source (plans/tiers.py
     ks_drift): the bin-free companion to psi_drift over the same
@@ -2427,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": q_ngram_contamination,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "ks_timeline": q_ks_timeline,
         "js_drift": q_js_drift,
         "token_entropy": q_token_entropy,
         "tfidf_topk": q_tfidf_topk,
@@ -2477,7 +2491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
-              "acf", "rare_token_rate",
+              "acf", "rare_token_rate", "ks_timeline",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5495,6 +5509,64 @@ def oracle_sql() -> dict[str, str]:
         # KS drift: ECDF gap in exact integer/HUGEINT cross-products
         # (max |rc*n_cur - cc*n_ref|), one final division + round;
         # HUGEINT-vs-long folded by the BIGINT casts on the count cols
+        # identical role-split (cur of own day / ref of next observed
+        # day), integer ECDF, DECIMAL cross-products, one division
+        "ks_timeline": """
+            WITH per AS (
+              SELECT event_type AS source,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                     value AS v, count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+            ), nxt AS (
+              SELECT source, b,
+                     lead(b) OVER (PARTITION BY source ORDER BY b) AS nb
+              FROM (SELECT DISTINCT source, b FROM per)
+            ), u AS (
+              SELECT source, b AS pair_ts,
+                     CAST(NULL AS TIMESTAMP) AS prev_b,
+                     v, 0 AS cref, c AS ccur
+              FROM per
+              UNION ALL
+              SELECT p.source, n.nb AS pair_ts, p.b AS prev_b,
+                     p.v, p.c AS cref, 0 AS ccur
+              FROM per p JOIN nxt n ON p.source = n.source AND p.b = n.b
+              WHERE n.nb IS NOT NULL
+            ), g AS (
+              SELECT source, pair_ts, v,
+                     sum(cref) AS cref, sum(ccur) AS ccur,
+                     max(prev_b) AS prev_b
+              FROM u GROUP BY 1, 2, 3
+            ), w AS (
+              SELECT source, pair_ts, prev_b,
+                     sum(cref) OVER pp AS n_ref,
+                     sum(ccur) OVER pp AS n_cur,
+                     sum(cref) OVER pc AS rc,
+                     sum(ccur) OVER pc AS cc
+              FROM g
+              WINDOW pp AS (PARTITION BY source, pair_ts),
+                     pc AS (PARTITION BY source, pair_ts ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+            ), a AS (
+              SELECT source, pair_ts AS bucket_ts,
+                     max(prev_b) AS prev_bucket_ts,
+                     CAST(min(n_ref) AS BIGINT) AS n_prev,
+                     CAST(min(n_cur) AS BIGINT) AS n_cur,
+                     max(abs(CAST(rc AS DECIMAL(20,0))
+                             * CAST(n_cur AS DECIMAL(20,0))
+                             - CAST(cc AS DECIMAL(20,0))
+                             * CAST(n_ref AS DECIMAL(20,0)))) AS gap
+              FROM w GROUP BY 1, 2
+            )
+            SELECT source, bucket_ts, prev_bucket_ts, n_prev, n_cur,
+                   CASE WHEN n_prev > 0 AND n_cur > 0 THEN
+                     round(CAST(gap AS DOUBLE)
+                           / CAST(CAST(n_prev AS DECIMAL(20,0))
+                                  * CAST(n_cur AS DECIMAL(20,0))
+                                  AS DOUBLE), 6)
+                   END AS ks
+            FROM a
+        """,
         "ks_drift": """
             WITH b AS (
               SELECT event_type AS source, value AS v,

@@ -557,6 +557,7 @@ def main():
         "user_concentration": eqs.get("user_concentration"),
         "acf": eqs.get("acf"),
         "rare_token_rate": eqs.get("rare_token_rate"),
+        "ks_timeline": eqs.get("ks_timeline"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -748,3 +748,31 @@ def test_duplicate_spans_equi_join_narrow_key(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_ks_timeline_detects_shift_day(spark):
+    """Three days: day1~day2 identical uniform ramps (ks ~ 0), day3
+    shifted by +100 (ks = 1.0 — disjoint supports); first day NULL;
+    an observed-bucket gap pairs across the hole; partitioning-
+    invariant."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import ks_timeline
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = []
+    for d, (day, off) in enumerate([(0, 0.0), (1, 0.0), (3, 100.0)]):
+        base = t0 + dt.timedelta(days=day)
+        rows += [("a", base + dt.timedelta(minutes=i), float(i % 50) + off)
+                 for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {r["bucket_ts"]: r for r in ks_timeline(df, "1d").collect()}
+    d0, d1, d3 = (t0, t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=3))
+    assert out[d0]["ks"] is None and out[d0]["prev_bucket_ts"] is None
+    assert out[d1]["ks"] == 0.0                     # identical distribution
+    assert out[d3]["ks"] == 1.0                     # disjoint supports
+    assert out[d3]["prev_bucket_ts"] == d1          # pairs across the gap
+    assert out[d3]["n_prev"] == 200 and out[d3]["n_cur"] == 200
+    out2 = {r["bucket_ts"]: tuple(r)
+            for r in ks_timeline(df.repartition(9), "1d").collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
