@@ -1290,6 +1290,26 @@ def q_interarrival_stats(spark, sf_dir):
         F.round("max_gap_secs", 6).alias("max_gap_secs"))
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing-24h correlation series for (click,view) and
+    (click,error) on the hourly grid (operators/hd.py rolling_corr):
+    the relationship-drift monitor. Broadcast pair map, one pair
+    window with five DECIMAL running moments; oracle replays the
+    identical quantization and frame."""
+    from adtk_spark.operators.hd import rolling_corr
+
+    ev = _events(spark, sf_dir)
+    h = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_trunc("hour", F.col("ts")).alias("ts"),
+    ).agg(F.round(_dsum().cast("double") / F.count("value"), 6)
+          .alias("value"))
+    out = rolling_corr(h, [("click", "view"), ("click", "error")],
+                       window=24)
+    return out.select("source_a", "source_b", "ts", "n",
+                      F.round("corr", 6).alias("corr"))
+
+
 def q_acf(spark, sf_dir):
     """Per-source autocorrelation at hourly lags 1,2,3,6,12,24
     (operators/hd.py acf): the inspection curve behind the seasonality
@@ -2403,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lagged_corr": q_lagged_corr,
         "corr_matrix": q_corr_matrix,
         "acf": q_acf,
+        "rolling_corr": q_rolling_corr,
         "interarrival_stats": q_interarrival_stats,
         "session_stats": q_session_stats,
         "user_concentration": q_user_concentration,
@@ -2491,7 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "trailing_percentile_ad", "boilerplate_prefixes",
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
-              "acf", "rare_token_rate", "ks_timeline",
+              "acf", "rare_token_rate", "ks_timeline", "rolling_corr",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5966,6 +5987,43 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sx AS DOUBLE), 6) AS cv_gap,
                    round(CAST(mx AS DOUBLE) / 1000000.0e0, 6) AS max_gap_secs
             FROM a
+        """,
+        # identical hourly averages, pair joins, trailing-24 ROWS frame
+        # with 1e-9-quantized DECIMAL running moments, warm-up NULLs
+        "rolling_corr": """
+            WITH r AS (
+              SELECT event_type AS source, date_trunc('hour', ts) AS ts,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                           / count(value), 6) AS v
+              FROM events GROUP BY 1, 2
+            ), pm AS (
+              SELECT * FROM (VALUES ('click', 'view'), ('click', 'error'))
+                AS t(sa, sb)
+            ), j AS (
+              SELECT pm.sa, pm.sb, a.ts, a.v AS va, b.v AS vb
+              FROM pm
+              JOIN r a ON a.source = pm.sa
+              JOIN r b ON b.source = pm.sb AND b.ts = a.ts
+            ), m AS (
+              SELECT sa, sb, ts,
+                     count(*) OVER wf AS n,
+                     CAST(sum(CAST(round(va, 9) AS DECIMAL(38,9))) OVER wf AS DOUBLE) AS sx,
+                     CAST(sum(CAST(round(vb, 9) AS DECIMAL(38,9))) OVER wf AS DOUBLE) AS sy,
+                     CAST(sum(CAST(round(va * va, 9) AS DECIMAL(38,9))) OVER wf AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(round(vb * vb, 9) AS DECIMAL(38,9))) OVER wf AS DOUBLE) AS syy,
+                     CAST(sum(CAST(round(va * vb, 9) AS DECIMAL(38,9))) OVER wf AS DOUBLE) AS sxy
+              FROM j
+              WINDOW wf AS (PARTITION BY sa, sb ORDER BY ts
+                            ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+            )
+            SELECT sa AS source_a, sb AS source_b, ts, n,
+                   CASE WHEN n = 24 THEN
+                     round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                           / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                  * (CAST(n AS DOUBLE) * syy - sy * sy)),
+                           6)
+                   END AS corr
+            FROM m
         """,
         # the lagged_corr device generalized per source: identical
         # hourly averages, lag-exploded self-join, DECIMAL(38,9) moments

@@ -719,3 +719,73 @@ def acf(
                  * (n * F.col("syy") - F.col("sy") * F.col("sy")))
     return agged.select(F.col("_s").alias(source_col), "lag", "n",
                         (num / den).alias("acf"))
+
+
+def rolling_corr(
+    df: DataFrame,
+    pairs,
+    window: int = 24,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window Pearson correlation SERIES for nominated source
+    pairs on aligned buckets: where [[corr_matrix]] scores each pair
+    once and [[lagged_corr]] probes lead/lag, this emits corr over the
+    last ``window`` buckets at every step — the relationship-DRIFT
+    monitor (two metrics that always moved together decoupling is an
+    incident signal long before either trips its own threshold).
+    Output ``(source_a, source_b, ts, n, corr)``; warm-up rows
+    (fewer than ``window`` joint buckets) emit NULL corr.
+
+    Plan shape: the pair list is a broadcast literal map joined twice
+    (x side, y side) onto the aligned series — buckets only join
+    within a pair; then ONE window partitioned by the pair (pairs
+    parallelize; one pair's series is inherently sequential, so run on
+    tier buckets per the detector routing contract). Five running
+    moment sums share the partition.
+
+    Determinism: moments are DECIMAL(38,9) running sums of
+    once-quantized products over an exact ROWS frame — bit-stable at
+    any parallelism and hash-equal to the SQL replay.
+    """
+    pair_rows = [(i, str(a), str(b)) for i, (a, b) in enumerate(pairs)]
+    pm = df.sparkSession.createDataFrame(
+        pair_rows, "pair_id int, sa string, sb string")
+    base = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(source_col).alias("_s"),
+                    F.col(ts_col).alias("_t"),
+                    F.col(value_col).alias("_v")))
+    j = (base.join(F.broadcast(pm), F.col("_s") == F.col("sa"))
+         .select("pair_id", "sa", "sb", "_t", F.col("_v").alias("_va"))
+         .join(base.select(F.col("_s").alias("_sb2"),
+                           F.col("_t").alias("_tb"),
+                           F.col("_v").alias("_vb")),
+               on=[F.col("sb") == F.col("_sb2"),
+                   F.col("_t") == F.col("_tb")])
+         .select("pair_id", "sa", "sb", "_t", "_va", "_vb"))
+    w = (Window.partitionBy("pair_id").orderBy("_t")
+         .rowsBetween(-(int(window) - 1), 0))
+
+    def dsum(c):
+        return F.sum(F.round(c, 9).cast("decimal(38,9)")).over(w) \
+                .cast("double")
+
+    va, vb = F.col("_va"), F.col("_vb")
+    m = j.select(
+        "sa", "sb", "_t",
+        F.count("*").over(w).alias("n"),
+        dsum(va).alias("sx"), dsum(vb).alias("sy"),
+        dsum(va * va).alias("sxx"), dsum(vb * vb).alias("syy"),
+        dsum(va * vb).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (n * F.col("syy") - F.col("sy") * F.col("sy")))
+    return m.select(
+        F.col("sa").alias("source_a"), F.col("sb").alias("source_b"),
+        F.col("_t").alias(ts_col), "n",
+        F.when(F.col("n") == int(window), num / den).alias("corr"),
+    )

@@ -375,3 +375,36 @@ def test_acf_period_discovery(spark):
             for r in acf(df.repartition(9), lags=[1, 2, 4, 8],
                          step_secs=3600).collect()}
     assert out2 == out
+
+
+def test_rolling_corr_decoupling(spark):
+    """b tracks a for 48 buckets then decouples to noise: the trailing
+    corr starts near 1 and collapses after the break; warm-up rows
+    NULL; two pairs computed in one call; partitioning-invariant."""
+    import datetime as dt
+
+    import numpy as np
+
+    from adtk_spark.operators.hd import rolling_corr
+
+    rng = np.random.RandomState(2)
+    t0 = dt.datetime(2025, 1, 1)
+    a = rng.randn(96).cumsum()
+    b = np.concatenate([a[:48] * 2.0 + 1.0,           # coupled
+                        rng.randn(48).cumsum() + 50])  # decoupled
+    c = rng.randn(96)
+    rows = [("a", t0 + dt.timedelta(hours=i), float(a[i])) for i in range(96)]
+    rows += [("b", t0 + dt.timedelta(hours=i), float(b[i])) for i in range(96)]
+    rows += [("c", t0 + dt.timedelta(hours=i), float(c[i])) for i in range(96)]
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = rolling_corr(df, [("a", "b"), ("a", "c")], window=12).collect()
+    ab = {(r["ts"] - t0).total_seconds() / 3600: r["corr"]
+          for r in out if r["source_b"] == "b"}
+    assert ab[5.0] is None                       # warm-up
+    assert ab[40.0] > 0.999                      # coupled window
+    assert ab[70.0] < 0.9                        # decoupled
+    pairs = {(r["source_a"], r["source_b"]) for r in out}
+    assert pairs == {("a", "b"), ("a", "c")}
+    out2 = rolling_corr(df.repartition(7), [("a", "b"), ("a", "c")],
+                        window=12).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
