@@ -361,6 +361,17 @@ def q_split_mode2(spark, sf_dir):
     return train.select("source", "ts", "value")
 
 
+def q_charset_stats(spark, sf_dir):
+    """Per-doc character-class ratios (operators/corpus.py
+    charset_stats): the encoding-damage / spam-shape axis token-level
+    quality misses. Pure per-row projection, zero shuffles; integer
+    strip-counts and single divisions replayed identically."""
+    from adtk_spark.operators.corpus import charset_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return charset_stats(docs)
+
+
 def q_rare_token_rate(spark, sf_dir):
     """Per-doc fraction of token occurrences below half the mean
     corpus token count (operators/corpus.py rare_token_rate,
@@ -2482,6 +2493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty": q_doc_novelty,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "rare_token_rate": q_rare_token_rate,
+        "charset_stats": q_charset_stats,
         "psi_timeline": q_psi_timeline,
         "seasonality_strength": q_seasonality_strength,
         "seasonality_scan": q_seasonality_scan,
@@ -2513,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
               "acf", "rare_token_rate", "ks_timeline", "rolling_corr",
+              "charset_stats",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -3701,6 +3714,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, nw AS n_ws_tokens
             FROM q WHERE sr <= 0.6 AND nw >= 5
+        """,
+        # identical ASCII-range strip-counts ('g' flag: DuckDB regexp
+        # replace is single-match by default, Spark's is global)
+        "charset_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN length(text) > 0 THEN
+                     round(CAST(length(regexp_replace(text,
+                       '[^\\x20-\\x7e]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE), 6) END AS ascii_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                     round(CAST(length(regexp_replace(text,
+                       '[^0-9]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE), 6) END AS digit_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                     round(CAST(length(regexp_replace(text,
+                       '[^A-Z]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE), 6) END AS upper_ratio,
+                   CASE WHEN length(text) > 0 THEN
+                     round(CAST(length(regexp_replace(text,
+                       '[^ \t\n]', '', 'g')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE), 6) END AS ws_ratio
+            FROM documents
         """,
         # corpus count and doc membership from one word-partitioned
         # count window; rare = count below 0.5 x mean token count

@@ -2144,3 +2144,43 @@ def rare_token_rate(
                         / F.col("n_tokens").cast("double"), 6)
                 .alias("rare_rate"))
     )
+
+
+def charset_stats(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document CHARACTER-class ratios: printable-ASCII, digit,
+    uppercase, and whitespace fractions — the encoding-damage /
+    spam-shape axis [[doc_quality]]'s token-level ratios can't see
+    (mojibake is fluent at the token level until you notice half the
+    characters are non-ASCII; SHOUTING spam and digit-dense logs are
+    normal-length tokens with abnormal character mixes).
+
+    Plan shape: a pure per-row projection — four regexp strip-counts
+    over one scan, no shuffle at all; composes with the quality gate
+    exactly like doc_quality.
+
+    Determinism: integer character counts and single divisions; the
+    character classes are plain ASCII ranges (identical semantics in
+    Java regex and RE2/DuckDB). Empty docs emit NULL ratios rather
+    than divide by zero.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+
+    def ratio(pattern):
+        kept = F.length(F.regexp_replace(t, pattern, ""))
+        return F.when(n > 0, F.round(kept.cast("double")
+                                     / n.cast("double"), 6))
+
+    return docs.select(
+        id_col,
+        n.alias("n_chars"),
+        ratio(r"[^\x20-\x7e]").alias("ascii_ratio"),
+        ratio(r"[^0-9]").alias("digit_ratio"),
+        ratio(r"[^A-Z]").alias("upper_ratio"),
+        ratio(r"[^ \t\n]").alias("ws_ratio"),
+    )

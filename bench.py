@@ -559,6 +559,7 @@ def main():
         "rare_token_rate": eqs.get("rare_token_rate"),
         "ks_timeline": eqs.get("ks_timeline"),
         "rolling_corr": eqs.get("rolling_corr"),
+        "charset_stats": eqs.get("charset_stats"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

@@ -1579,3 +1579,28 @@ def test_rare_token_rate_relative_mode(spark):
     out_abs = {r["doc_id"]: r for r in
                rare_token_rate(docs, min_count=1).collect()}
     assert out_abs[900]["n_rare"] == 0
+
+
+def test_charset_stats_classes(spark):
+    """Exact class ratios on a crafted doc; mojibake (non-ASCII) drops
+    ascii_ratio while token-level stats stay blind; empty doc -> NULL
+    ratios; zero-shuffle plan."""
+    import re
+
+    from adtk_spark.operators.corpus import charset_stats
+
+    rows = [(1, "AB12 cd"),               # 7 chars: 2 upper 2 digit 1 ws
+            (2, "café naïve"),  # 2 non-ascii of 10
+            (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = charset_stats(docs)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_chars"] == 7
+    assert got[1]["upper_ratio"] == round(2 / 7, 6)
+    assert got[1]["digit_ratio"] == round(2 / 7, 6)
+    assert got[1]["ws_ratio"] == round(1 / 7, 6)
+    assert got[1]["ascii_ratio"] == 1.0
+    assert got[2]["ascii_ratio"] == 0.8
+    assert got[3]["ascii_ratio"] is None and got[3]["n_chars"] == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0
