@@ -1251,6 +1251,18 @@ def q_hurst_exponent(spark, sf_dir):
                       F.round("hurst", 6).alias("hurst"))
 
 
+def q_presence_lift(spark, sf_dir):
+    """Chance-normalized co-presence per source pair on hourly buckets
+    (operators/events.py presence_lift): the independence test raw
+    overlap counts don't give. Integer presence counts, DECIMAL
+    cross-products, single divisions — replayed identically."""
+    from adtk_spark.operators.events import presence_lift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("source"), "ts")
+    return presence_lift(ev, bucket="hour")
+
+
 def q_user_concentration(spark, sf_dir):
     """Per-source exact Gini + top-10 user share over event ownership
     (operators/events.py user_concentration): the rotating-scraper
@@ -2438,6 +2450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_stats": q_interarrival_stats,
         "session_stats": q_session_stats,
         "user_concentration": q_user_concentration,
+        "presence_lift": q_presence_lift,
         "hurst_exponent": q_hurst_exponent,
         "embedding_centroid_drift": q_embedding_centroid_drift,
         "counter_rate": q_counter_rate,
@@ -2525,7 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
               "acf", "rare_token_rate", "ks_timeline", "rolling_corr",
-              "charset_stats",
+              "charset_stats", "presence_lift",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5917,6 +5930,39 @@ def oracle_sql() -> dict[str, str]:
                          / (CAST(n_sizes AS DOUBLE) * sxx - sx * sx), 6)
                      AS hurst
             FROM a WHERE n_sizes >= 2
+        """,
+        # identical hourly presence sets, integer joint counts,
+        # DECIMAL cross-products, single divisions
+        "presence_lift": """
+            WITH pres AS (
+              SELECT DISTINCT event_type AS s,
+                     date_trunc('hour', ts) AS b
+              FROM events
+            ), t AS (
+              SELECT count(DISTINCT b) AS T FROM pres
+            ), per AS (
+              SELECT s, count(*) AS n FROM pres GROUP BY s
+            ), joint AS (
+              SELECT x.s AS source_a, y.s AS source_b,
+                     count(*) AS n_joint
+              FROM pres x JOIN pres y ON x.b = y.b AND x.s < y.s
+              GROUP BY 1, 2
+              HAVING count(*) >= 1
+            )
+            SELECT j.source_a, j.source_b,
+                   pa.n AS n_a, pb.n AS n_b, j.n_joint,
+                   round(CAST(CAST(j.n_joint AS DECIMAL(20,0))
+                              * CAST(t.T AS DECIMAL(20,0)) AS DOUBLE)
+                         / CAST(CAST(pa.n AS DECIMAL(20,0))
+                                * CAST(pb.n AS DECIMAL(20,0)) AS DOUBLE),
+                         6) AS lift,
+                   round(CAST(j.n_joint AS DOUBLE)
+                         / CAST(pa.n + pb.n - j.n_joint AS DOUBLE), 6)
+                     AS jaccard
+            FROM joint j
+            JOIN per pa ON pa.s = j.source_a
+            JOIN per pb ON pb.s = j.source_b
+            CROSS JOIN t
         """,
         # identical (source, user) counts, (c, u)-ordered ranks,
         # DECIMAL i*c sums, same Gini association

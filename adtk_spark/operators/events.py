@@ -588,3 +588,60 @@ def user_concentration(
         F.round(F.col("_topc").cast("double") / sx, 6)
          .alias(f"top{int(top_k)}_share"),
     )
+
+
+def presence_lift(
+    df: DataFrame,
+    *,
+    bucket: str = "hour",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    min_joint: int = 1,
+) -> DataFrame:
+    """Chance-normalized co-presence per source pair: over the observed
+    bucket universe, ``lift = P(a AND b present) / (P(a) P(b))`` plus
+    the presence-set Jaccard — the INDEPENDENCE test
+    [[event_cooccurrence]]'s raw overlap counts don't give (two
+    always-on sources overlap constantly at lift ~ 1, i.e. chance; two
+    rare alarms sharing even a few buckets at lift >> 1 are causally
+    coupled — that ranking is what an incident correlator wants).
+
+    Plan shape: one (source, bucket) distinct shuffle; the self-join
+    keys on the bucket (presence is tier-sized, shrinking with the
+    bucket width); per-source totals broadcast back; the universe size
+    is a one-row broadcast. All counts integer; DECIMAL cross-products
+    guard the lift numerator past int64 (the ks_drift device).
+
+    Emits pairs with at least ``min_joint`` shared buckets (lift of an
+    unshared pair is 0 and floods the output at scale).
+    """
+    trunc = F.date_trunc(bucket, F.col(ts_col))
+    pres = (df.select(F.col(source_col).alias("_s"), trunc.alias("_b"))
+            .distinct()
+            .localCheckpoint(eager=False))
+    tot = pres.select("_b").distinct().agg(
+        F.count(F.lit(1)).alias("_T"))
+    per = pres.groupBy("_s").agg(F.count(F.lit(1)).alias("_n"))
+    joint = (pres.alias("x").join(pres.alias("y"),
+                                  on=[F.col("x._b") == F.col("y._b"),
+                                      F.col("x._s") < F.col("y._s")])
+             .groupBy(F.col("x._s").alias("source_a"),
+                      F.col("y._s").alias("source_b"))
+             .agg(F.count(F.lit(1)).alias("n_joint"))
+             .where(F.col("n_joint") >= int(min_joint)))
+    j = (joint
+         .join(F.broadcast(per.select(F.col("_s").alias("source_a"),
+                                      F.col("_n").alias("n_a"))), "source_a")
+         .join(F.broadcast(per.select(F.col("_s").alias("source_b"),
+                                      F.col("_n").alias("n_b"))), "source_b")
+         .crossJoin(F.broadcast(tot)))
+    dec = "decimal(20,0)"
+    lift = (F.col("n_joint").cast(dec) * F.col("_T").cast(dec)).cast("double") \
+        / (F.col("n_a").cast(dec) * F.col("n_b").cast(dec)).cast("double")
+    jac = F.col("n_joint").cast("double") \
+        / (F.col("n_a") + F.col("n_b") - F.col("n_joint")).cast("double")
+    return j.select(
+        "source_a", "source_b", "n_a", "n_b", "n_joint",
+        F.round(lift, 6).alias("lift"),
+        F.round(jac, 6).alias("jaccard"),
+    )

@@ -560,6 +560,7 @@ def main():
         "ks_timeline": eqs.get("ks_timeline"),
         "rolling_corr": eqs.get("rolling_corr"),
         "charset_stats": eqs.get("charset_stats"),
+        "presence_lift": eqs.get("presence_lift"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

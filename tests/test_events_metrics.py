@@ -433,3 +433,31 @@ def test_user_concentration_gini(spark):
     out2 = {r["source"]: tuple(r) for r in
             user_concentration(df.repartition(7), top_k=2).collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_presence_lift_coupled_vs_chance(spark):
+    """Two rare alarms sharing all their buckets score lift >> 1; two
+    always-on sources score lift == 1 (chance); an anti-correlated
+    rare pair never joins (min_joint drop); exact integer closed
+    forms; partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.operators.events import presence_lift
+
+    t0 = dt.datetime(2025, 1, 1)
+    hours = [t0 + dt.timedelta(hours=i) for i in range(100)]
+    rows = [("on1", h) for h in hours] + [("on2", h) for h in hours]
+    rare = [hours[10], hours[40], hours[70]]
+    rows += [("alarm_a", h) for h in rare] + [("alarm_b", h) for h in rare]
+    rows += [("alarm_c", hours[5])]          # never with alarm_a
+    df = spark.createDataFrame(rows, "source string, ts timestamp")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in presence_lift(df, bucket="hour").collect()}
+    assert out[("on1", "on2")]["lift"] == 1.0
+    ab = out[("alarm_a", "alarm_b")]
+    assert ab["n_joint"] == 3 and ab["jaccard"] == 1.0
+    assert ab["lift"] == round(3 * 100 / 9, 6)           # 33.3x chance
+    assert ("alarm_a", "alarm_c") not in out             # no shared bucket
+    out2 = {(r["source_a"], r["source_b"]): tuple(r)
+            for r in presence_lift(df.repartition(7), bucket="hour").collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
