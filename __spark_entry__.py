@@ -2093,6 +2093,18 @@ def q_seasonal_naive(spark, sf_dir):
     return seasonal_naive_anomaly(h1, 86400, z=3.0)
 
 
+def q_weekday_profile(spark, sf_dir):
+    """Hour-of-week seasonal fingerprint per source (plans/tiers.py
+    weekday_profile): 168-slot mean/count profile, one bounded-key
+    groupBy. DECIMAL sums; the oracle matches Spark's Sunday=1
+    dayofweek convention (DuckDB dayofweek is Sunday=0 → +1)."""
+    from adtk_spark.plans.tiers import weekday_profile
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("source"), "ts", "value")
+    return weekday_profile(ev)
+
+
 def q_ks_timeline(spark, sf_dir):
     """KS drift timeline (plans/tiers.py ks_timeline): each source's
     daily distribution vs its previous observed day with the bin-free
@@ -2486,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "ks_timeline": q_ks_timeline,
+        "weekday_profile": q_weekday_profile,
         "js_drift": q_js_drift,
         "token_entropy": q_token_entropy,
         "tfidf_topk": q_tfidf_topk,
@@ -2538,7 +2551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               "hurst_exponent", "embedding_centroid_drift",
               "session_stats", "peak_detection", "user_concentration",
               "acf", "rare_token_rate", "ks_timeline", "rolling_corr",
-              "charset_stats", "presence_lift",
+              "charset_stats", "presence_lift", "weekday_profile",
               "js_drift", "token_entropy", "rollup_twa_up",
               "image_features", "audio_features",
               "embedding_dup", "twa_route_3h"]
@@ -5579,6 +5592,18 @@ def oracle_sql() -> dict[str, str]:
         # KS drift: ECDF gap in exact integer/HUGEINT cross-products
         # (max |rc*n_cur - cc*n_ref|), one final division + round;
         # HUGEINT-vs-long folded by the BIGINT casts on the count cols
+        # Spark dayofweek is Sunday=1; DuckDB's is Sunday=0 -> +1;
+        # DECIMAL value sums, one division, bounded 168-slot keys
+        "weekday_profile": """
+            SELECT event_type AS source,
+                   CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                   CAST(hour(ts) AS INT) AS hour,
+                   count(*) AS n,
+                   round(CAST(sum(CAST(value AS DECIMAL(38,9))) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean_value
+            FROM events WHERE value IS NOT NULL
+            GROUP BY 1, 2, 3
+        """,
         # identical role-split (cur of own day / ref of next observed
         # day), integer ECDF, DECIMAL cross-products, one division
         "ks_timeline": """

@@ -1673,3 +1673,41 @@ def ks_timeline(
             ).alias("ks"),
         )
     )
+
+
+def weekday_profile(
+    df: DataFrame,
+    *,
+    source_col: str = "source",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-week seasonal fingerprint per source: mean and count of
+    every (day-of-week, hour-of-day) cell — the 168-slot profile a
+    capacity planner reads and the seasonal detectors consume as a
+    baseline ([[seasonal_ad]] fits a phase profile internally; this
+    exposes the same shape as a QUERYABLE table, joinable back onto
+    live traffic as "expected value for this slot"). Calendar slots
+    come from the session-timezone calendar (UTC by the engine's
+    contract).
+
+    Plan shape: ONE groupBy on (source, dow, hour) — bounded keys
+    (168 x sources), map-side combined; the cheapest possible full-scan
+    aggregation shape.
+
+    Determinism: DECIMAL(38,9) value sums with one IEEE division —
+    hash-equal to the SQL replay at any parallelism.
+    """
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("timestamp")
+    return (
+        df.where(v.isNotNull())
+        .groupBy(source_col,
+                 F.dayofweek(t).alias("dow"),
+                 F.hour(t).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(v.cast("decimal(38,9)")).cast("double").alias("_s"))
+        .select(source_col, "dow", "hour", "n",
+                F.round(F.col("_s") / F.col("n").cast("double"), 6)
+                .alias("mean_value"))
+    )

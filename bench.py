@@ -561,6 +561,7 @@ def main():
         "rolling_corr": eqs.get("rolling_corr"),
         "charset_stats": eqs.get("charset_stats"),
         "presence_lift": eqs.get("presence_lift"),
+        "weekday_profile": eqs.get("weekday_profile"),
         "mixture_sample": eqs.get("mixture_sample"),
         "quality_gate": eqs.get("quality_gate"),
         "psi_timeline": eqs.get("psi_timeline"),

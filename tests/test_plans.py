@@ -776,3 +776,27 @@ def test_ks_timeline_detects_shift_day(spark):
     out2 = {r["bucket_ts"]: tuple(r)
             for r in ks_timeline(df.repartition(9), "1d").collect()}
     assert out2 == {k: tuple(v) for k, v in out.items()}
+
+
+def test_weekday_profile_golden(spark):
+    """Two weeks of data where Monday 9:00 always reads 100 and every
+    other slot 1: the (dow=2, hour=9) cell means 100 with n=2 (Spark
+    dayofweek: Sunday=1); 168 bounded slots; partitioning-invariant."""
+    import datetime as dt
+
+    from adtk_spark.plans.tiers import weekday_profile
+
+    t0 = dt.datetime(2025, 1, 6)  # a Monday
+    rows = []
+    for i in range(14 * 24):
+        ts = t0 + dt.timedelta(hours=i)
+        val = 100.0 if (ts.weekday() == 0 and ts.hour == 9) else 1.0
+        rows.append(("a", ts, val))
+    df = spark.createDataFrame(rows, "source string, ts timestamp, value double")
+    out = {(r["dow"], r["hour"]): r for r in weekday_profile(df).collect()}
+    assert len(out) == 168
+    assert out[(2, 9)]["mean_value"] == 100.0 and out[(2, 9)]["n"] == 2
+    assert out[(3, 9)]["mean_value"] == 1.0
+    out2 = {(r["dow"], r["hour"]): tuple(r)
+            for r in weekday_profile(df.repartition(7)).collect()}
+    assert out2 == {k: tuple(v) for k, v in out.items()}
